@@ -1,0 +1,10 @@
+"""Query registry: every operator the engine claims ships here as a named
+query with (where SQL-expressible) a DuckDB oracle. Importing this package
+populates the registry."""
+
+from hadoop_map_reduce_spark.plans.registry import REGISTRY, Query, register
+
+# Import for registration side effects.
+from hadoop_map_reduce_spark.plans import reference_queries  # noqa: F401
+
+__all__ = ["REGISTRY", "Query", "register"]

@@ -1,0 +1,78 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs on ``local[N]`` but every knob here is chosen for the
+multi-executor case: AQE handles runtime partition coalescing and skew
+joins, shuffle partitions default to the local core count (a real cluster
+deployment overrides via ``spark-submit --conf``), and Arrow is enabled so
+any Pandas-UDF fallback path moves data in columnar batches.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "hadoop-map-reduce-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's default tuning.
+
+    Defaults follow the environment contract: ``local[$SPARK_GRAFT_CPUS]``
+    (falling back to ``local[*]``) and 32 shuffle partitions unless
+    overridden.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Adaptive execution: runtime partition coalescing, skew-join
+        # splitting, and dynamic join-strategy switching. Essential at
+        # 100 TB where static planning guesses wrong.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow for any pandas-UDF path (vectorized Python interchange).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Keep parquet scans pruned and pushed down (defaults, pinned
+        # explicitly because the engine depends on them for scale).
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Quieter driver logs in tests/bench.
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one synthetic-table parquet from an sf directory."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
