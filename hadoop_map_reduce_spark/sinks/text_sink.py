@@ -1,0 +1,68 @@
+"""Partitioned ``key<TAB>value`` text sink (reference O9/O10/O13 parity).
+
+The reference writes one sorted text file per reduce partition plus a
+``_SUCCESS`` marker (TextOutputFormat, WordCountV2.java:49,53; artifacts
+``bigram_custom8/part-r-00000..00031``). Two modes:
+
+- default (Spark-native, fast): ``repartition(n, key)`` (murmur3) +
+  ``sortWithinPartitions`` + text write. Same invariants (n files, each
+  sorted, disjoint key ranges per hash), different key→file assignment.
+- ``hadoop_layout=True``: byte-identical file-level layout with the
+  reference — keys routed by Hadoop ``Text.hashCode`` via an RDD
+  partitioner. This is the slow path (Python round-trip) and exists only
+  for golden-artifact parity; production pipelines should keep the default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hadoop_map_reduce_spark.functions.hashing import hadoop_partition
+
+
+def write_kv_text(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    value_col: str,
+    num_partitions: int = 32,
+    sort_within: bool = True,
+    hadoop_layout: bool = False,
+) -> None:
+    """Write ``key<TAB>value`` lines, one file per hash partition.
+
+    Emits Spark's ``_SUCCESS`` marker (same Hadoop output-committer
+    behavior as the reference).
+    """
+    if hadoop_layout:
+        kv = df.select(
+            F.col(key_col).cast("string").alias("k"),
+            F.col(value_col).cast("string").alias("v"),
+        )
+        lines = (
+            kv.rdd.map(lambda r: (r["k"], r["v"]))
+            .partitionBy(
+                num_partitions, lambda k: hadoop_partition(k, num_partitions)
+            )
+            .mapPartitions(
+                lambda it: (
+                    f"{k}\t{v}"
+                    for k, v in (sorted(it) if sort_within else it)
+                )
+            )
+        )
+        lines.saveAsTextFile(path)
+        return
+
+    out = df.select(
+        F.concat_ws(
+            "\t",
+            F.col(key_col).cast("string"),
+            F.col(value_col).cast("string"),
+        ).alias("value"),
+        F.col(key_col).cast("string").alias("_k"),
+    ).repartition(num_partitions, F.col("_k"))
+    if sort_within:
+        out = out.sortWithinPartitions("_k")
+    out.select("value").write.mode("overwrite").text(path)

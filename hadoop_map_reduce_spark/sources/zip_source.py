@@ -1,0 +1,96 @@
+"""ZIP-archive source: (entry name, decompressed bytes) records.
+
+Capability parity with the reference's custom InputFormat
+(NYUZInputFormat.java:22-81 + NYUZRecordReader.java:23-101): one record per
+ZIP entry, whole entry decompressed in memory (inherent — ZIP entries are
+not splittable), parallelism at per-archive / per-entry granularity.
+
+Deliberately fixed reference defects (SURVEY.md §2.1 — behaviors, not
+capabilities, so they are NOT replicated):
+- no duplicate first entry (the reference emitted n+1 splits for n entries);
+- no driver-side full decompression to plan splits (the reference streamed
+  the whole archive on the client just to measure entry sizes) — Spark
+  plans ``binaryFiles`` partitions from file metadata only;
+- multiple input paths/globs supported (the reference read only the first
+  configured path).
+
+At scale: archives are distributed across executors by ``binaryFiles``;
+``repartition`` after extraction spreads entries of few large archives
+across the cluster before downstream transforms.
+"""
+
+from __future__ import annotations
+
+import io
+import zipfile
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+ZIP_ENTRY_SCHEMA = StructType(
+    [
+        StructField("archive", StringType(), nullable=False),
+        StructField("entry", StringType(), nullable=False),
+        StructField("size", LongType(), nullable=False),
+        StructField("content", BinaryType(), nullable=False),
+    ]
+)
+
+
+def _explode_archive(item: tuple[str, bytes]) -> Iterator[tuple[str, str, int, bytearray]]:
+    archive_path, payload = item
+    with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+        for info in zf.infolist():
+            if info.is_dir():
+                continue
+            data = zf.read(info.filename)
+            yield (archive_path, info.filename, len(data), bytearray(data))
+
+
+def read_zip_entries(
+    spark: SparkSession,
+    *paths: str,
+    repartition: int | None = None,
+) -> DataFrame:
+    """Read ZIP archive(s) into ``(archive, entry, size, content)`` rows.
+
+    ``repartition`` spreads extracted entries for downstream parallelism
+    (the per-entry task granularity the reference built its custom
+    InputFormat for).
+    """
+    rdd = spark.sparkContext.binaryFiles(",".join(paths))
+    entries = rdd.flatMap(_explode_archive)
+    df = spark.createDataFrame(entries, ZIP_ENTRY_SCHEMA)
+    if repartition:
+        df = df.repartition(repartition)
+    return df
+
+
+def read_zip_text_lines(
+    spark: SparkSession,
+    *paths: str,
+    encoding: str = "utf-8",
+    repartition: int | None = None,
+) -> DataFrame:
+    """ZIP entries split into text lines: ``(archive, entry, line)``.
+
+    This is the composition the reference intended (ZIP corpus → line
+    records → bigram pipeline) but never wired up (the committed driver
+    still used the text input format — SURVEY.md §2.1 'type mismatch').
+    """
+    df = read_zip_entries(spark, *paths, repartition=repartition)
+    return df.select(
+        "archive",
+        "entry",
+        F.explode(
+            F.split(F.decode(F.col("content"), encoding), r"\r?\n")
+        ).alias("line"),
+    )
