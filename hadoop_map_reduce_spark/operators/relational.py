@@ -1,0 +1,109 @@
+"""Relational operators Spark lacks as single primitives, composed
+scale-first from DataFrame ops (no Python UDFs, no driver-side loops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    payload_cols: list[str],
+    right_on: str | None = None,
+) -> DataFrame:
+    """Backward as-of join: for each left row, the latest right row with
+    ``right_time <= left_time`` for the same key.
+
+    Scale-first design: instead of the naive inequality join (which
+    explodes to |left| × |matching right| before aggregating), union the
+    two streams tagged, sort within key by (time, tag), and carry the last
+    seen payload forward with ``last(..., ignorenulls=True)`` — one shuffle
+    on the key, linear work, no row explosion. This is the merge-join
+    formulation of as-of.
+
+    Ties: a right row at exactly ``left_time`` matches; among right rows
+    with equal time the one with the greatest payload tuple (by the order
+    of ``payload_cols``) wins, deterministically.
+    """
+    lcols = left.columns
+    tagged_r = right.select(
+        F.col(right_on or on).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_tag"),
+        *[F.col(c) for c in payload_cols],
+        *[F.lit(None).alias(f"_l_{c}") for c in lcols],
+    )
+    tagged_l = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_tag"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in payload_cols],
+        *[F.col(c).alias(f"_l_{c}") for c in lcols],
+    )
+    # Order right rows before left rows at the same instant (<= semantics);
+    # among equal-time right rows the later payload overwrites the earlier,
+    # so sort payloads ascending for a deterministic "greatest wins".
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").asc(), F.col("_tag").asc(), *[F.col(c).asc_nulls_first() for c in payload_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = tagged_r.unionByName(tagged_l).select(
+        "*",
+        *[
+            F.last(F.col(c), ignorenulls=True).over(w).alias(f"_asof_{c}")
+            for c in payload_cols
+        ],
+    )
+    out = merged.filter(F.col("_tag") == 1).select(
+        *[F.col(f"_l_{c}").alias(c) for c in lcols],
+        *[F.col(f"_asof_{c}").alias(c) for c in payload_cols],
+    )
+    return out
+
+
+def sessionize(
+    events: DataFrame,
+    key: str,
+    time_col: str,
+    gap_seconds: int,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Assign session ids per key: a new session starts when the gap from
+    the previous event exceeds ``gap_seconds``. Adds ``session_id``
+    (0-based per key). Classic lag → gap flag → running sum; two window
+    passes over one key-partitioned sort, no state loops.
+    """
+    order = [F.col(time_col).asc()]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak).asc())
+    w = Window.partitionBy(key).orderBy(*order)
+    prev_ts = F.lag(F.col(time_col)).over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.unix_timestamp(F.col(time_col)) - F.unix_timestamp(prev_ts) > gap_seconds),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    with_flag = events.withColumn("_new_session", is_new)
+    running = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return with_flag.withColumn(
+        "session_id", (F.sum("_new_session").over(running) - 1).cast("long")
+    ).drop("_new_session")
+
+
+def top_k(df: DataFrame, k: int, *order_cols: Column) -> DataFrame:
+    """Global top-k with a total order (caller supplies tie-breaking
+    columns). Spark plans this as TakeOrderedAndProject — per-partition
+    heaps then a k-row merge, no full sort of the data."""
+    return df.orderBy(*order_cols).limit(k)

@@ -48,6 +48,9 @@ def get_spark(
         # explicitly because the engine depends on them for scale).
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Some producers write TIMESTAMP(NANOS) parquet (e.g. pandas);
+        # read as long and convert in load_table (Spark has no nanos type).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Quieter driver logs in tests/bench.
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
@@ -74,5 +77,16 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str):
-    """Read one synthetic-table parquet from an sf directory."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Read one synthetic-table parquet from an sf directory.
+
+    TIMESTAMP(NANOS) parquet columns surface as nano-epoch longs (see the
+    ``nanosAsLong`` conf); convert them back to timestamps with exact
+    integer division (``div`` — double division would lose precision at
+    nano magnitudes).
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
