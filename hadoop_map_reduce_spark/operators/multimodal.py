@@ -1,0 +1,140 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as ``binary`` columns with a
+``modality`` tag and typed metadata, processed by Arrow-batched
+``mapInPandas`` stages (the only place Python touches the data, and only
+in vectorized batches).
+
+The actual media DECODE step is a STUB in this environment (no
+PIL/ffmpeg/librosa in the container): ``decode_stub`` produces
+deterministic fake features (a byte-value histogram) so the Spark-side
+contract — schema, batching, partitioning, UDF signatures — is real and
+tested end-to-end. Swap ``_decode_batch`` for a real decoder when the
+libraries exist; the plan shape does not change.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+try:  # real decoders, if ever present in the image
+    import PIL.Image  # noqa: F401
+
+    _HAS_PIL = True
+except ImportError:
+    _HAS_PIL = False
+
+MEDIA_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("features", ArrayType(DoubleType())),
+    ]
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("content", BinaryType()),
+    ]
+)
+
+
+def with_binary_content(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    modality: str = "image",
+) -> DataFrame:
+    """Stand-in media table: utf-8 bytes of ``text_col`` as the payload."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.lit(modality).alias("modality"),
+        F.encode(F.col(text_col), "utf-8").alias("content"),
+    )
+
+
+def _histogram_features(payload: bytes, bins: int = 16) -> list[float]:
+    """Deterministic fake 'decode': normalized byte-value histogram.
+
+    STUB for a real image/audio feature extractor — replace with actual
+    decode + embed when media libraries are available.
+    """
+    counts = [0] * bins
+    for b in payload:
+        counts[b % bins] += 1
+    total = len(payload) or 1
+    return [c / total for c in counts]
+
+
+def extract_media_features(
+    media: DataFrame, bins: int = 16, use_real_decoder: bool = False
+) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    ``mapInPandas`` so each Python call sees a whole Arrow batch; the
+    per-row work is the decode itself, which is the irreducible Python
+    part. Partitioning, schema, and batch flow are production-shaped.
+    """
+    if use_real_decoder and not _HAS_PIL:
+        raise NotImplementedError(
+            "real media decoding requires PIL/ffmpeg, not present in this "
+            "environment; use the deterministic stub (use_real_decoder=False)"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": pdf["content"].map(len).astype("int64"),
+                    "features": pdf["content"].map(
+                        lambda b: _histogram_features(bytes(b), bins)
+                    ),
+                }
+            )
+
+    return media.mapInPandas(batches, MEDIA_FEATURE_SCHEMA)
+
+
+def frame_sample(
+    media: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8
+) -> DataFrame:
+    """'Frame sampling' stub: slice the payload every N bytes (stands in
+    for video frame extraction; same fan-out shape: 1 row → M rows)."""
+    idx = F.sequence(
+        F.lit(0),
+        F.greatest(
+            F.least(
+                F.ceil(F.length("content") / every_n_bytes).cast("int") - 1,
+                F.lit(max_frames - 1),
+            ),
+            F.lit(0),
+        ),
+    )
+    exploded = media.select(
+        "media_id", "modality", "content", F.explode(idx).alias("frame_no")
+    )
+    return exploded.select(
+        "media_id",
+        "modality",
+        "frame_no",
+        F.col("content")
+        .substr(F.col("frame_no") * every_n_bytes + 1, F.lit(every_n_bytes))
+        .alias("frame"),
+    )

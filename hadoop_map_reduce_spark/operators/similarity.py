@@ -1,0 +1,177 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers:
+
+- brute-force cosine top-k: exact; broadcast the (small) query set against
+  the full corpus, per-query heap via window row_number. The baseline and
+  the verify stage.
+- random-hyperplane LSH ANN: the scale path. Sign-bit bucketing over
+  seeded hyperplanes turns candidate generation into an equi-join on the
+  bucket key; exact cosine re-ranks within buckets. Probing multiple
+  buckets (multi-probe) trades recall for cost without re-shuffling the
+  corpus — the bucketed corpus table is reusable across query batches.
+
+Vector math is pure Column expressions (zip_with/aggregate): stays in the
+JVM, no Arrow round-trips in the hot path.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hadoop_map_reduce_spark.functions.vectors import cosine_similarity
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, rank, sim). Self-matches (same id)
+    are excluded. Similarity is rounded to 6 dp before ranking so the
+    ordering is stable across engines; ties break on neighbor id.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+    )
+    sim = F.round(cosine_similarity(F.col("_qvec"), F.col("_cvec")), 6)
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("_qid"))
+        .select(
+            F.col("_qid").alias("query_id"),
+            "neighbor_id",
+            sim.alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed)
+    planes = []
+    for _ in range(n_planes):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        norm = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / norm for x in v])
+    return planes
+
+
+def lsh_bucket(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 12,
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """Add a ``bucket`` column: sign bits of dot products with seeded
+    random hyperplanes. Deterministic across runs/sessions."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0).cast("long")
+    vec = F.col(vec_col).cast("array<double>")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(vec, p, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return df.withColumn("bucket", bucket)
+
+
+def ann_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    n_planes: int = 6,
+    probe_flips: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share one of the query's probe
+    buckets, then exact cosine re-ranks.
+
+    Multi-probe: each query probes its own bucket plus every bucket within
+    ``probe_flips`` bit flips (1 + n_planes buckets for flips=1). Raising
+    probes raises recall without touching the corpus-side bucketing — the
+    corpus table shuffles once and is reusable across query batches.
+    Recall < 1 by construction; the brute-force operator is the exact
+    fallback/verify stage.
+    """
+    c = lsh_bucket(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")),
+        dim, n_planes, "_cvec", seed,
+    )
+    q = lsh_bucket(
+        queries.select(F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec")),
+        dim, n_planes, "_qvec", seed,
+    )
+    if probe_flips >= 1:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                for i in range(n_planes)
+            ],
+        )
+        q = q.withColumn("bucket", F.explode(probes))
+    sim = F.round(cosine_similarity(F.col("_qvec"), F.col("_cvec")), 6)
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("_qid"))
+        .select(F.col("_qid").alias("query_id"), "neighbor_id", sim.alias("sim"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All unordered pairs with cosine >= threshold (exact, quadratic).
+
+    The oracle-checkable reference semantics; at scale, run after
+    :func:`lsh_bucket` blocking (join on bucket) instead of the raw
+    self-join."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    sim = F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )

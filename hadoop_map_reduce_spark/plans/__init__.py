@@ -7,5 +7,6 @@ from hadoop_map_reduce_spark.plans.registry import REGISTRY, Query, register
 # Import for registration side effects.
 from hadoop_map_reduce_spark.plans import reference_queries  # noqa: F401
 from hadoop_map_reduce_spark.plans import relational_queries  # noqa: F401
+from hadoop_map_reduce_spark.plans import llm_queries  # noqa: F401
 
 __all__ = ["REGISTRY", "Query", "register"]

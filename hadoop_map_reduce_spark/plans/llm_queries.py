@@ -1,0 +1,343 @@
+"""LLM training-data pipeline queries (SURVEY.md §7.3 M5): dedup families,
+similarity search, text analysis, multimodal plumbing.
+
+Oracles mirror the Spark expression shapes exactly (same tokenization,
+same division order, round-6 before threshold filters) so doubles match
+bit-for-bit. Probabilistic operators (MinHash LSH) carry the EXACT
+operator's oracle: recall of the banding scheme is 1.0 on this corpus
+(deterministic for fixed seed/params — pinned by tests), and the verify
+stage makes precision exact by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_map_reduce_spark.functions.text import sanitize, tokenize
+from hadoop_map_reduce_spark.functions.text_analysis import (
+    STOPWORDS,
+    bpe_token_count,
+    fingerprint,
+    lang_id,
+    quality_score,
+    stopword_hits,
+    ws_token_count,
+)
+from hadoop_map_reduce_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_neardup_pairs,
+)
+from hadoop_map_reduce_spark.operators.multimodal import (
+    extract_media_features,
+    with_binary_content,
+)
+from hadoop_map_reduce_spark.operators.similarity import (
+    ann_topk_lsh,
+    cosine_neardup_pairs,
+    cosine_topk,
+)
+from hadoop_map_reduce_spark.plans.registry import register
+from hadoop_map_reduce_spark.session import load_table
+
+# DuckDB mirror of sanitize+tokenize (ASCII regex classes, see
+# reference_queries._ORACLE_TOKENS).
+_TOKS = (
+    "list_filter(string_split_regex(lower(regexp_replace(text, "
+    r"'([^\s\w]|_)+', ' ', 'g')), '\s+'), t -> t <> '')"
+)
+
+# Distinct 3-token shingles over those tokens, 1-indexed windows.
+_SHINGLES = (
+    "list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] "
+    "for i in range(1, len(t) - 1)])"
+)
+
+_JACCARD_PAIRS_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents
+    ), sh AS (
+        SELECT doc_id, {_SHINGLES} AS s FROM toks WHERE len(t) >= 3
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ROUND(len(list_intersect(a.s, b.s))
+                     / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
+"""
+
+
+@register(
+    "dedup_exact",
+    tags=("llm", "dedup"),
+    description="Exact dedup: one representative (min id) per distinct text.",
+    oracle="SELECT text, MIN(doc_id) AS doc_id FROM documents GROUP BY text",
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    tags=("llm", "dedup"),
+    description=(
+        "Exact near-dup pairs: trigram-shingle Jaccard >= 0.5 (the verify "
+        "semantics; quadratic — at scale runs after LSH blocking)."
+    ),
+    oracle=_JACCARD_PAIRS_SQL,
+)
+def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5, n=3
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    headline=True,
+    tags=("llm", "dedup"),
+    description=(
+        "MinHash(64) + LSH banding (32 bands × 2 rows) near-dup pairs, "
+        "exact-Jaccard verified: equi-join candidate generation, no cross "
+        "join. Same output contract as dedup_ngram_jaccard; banding recall "
+        "on this corpus is 1.0 (deterministic, pinned by tests)."
+    ),
+    oracle=_JACCARD_PAIRS_SQL,
+)
+def dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.5, n=3, num_hashes=64, bands=32,
+    )
+
+
+@register(
+    "dedup_simhash",
+    tags=("llm", "dedup"),
+    description=(
+        "SimHash-64 near-dup candidates within Hamming distance 3 via "
+        "pigeonhole chunk banding (xxhash64-based; no SQL oracle — "
+        "engine-specific hash)."
+    ),
+    oracle=None,
+)
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_neardup_pairs(
+        load_table(spark, sf_dir, "documents"), max_hamming=3
+    )
+
+
+_COSINE_SQL = (
+    "list_dot_product(a.v, b.v) / "
+    "(SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v)))"
+)
+
+
+@register(
+    "similarity_topk",
+    headline=True,
+    tags=("llm", "similarity"),
+    description=(
+        "Brute-force cosine top-5 neighbors for 10 query vectors "
+        "(broadcast queries × corpus scan, window top-k)."
+    ),
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), q AS (
+            SELECT vec_id, v FROM e WHERE vec_id < 10
+        ), scored AS (
+            SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+                   ROUND({_COSINE_SQL}, 6) AS sim
+            FROM e a JOIN q b ON a.vec_id <> b.vec_id
+        ), ranked AS (
+            SELECT query_id, neighbor_id, sim,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id ASC
+                   ) AS BIGINT) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, sim, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def similarity_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(emb, queries, k=5)
+
+
+@register(
+    "similarity_ann_lsh",
+    tags=("llm", "similarity"),
+    description=(
+        "ANN via random-hyperplane LSH bucketing + exact re-rank: the "
+        "scale path (equi-join on sign-bit buckets; recall<1 by design, "
+        "so no SQL oracle — accuracy pinned by recall tests vs brute force)."
+    ),
+    oracle=None,
+)
+def similarity_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_topk_lsh(emb, queries, k=5, dim=64, n_planes=4, probe_flips=1)
+
+
+@register(
+    "embedding_neardup",
+    tags=("llm", "similarity", "dedup"),
+    description="Embedding near-dup pairs: cosine >= 0.4 (exact pairwise).",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND({_COSINE_SQL}, 6) AS sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE ROUND({_COSINE_SQL}, 6) >= 0.4
+    """,
+)
+def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+def _sql_stop_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter(t, x -> list_contains([{words}], x)))"
+
+
+@register(
+    "text_lang_id",
+    tags=("llm", "text"),
+    description=(
+        "Heuristic stopword language ID with deterministic argmax cascade."
+    ),
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        hits AS (
+            SELECT doc_id,
+                   {_sql_stop_hits('en')} AS c_en,
+                   {_sql_stop_hits('de')} AS c_de,
+                   {_sql_stop_hits('fr')} AS c_fr,
+                   {_sql_stop_hits('es')} AS c_es
+            FROM toks
+        )
+        SELECT doc_id,
+               CASE WHEN c_en + c_de + c_fr + c_es = 0 THEN 'unknown'
+                    WHEN c_en >= GREATEST(c_de, c_fr, c_es) THEN 'en'
+                    WHEN c_de >= GREATEST(c_fr, c_es) THEN 'de'
+                    WHEN c_fr >= c_es THEN 'fr'
+                    ELSE 'es' END AS lang_pred
+        FROM hits
+    """,
+)
+def text_lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(sanitize(F.col("text")))
+    return docs.select("doc_id", lang_id(toks).alias("lang_pred"))
+
+
+@register(
+    "text_quality",
+    tags=("llm", "text"),
+    description=(
+        "Quality scoring: token counts (whitespace + BPE-ish regex), "
+        "stopword hits, composite [0,1] score."
+    ),
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, text, {_TOKS} AS t FROM documents)
+        SELECT doc_id,
+               CAST(len(t) AS BIGINT) AS n_tokens,
+               CAST(len(regexp_extract_all(text,
+                    '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens,
+               CAST({_sql_stop_hits('en')} AS BIGINT) AS stop_hits,
+               0.3 * LEAST(len(t) / 100.0, 1.0)
+                 + 0.4 * ({_sql_stop_hits('en')} / len(t))
+                 + 0.3 * (LENGTH(regexp_replace(text, '[^A-Za-z]+', '', 'g'))
+                          / LENGTH(text)) AS quality
+        FROM toks
+    """,
+)
+def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(sanitize(F.col("text")))
+    return docs.select(
+        "doc_id",
+        ws_token_count(toks).alias("n_tokens"),
+        bpe_token_count(F.col("text")).alias("bpe_tokens"),
+        stopword_hits(toks, "en").cast("long").alias("stop_hits"),
+        quality_score(F.col("text"), toks).alias("quality"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    tags=("llm", "text"),
+    description="Rolling polynomial document fingerprint (Rabin-Karp style).",
+    oracle="""
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(
+                           list_filter(string_split(text, ''), c -> c <> ''),
+                           c -> CAST(ascii(c) AS BIGINT))),
+                   (h, c) -> (h * 31 + c) % 2147483647
+               ) AS fp
+        FROM documents
+    """,
+)
+def text_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+@register(
+    "multimodal_meta",
+    tags=("llm", "multimodal"),
+    description=(
+        "Binary-column metadata extraction: payload size + md5 digest "
+        "(decode stage itself is the mapInPandas stub, rows-only tested)."
+    ),
+    oracle="""
+        SELECT doc_id AS media_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS digest
+        FROM documents
+    """,
+)
+def multimodal_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = with_binary_content(load_table(spark, sf_dir, "documents"))
+    return media.select(
+        "media_id",
+        F.length("content").cast("long").alias("n_bytes"),
+        F.md5("content").alias("digest"),
+    )
+
+
+@register(
+    "multimodal_features",
+    tags=("llm", "multimodal"),
+    description=(
+        "Arrow-batched mapInPandas feature extraction over binary payloads "
+        "(deterministic stub decoder; no SQL oracle — rows-only)."
+    ),
+    oracle=None,
+)
+def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = with_binary_content(load_table(spark, sf_dir, "documents"))
+    feats = extract_media_features(media, bins=16)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.round(F.element_at("features", 2), 6).alias("f1"),
+    )

@@ -1,0 +1,104 @@
+"""Oracle + property tests for the LLM-pipeline operators (M5)."""
+
+from __future__ import annotations
+
+import pytest
+
+from hadoop_map_reduce_spark.plans import REGISTRY
+from tests.oracle_utils import compare_query
+
+ORACLED = sorted(
+    n for n, q in REGISTRY.items() if "llm" in q.tags and q.oracle is not None
+)
+ROWS_ONLY = sorted(
+    n for n, q in REGISTRY.items() if "llm" in q.tags and q.oracle is None
+)
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_oracle_match(spark, sf_dir, name):
+    compare_query(spark, sf_dir, name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_runs(spark, sf_dir, name):
+    df = REGISTRY[name].fn(spark, sf_dir)
+    assert df.count() >= 0  # executes end-to-end with a stable schema
+    assert len(df.columns) > 0
+
+
+def test_minhash_equals_exact(spark, sf_dir):
+    """LSH banding recall is 1.0 on this corpus: the minhash pipeline
+    reproduces the exact-Jaccard pair set (precision is exact by
+    construction via the verify stage)."""
+    exact = REGISTRY["dedup_ngram_jaccard"].fn(spark, sf_dir)
+    lsh = REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir)
+    e = {(r.id_a, r.id_b, r.jaccard) for r in exact.collect()}
+    l = {(r.id_a, r.id_b, r.jaccard) for r in lsh.collect()}
+    assert e == l
+    assert len(e) > 0  # the corpus has planted near-dups
+
+
+def test_ann_recall_vs_bruteforce(spark, sf_dir):
+    """Single-probe LSH ANN keeps reasonable top-5 recall on this corpus."""
+    exact = REGISTRY["similarity_topk"].fn(spark, sf_dir)
+    ann = REGISTRY["similarity_ann_lsh"].fn(spark, sf_dir)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in ann.collect()}
+    assert len(e) == 50  # 10 queries x top-5
+    recall = len(e & a) / len(e)
+    assert recall >= 0.3, f"ANN recall collapsed: {recall}"
+
+
+def test_simhash_duplicate_texts_collide(spark):
+    from hadoop_map_reduce_spark.operators.dedup import simhash64
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "a completely different set of words entirely here")],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r.simhash for r in simhash64(df).collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+
+
+def test_multimodal_feature_batches(spark):
+    from hadoop_map_reduce_spark.operators.multimodal import (
+        extract_media_features,
+        frame_sample,
+        with_binary_content,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abcdef" * 100), (2, "xyz")], ["doc_id", "text"]
+    )
+    media = with_binary_content(docs)
+    feats = extract_media_features(media, bins=16).collect()
+    by_id = {r.media_id: r for r in feats}
+    assert by_id[1].n_bytes == 600
+    assert abs(sum(by_id[1].features) - 1.0) < 1e-9
+    assert len(by_id[2].features) == 16
+
+    frames = frame_sample(media, every_n_bytes=100, max_frames=4).collect()
+    f1 = sorted((r.frame_no, len(r.frame)) for r in frames if r.media_id == 1)
+    assert f1 == [(0, 100), (1, 100), (2, 100), (3, 100)]
+    f2 = [(r.frame_no, len(r.frame)) for r in frames if r.media_id == 2]
+    assert f2 == [(0, 3)]
+
+
+def test_real_decoder_gated(spark):
+    from hadoop_map_reduce_spark.operators.multimodal import (
+        _HAS_PIL,
+        extract_media_features,
+        with_binary_content,
+    )
+
+    if _HAS_PIL:
+        pytest.skip("PIL present; stub gate not applicable")
+    docs = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+    with pytest.raises(NotImplementedError):
+        extract_media_features(
+            with_binary_content(docs), use_real_decoder=True
+        )
