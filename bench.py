@@ -1,0 +1,59 @@
+"""Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value", "unit", "queries": {name: sec}, "sf"}.
+
+Each query executes end-to-end into the no-op sink (full pipeline runs,
+no driver-side result materialization skewing the numbers).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+
+def main() -> None:
+    from hadoop_map_reduce_spark import get_spark
+    from hadoop_map_reduce_spark.plans import REGISTRY
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark(app_name="hmrs-bench")
+    headline = [q for q in REGISTRY.values() if q.headline]
+
+    # JVM/codegen warmup so the first timed query isn't paying startup.
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for q in headline:
+        start = time.perf_counter()
+        q.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[q.name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

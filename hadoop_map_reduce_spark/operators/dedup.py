@@ -36,8 +36,40 @@ def exact_dedup(
 
 
 def shingles(text_col: Column, n: int = 3) -> Column:
-    """Distinct token n-gram shingles of the sanitized text."""
+    """Distinct token n-gram shingles of the sanitized text.
+
+    NOTE: ``ngrams`` references its token array at many call sites, and
+    Catalyst inlines (not CSEs) the subtree — passing the raw
+    tokenize(sanitize()) expression here re-runs the regex pipeline per
+    n-gram element. Use :func:`with_shingles`, which materializes the
+    token array in a projection first, for anything performance-sensitive.
+    """
     return F.array_distinct(ngrams(tokenize(sanitize(text_col)), n=n, sep=" "))
+
+
+def with_shingles(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id",
+    out_col: str = "_sh",
+) -> DataFrame:
+    """(id, shingles) with the token array materialized as a bound column
+    between projections, so the sanitize/tokenize regex runs once per row
+    instead of once per n-gram element.
+
+    The short-doc filter tests ``size(_toks) >= n`` (equivalent to
+    non-empty shingles) BETWEEN the projections: filtering on the computed
+    shingle column would make Catalyst push a duplicate of the whole
+    n-gram expression tree into the predicate (measured 35x slowdown).
+    """
+    return (
+        df.select(
+            F.col(id_col), tokenize(sanitize(F.col(text_col))).alias("_toks")
+        )
+        .filter(F.size("_toks") >= n)
+        .select(
+            F.col(id_col),
+            F.array_distinct(ngrams(F.col("_toks"), n=n, sep=" ")).alias(out_col),
+        )
+    )
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -56,9 +88,7 @@ def ngram_jaccard_pairs(
     Quadratic in the input: use directly on small/blocked inputs, or as
     the verification stage after :func:`minhash_lsh_pairs`.
     """
-    sh = df.select(
-        F.col(id_col), shingles(F.col(text_col), n=n).alias("_sh")
-    ).filter(F.size("_sh") >= 1)
+    sh = with_shingles(df, n=n, text_col=text_col, id_col=id_col)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("sh_b"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
@@ -77,25 +107,33 @@ def _minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     ]
 
 
-def minhash_signature(
-    shingle_col: Column, num_hashes: int = 64, seed: int = 42
-) -> Column:
-    """Array of ``num_hashes`` minhash values over the shingle array.
+def hashed_shingles(shingle_col: Column) -> Column:
+    """Stable 64-bit hashes of shingles, reduced into [0, 2^31-1).
 
-    Shingle → stable 64-bit hash (xxhash64) → k affine permutations
-    ``(a*h + b) mod p`` → per-permutation min. All inside one JVM
-    expression tree; no UDFs, no extra shuffle.
+    pmod (not abs+%) so Long.MIN_VALUE from xxhash64 cannot overflow.
     """
-    params = _minhash_params(num_hashes, seed)
-    # pmod (not abs+%) so Long.MIN_VALUE from xxhash64 cannot overflow.
-    h = F.transform(
+    return F.transform(
         shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_MINHASH_PRIME))
     )
+
+
+def minhash_signature(
+    hashed_col: Column, num_hashes: int = 64, seed: int = 42
+) -> Column:
+    """Array of ``num_hashes`` minhash values over pre-hashed shingles.
+
+    k affine permutations ``(a*h + b) mod p`` → per-permutation min, all
+    one JVM expression tree; no UDFs, no extra shuffle. Takes the OUTPUT
+    of :func:`hashed_shingles` as a bound column — passing the hashing
+    expression directly would re-inline it into all k permutations.
+    """
+    params = _minhash_params(num_hashes, seed)
     return F.array(
         *[
             F.array_min(
                 F.transform(
-                    h, lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(_MINHASH_PRIME)
+                    hashed_col,
+                    lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(_MINHASH_PRIME),
                 )
             )
             for a, b in params
@@ -127,13 +165,14 @@ def minhash_lsh_pairs(
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
 
-    sh = df.select(
-        F.col(id_col), shingles(F.col(text_col), n=n).alias("_sh")
-    ).filter(F.size("_sh") >= 1)
-    sig = sh.select(
+    sh = with_shingles(df, n=n, text_col=text_col, id_col=id_col)
+    hashed = sh.select(
+        F.col(id_col), F.col("_sh"), hashed_shingles(F.col("_sh")).alias("_hs")
+    )
+    sig = hashed.select(
         F.col(id_col),
         F.col("_sh"),
-        minhash_signature(F.col("_sh"), num_hashes, seed).alias("_sig"),
+        minhash_signature(F.col("_hs"), num_hashes, seed).alias("_sig"),
     )
     banded = sig.select(
         F.col(id_col),
@@ -153,18 +192,23 @@ def minhash_lsh_pairs(
         ).alias("_b"),
     ).select(id_col, "_sh", "_b.band", "_b.bhash")
 
-    left = banded.select(
-        F.col("band"), F.col("bhash"),
-        F.col(id_col).alias("id_a"), F.col("_sh").alias("sh_a"),
-    )
-    right = banded.select(
-        F.col("band"), F.col("bhash"),
-        F.col(id_col).alias("id_b"), F.col("_sh").alias("sh_b"),
-    )
+    # Self-join with both sides plan-identical up to the exchange, so the
+    # shuffle of the banded table is computed once and reused (ReuseExchange)
+    # instead of running the shingle+signature pipeline twice.
+    a, b = banded.alias("a"), banded.alias("b")
     cands = (
-        left.join(right, ["band", "bhash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash")),
+        )
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a._sh").alias("sh_a"),
+            F.col("b._sh").alias("sh_b"),
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
     jac = jaccard(F.col("sh_a"), F.col("sh_b"))
@@ -240,17 +284,24 @@ def simhash_neardup_pairs(
             )
         ).alias("_c"),
     ).select(id_col, "simhash", "_c.chunk", "_c.cval")
-    left = banded.select(
-        "chunk", "cval", F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a")
+    # Plan-identical sides → the banded shuffle is computed once
+    # (ReuseExchange), not twice.
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     )
-    right = banded.select(
-        "chunk", "cval", F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b")
-    )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
-        left.join(right, ["chunk", "cval"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cval") == F.col("b.cval")),
+        )
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming.cast("int").alias("hamming"),
+        )
         .dropDuplicates(["id_a", "id_b"])
-        .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
