@@ -29,9 +29,12 @@ def bigram_counts(
     WordCountV2.java:88-94). One shuffle; partial aggregation map-side.
     """
     toks = tokenize(sanitize(F.col(text_col)))
+    # The reference's <2-token filter (WordCountV2.java:85-86) is implicit:
+    # ngrams() yields [] for short records and explode drops them. An
+    # explicit filter would run the tokenize pipeline twice per row
+    # (Catalyst duplicates computed-column predicates into the scan).
     return (
         df.select(toks.alias("_toks"))
-        .filter(F.size("_toks") >= 2)  # reference filter WordCountV2.java:85-86
         .select(F.explode(bigrams(F.col("_toks"), sep=sep)).alias(out_key))
         .groupBy(out_key)
         .agg(F.count(F.lit(1)).alias(out_count))
@@ -50,7 +53,6 @@ def ngram_counts(
     toks = tokenize(sanitize(F.col(text_col)))
     return (
         df.select(toks.alias("_toks"))
-        .filter(F.size("_toks") >= n)
         .select(F.explode(ngrams(F.col("_toks"), n=n, sep=sep)).alias(out_key))
         .groupBy(out_key)
         .agg(F.count(F.lit(1)).alias(out_count))

@@ -1,0 +1,59 @@
+"""Compatibility-surface tests: the reference CLI contract and the
+generalized mapper/reducer shim."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+from pathlib import Path
+
+import pytest
+
+from hadoop_map_reduce_spark.compat import map_reduce, run_bigram_job
+from hadoop_map_reduce_spark.functions.hashing import hadoop_partition
+
+ZUNI = Path("/root/reference/src/main/resources/sample/zuni.txt")
+
+
+def test_map_reduce_shim_wordcount(spark):
+    df = spark.createDataFrame(
+        [("a b a",), ("b c",), ("",)], ["text"]
+    )
+
+    def mapper(row):
+        for tok in row["text"].split():
+            yield tok, 1
+
+    got = dict(map_reduce(df, mapper, lambda a, b: a + b).collect())
+    assert got == {"a": 2, "b": 2, "c": 1}
+
+
+@pytest.mark.skipif(not ZUNI.exists(), reason="reference fixture missing")
+def test_bigram_job_output_contract(spark, tmp_path):
+    """Same CLI contract as `hadoop jar bigram.jar WordCountV2 <in> <out>`:
+    32 sorted part files, k\\tv lines, _SUCCESS, Hadoop hash layout."""
+    out = tmp_path / "bigram_out"
+    run_bigram_job(spark, str(ZUNI), str(out))
+
+    assert (out / "_SUCCESS").exists()
+    parts = sorted(out.glob("part-*"))
+    assert len(parts) == 32
+
+    total = Counter()
+    line_re = re.compile(r"^[^\t]+\t\d+$")
+    for pid, p in enumerate(parts):
+        lines = p.read_text(encoding="utf-8").splitlines()
+        keys = []
+        for line in lines:
+            assert line_re.match(line), f"bad line format: {line!r}"
+            k, v = line.split("\t")
+            keys.append(k)
+            total[k] += int(v)
+        assert keys == sorted(keys)  # per-partition sort (O10)
+        assert all(hadoop_partition(k, 32) == pid for k in keys[:200])
+
+    # Output invariants shared with the golden artifacts (SURVEY.md §2.3):
+    # ASCII-only keys, '+' separator, Zipf head of+the on this corpus.
+    assert all(k.isascii() for k in total)
+    assert total["of+the"] == max(total.values())
+    assert sum(total.values()) > 100_000

@@ -1,0 +1,90 @@
+"""Physical-plan assertions: the scale contract (SURVEY.md §7.3 M6).
+
+Correctness says the answer is right; these tests pin that each query
+compiles to the plan that survives a 100x scale-up — filters reach the
+parquet scan, scans are column-pruned, small dims broadcast, partial
+aggregation precedes the (single) shuffle, global top-k never sorts the
+whole input.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from hadoop_map_reduce_spark.plans import REGISTRY
+
+
+def plan_of(spark, sf_dir, name) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_pushdown_and_partial_agg(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan  # predicate reached the scan
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+    assert plan.count("Exchange hashpartitioning") == 1  # exactly one shuffle
+    # Column pruning: l_comment-free table, but orderkey etc must be gone.
+    m = re.search(r"ReadSchema: struct<([^>]*)", plan)
+    assert m and "l_orderkey" not in m.group(1)
+
+
+def test_q3_broadcasts_and_topk(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan  # dims broadcast, no shuffle join
+    assert "TakeOrderedAndProject(limit=10" in plan  # top-k, not global sort
+    assert "GreaterThan(l_shipdate" in plan
+
+
+def test_q5_star_join_broadcasts(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q5_local_supplier")
+    assert plan.count("BroadcastHashJoin") >= 3  # all dims broadcast
+
+
+def test_bigram_single_shuffle_pruned_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "bigram_count")
+    assert "ReadSchema: struct<text:string>" in plan  # only the text column
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan
+    # tokenize must run once per row: no Filter node duplicating it.
+    assert "+- Filter" not in plan
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "topk_lineitems")
+    assert "TakeOrderedAndProject(limit=20" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_minhash_no_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan  # equi-join banding only
+
+
+def test_asof_single_key_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "join_asof")
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # Merge formulation: union + one window sort on the key; at most the
+    # two union inputs' exchanges feed a single keyed sort.
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_projection_pruning_scalar_query(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "doc_token_stats")
+    m = re.search(r"ReadSchema: struct<([^>]*)", plan)
+    assert m
+    cols = m.group(1)
+    assert "doc_id" in cols and "text" in cols
+    assert "lang" not in cols and "source" not in cols  # pruned
+
+
+def test_broadcast_under_aqe_threshold_in_q3_even_when_cold(spark, sf_dir):
+    """The customer dim carries an explicit broadcast hint: the plan must
+    not degrade to a shuffle join if stats are missing."""
+    plan = plan_of(spark, sf_dir, "q3_shipping_priority")
+    assert "SortMergeJoin" not in plan
