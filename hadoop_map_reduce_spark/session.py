@@ -51,6 +51,12 @@ def get_spark(
         # Some producers write TIMESTAMP(NANOS) parquet (e.g. pandas);
         # read as long and convert in load_table (Spark has no nanos type).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Warehouse for managed (e.g. bucketed) tables; deployments
+        # override via SPARK_WAREHOUSE_DIR or --conf.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/hmrs-warehouse"),
+        )
         # Quieter driver logs in tests/bench.
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")

@@ -1,0 +1,46 @@
+"""Storage-layout utilities: bucketing and partitioned layouts.
+
+At 100 TB the dominant join cost is the shuffle; bucketing both sides of
+a recurring join key at write time makes the join shuffle-free forever
+after (Spark reads bucket files as pre-partitioned inputs). Partitioned
+layouts (by e.g. date) give partition pruning on the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (and optionally sorted) managed table.
+
+    Joins/aggregations on ``bucket_cols`` between tables bucketed with the
+    same count read co-located buckets and skip the exchange entirely;
+    sorted buckets additionally skip the sort of a sort-merge join.
+    """
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned layout → partition pruning on read."""
+    df.write.mode(mode).partitionBy(*partition_cols).format(fmt).save(path)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)

@@ -1,0 +1,45 @@
+"""Format IO roundtrips."""
+
+from __future__ import annotations
+
+from hadoop_map_reduce_spark.sources.formats import (
+    read_csv,
+    read_jsonl,
+    write_csv,
+    write_jsonl,
+    write_parquet,
+)
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a,comma", 1.5), (2, 'quo"te', -2.0)], ["id", "s", "x"]
+    )
+    write_csv(df, str(tmp_path / "c"))
+    back = read_csv(
+        spark, str(tmp_path / "c"), schema="id bigint, s string, x double"
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, {"k": "v"}), (2, {"k": "w"})], ["id", "m"]
+    )
+    write_jsonl(df, str(tmp_path / "j"))
+    back = read_jsonl(spark, str(tmp_path / "j"), schema="id bigint, m map<string,string>")
+    assert sorted((r.id, dict(r.m)) for r in back.collect()) == [
+        (1, {"k": "v"}), (2, {"k": "w"}),
+    ]
+
+
+def test_partitioned_parquet_prunes(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, "even" if i % 2 == 0 else "odd") for i in range(100)],
+        ["id", "par"],
+    )
+    write_parquet(df, str(tmp_path / "p"), partition_by=["par"])
+    back = spark.read.parquet(str(tmp_path / "p")).filter("par = 'even'")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(par" in plan  # pruned at the scan
+    assert back.count() == 50
