@@ -169,14 +169,21 @@ def minhash_lsh_pairs(
     hashed = sh.select(
         F.col(id_col), F.col("_sh"), hashed_shingles(F.col("_sh")).alias("_hs")
     )
+    # Persist (id, shingles, signature): it feeds the banding self-join
+    # (both sides) AND the verify-stage joins — four consumers total.
+    # Without it Spark recomputes the whole regex→shingle→signature
+    # pipeline per consumer (broadcast exchanges are not reused across
+    # plan-identical sides the way shuffle exchanges are).
     sig = hashed.select(
         F.col(id_col),
         F.col("_sh"),
         minhash_signature(F.col("_hs"), num_hashes, seed).alias("_sig"),
-    )
+    ).persist()
+
+    # Banding join kept SLIM: (id, band, bhash) only — shingle payloads
+    # must not be duplicated x bands through the shuffle/broadcast.
     banded = sig.select(
         F.col(id_col),
-        F.col("_sh"),
         F.explode(
             F.array(
                 *[
@@ -190,11 +197,8 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("_b"),
-    ).select(id_col, "_sh", "_b.band", "_b.bhash")
+    ).select(id_col, "_b.band", "_b.bhash")
 
-    # Self-join with both sides plan-identical up to the exchange, so the
-    # shuffle of the banded table is computed once and reused (ReuseExchange)
-    # instead of running the shingle+signature pipeline twice.
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(
@@ -206,14 +210,19 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a._sh").alias("sh_a"),
-            F.col("b._sh").alias("sh_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+
+    # Verify stage: exact Jaccard over the (persisted) shingle sets of the
+    # surviving candidate pairs only.
+    sh_a = sig.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("sh_a"))
+    sh_b = sig.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("sh_b"))
     jac = jaccard(F.col("sh_a"), F.col("sh_b"))
     return (
-        cands.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        cands.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 

@@ -1,0 +1,79 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+For semantics the built-in streaming aggregations can't express —
+cross-batch running state with arbitrary Python update logic — Spark's
+``applyInPandasWithState`` gives per-key state with Arrow-batched user
+code. State lives in the state store partitioned by key (RocksDB-backed in
+production), so this scales with keys across executors like any keyed
+aggregation; the Python hop is per key-batch, not per row.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+RUNNING_STATS_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value_cents", LongType()),
+        StructField("max_value", DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("cents", LongType()),
+        StructField("maxv", DoubleType()),
+    ]
+)
+
+
+def _update_running_stats(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Fold each micro-batch's rows for this key into persistent state and
+    emit the updated running totals."""
+    n, cents, maxv = state.get if state.exists else (0, 0, float("-inf"))
+    for pdf in pdfs:
+        n += len(pdf)
+        cents += int(round(pdf["value"].sum() * 100))
+        if len(pdf):
+            maxv = max(maxv, float(pdf["value"].max()))
+    state.update((n, cents, maxv))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value_cents": [cents],
+            "max_value": [maxv],
+        }
+    )
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Per-user running (count, value-cents total, max) across batches.
+
+    The custom-stateful-operator pattern: any cross-batch accumulator
+    (session models, CUSUM detectors, dedup-with-TTL) slots into the same
+    shape — swap the fold in ``_update_running_stats``.
+    """
+    return events.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
+        _update_running_stats,
+        outputStructType=RUNNING_STATS_OUTPUT,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
