@@ -1,0 +1,165 @@
+"""Pipeline-composition queries: grouped pandas UDAF surface, n-gram
+language-model statistics, and iterative dedup clustering."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from hadoop_map_reduce_spark.operators.bigram import ngram_counts
+from hadoop_map_reduce_spark.operators.clustering import dedup_representatives
+from hadoop_map_reduce_spark.operators.dedup import ngram_jaccard_pairs
+from hadoop_map_reduce_spark.plans.registry import register
+from hadoop_map_reduce_spark.session import load_table
+
+_NORM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("value_minmax", DoubleType()),
+    ]
+)
+
+
+def _normalize_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Arrow-batched per-group min-max normalization (pandas UDAF shape).
+
+    Chosen because a window formulation exists too — giving the Python
+    path an exact SQL oracle. Division shape mirrors the oracle SQL.
+    """
+    lo, hi = pdf["value"].min(), pdf["value"].max()
+    span = hi - lo
+    out = pd.DataFrame(
+        {
+            "event_id": pdf["event_id"],
+            "user_id": pdf["user_id"],
+            "value_minmax": (pdf["value"] - lo) / span if span != 0 else 0.5,
+        }
+    )
+    return out
+
+
+@register(
+    "grouped_pandas_normalize",
+    tags=("llm", "udf"),
+    description=(
+        "applyInPandas grouped transform (the engine's pandas-UDAF "
+        "surface), oracle-checked against the window-function equivalent."
+    ),
+    oracle="""
+        SELECT event_id, user_id,
+               CASE WHEN MAX(value) OVER w = MIN(value) OVER w THEN 0.5
+                    ELSE (value - MIN(value) OVER w)
+                         / (MAX(value) OVER w - MIN(value) OVER w)
+               END AS value_minmax
+        FROM events
+        WINDOW w AS (PARTITION BY user_id)
+    """,
+)
+def grouped_pandas_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    return events.groupBy("user_id").applyInPandas(
+        _normalize_group, schema=_NORM_SCHEMA
+    )
+
+
+@register(
+    "bigram_cond_prob",
+    tags=("reference", "llm", "text"),
+    description=(
+        "Bigram language-model statistics: P(w2|w1) from joined bigram and "
+        "unigram counts — the reference's output composed into analytics."
+    ),
+    oracle=r"""
+        WITH toks AS (
+            SELECT list_filter(string_split_regex(lower(regexp_replace(text,
+                       '([^\s\w]|_)+', ' ', 'g')), '\s+'), t -> t <> '') AS t
+            FROM documents
+        ), big AS (
+            SELECT t[i] AS w1, t[i + 1] AS w2, COUNT(*) AS cnt
+            FROM toks, UNNEST(range(1, len(t))) AS u(i)
+            WHERE len(t) >= 2 GROUP BY 1, 2
+        ), uni AS (
+            SELECT w1, CAST(SUM(cnt) AS BIGINT) AS total
+            FROM big GROUP BY 1
+        )
+        SELECT b.w1, b.w2, b.cnt,
+               CAST(b.cnt AS DOUBLE) / u.total AS cond_prob
+        FROM big b JOIN uni u USING (w1)
+    """,
+)
+def bigram_cond_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    big = (
+        ngram_counts(docs, n=2, sep="\x01")
+        .select(
+            F.split_part("ngram", F.lit("\x01"), F.lit(1)).alias("w1"),
+            F.split_part("ngram", F.lit("\x01"), F.lit(2)).alias("w2"),
+            F.col("cnt"),
+        )
+    )
+    uni = big.groupBy("w1").agg(F.sum("cnt").alias("total"))
+    return big.join(uni, "w1").select(
+        "w1",
+        "w2",
+        "cnt",
+        (F.col("cnt").cast("double") / F.col("total")).alias("cond_prob"),
+    )
+
+
+@register(
+    "dedup_clusters",
+    tags=("llm", "dedup", "iterative"),
+    description=(
+        "Iterative connected-components over near-dup pairs -> one "
+        "representative per duplicate cluster (min id). Oracle via "
+        "recursive CTE reachability."
+    ),
+    oracle=r"""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, list_filter(string_split_regex(lower(
+                       regexp_replace(text, '([^\s\w]|_)+', ' ', 'g')),
+                       '\s+'), t -> t <> '') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                  for i in range(1, len(t) - 1)]) AS s
+            FROM toks WHERE len(t) >= 3
+        ), pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE ROUND(len(list_intersect(a.s, b.s))
+                  / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.5
+        ), edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION SELECT id_b, id_a FROM pairs
+        ), reach AS (
+            SELECT src AS node, src AS r FROM edges
+            UNION
+            SELECT e.src AS node, reach.r
+            FROM edges e JOIN reach ON e.dst = reach.node
+        ), comp AS (
+            SELECT node, MIN(r) AS component FROM reach GROUP BY node
+        )
+        SELECT d.doc_id,
+               COALESCE(c.component, d.doc_id) AS representative
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5, n=3)
+    return dedup_representatives(pairs, docs.select("doc_id"))

@@ -45,9 +45,20 @@ ZIP_ENTRY_SCHEMA = StructType(
 )
 
 
-def _explode_archive(item: tuple[str, bytes]) -> Iterator[tuple[str, str, int, bytearray]]:
+def _explode_archive(
+    item: tuple[str, bytes], skip_corrupt: bool = False
+) -> Iterator[tuple[str, str, int, bytearray]]:
     archive_path, payload = item
-    with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(payload))
+    except zipfile.BadZipFile:
+        if skip_corrupt:
+            return
+        raise zipfile.BadZipFile(
+            f"corrupt ZIP archive: {archive_path} "
+            "(pass skip_corrupt=True to drop bad archives)"
+        ) from None
+    with zf:
         for info in zf.infolist():
             if info.is_dir():
                 continue
@@ -59,15 +70,18 @@ def read_zip_entries(
     spark: SparkSession,
     *paths: str,
     repartition: int | None = None,
+    skip_corrupt: bool = False,
 ) -> DataFrame:
     """Read ZIP archive(s) into ``(archive, entry, size, content)`` rows.
 
     ``repartition`` spreads extracted entries for downstream parallelism
     (the per-entry task granularity the reference built its custom
-    InputFormat for).
+    InputFormat for). ``skip_corrupt=True`` drops unreadable archives
+    instead of failing the job — on a crawl-scale corpus some archives
+    are always bad.
     """
     rdd = spark.sparkContext.binaryFiles(",".join(paths))
-    entries = rdd.flatMap(_explode_archive)
+    entries = rdd.flatMap(lambda item: _explode_archive(item, skip_corrupt))
     df = spark.createDataFrame(entries, ZIP_ENTRY_SCHEMA)
     if repartition:
         df = df.repartition(repartition)

@@ -105,6 +105,18 @@ def test_zip_source_roundtrip(spark, tmp_path):
     assert got == [("a.txt", "goodbye world"), ("a.txt", "hello world")]
 
 
+def test_zip_source_skip_corrupt(spark, tmp_path):
+    _mk_zip(tmp_path / "good.zip", {"a.txt": b"hello"})
+    (tmp_path / "bad.zip").write_bytes(b"not a zip at all")
+
+    ok = read_zip_entries(spark, str(tmp_path / "*.zip"), skip_corrupt=True)
+    assert [r["entry"] for r in ok.collect()] == ["a.txt"]
+
+    strict = read_zip_entries(spark, str(tmp_path / "*.zip"))
+    with pytest.raises(Exception, match="corrupt ZIP archive"):
+        strict.collect()
+
+
 def test_zip_source_multi_archive(spark, tmp_path):
     for i in range(3):
         _mk_zip(tmp_path / f"c{i}.zip", {f"doc{i}.txt": f"text {i}".encode()})
