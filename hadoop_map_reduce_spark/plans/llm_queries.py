@@ -248,6 +248,7 @@ def text_lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_quality",
+    headline=True,
     tags=("llm", "text"),
     description=(
         "Quality scoring: token counts (whitespace + BPE-ish regex), "

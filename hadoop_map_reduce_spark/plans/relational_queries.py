@@ -324,6 +324,7 @@ def join_range_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "join_asof",
+    headline=True,
     tags=("relational", "join", "asof"),
     description=(
         "Backward as-of join (merge formulation, one shuffle): each event "
@@ -609,6 +610,7 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sessionization",
+    headline=True,
     tags=("relational", "window", "state"),
     description=(
         "Gap-based sessionization (30 min) via lag → flag → running sum; "

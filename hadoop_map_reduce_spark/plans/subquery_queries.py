@@ -85,6 +85,7 @@ _Q_LARGE_ORDERS = """
 
 @register(
     "subq_large_orders",
+    headline=True,
     tags=("relational", "subquery"),
     description="TPC-H Q18 shape: IN over a grouped-HAVING subquery.",
     oracle=_Q_LARGE_ORDERS,

@@ -1,0 +1,138 @@
+"""Property-based tests (SURVEY.md §5.3): conservation laws and hash
+invariants, driven by hypothesis over adversarial inputs."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hadoop_map_reduce_spark.functions.hashing import (
+    hadoop_partition,
+    hadoop_text_hash,
+)
+
+# Pure-Python mirror of the engine's sanitize/tokenize semantics
+# (ASCII regex classes, WordCountV2.java:76-83).
+
+
+def _py_tokens(text: str) -> list[str]:
+    return re.sub(r"([^\s\w]|_)+", " ", text, flags=re.ASCII).lower().split()
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=200))
+def test_hadoop_hash_is_stable_int32(s):
+    h = hadoop_text_hash(s)
+    assert -(1 << 31) <= h < (1 << 31)
+    assert hadoop_text_hash(s) == h  # deterministic
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=100), st.integers(min_value=1, max_value=64))
+def test_hadoop_partition_in_range(s, n):
+    assert 0 <= hadoop_partition(s, n) < n
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet=st.characters(codec="utf-8"), max_size=64))
+def test_hadoop_hash_matches_java_semantics(s):
+    """Independent recomputation: signed-byte polynomial, seed 1."""
+    h = 1
+    for b in s.encode("utf-8"):
+        signed = b - 256 if b > 127 else b
+        h = (h * 31 + signed) & 0xFFFFFFFF
+    expected = h - (1 << 32) if h >= (1 << 31) else h
+    assert hadoop_text_hash(s) == expected
+
+
+# Spark-side conservation laws on a single materialized corpus (one Spark
+# round-trip; hypothesis drives the pure-Python mirror above instead of
+# spawning Spark jobs per example).
+
+CORPUS = [
+    "the quick brown fox",
+    "hello,,, world___ again",
+    "Zuñi bread-stuff recipé",
+    "",
+    "   ",
+    "one",
+    "a b c d e f g",
+    "UPPER lower MiXeD",
+    "digits 123 and 456x7",
+    "tab\tseparated\tand  multi  space",
+]
+
+
+def test_bigram_count_conservation(spark):
+    """Σ bigram counts == Σ per-record max(tokens-1, 0) (SURVEY §5.3)."""
+    from hadoop_map_reduce_spark.operators.bigram import bigram_counts
+
+    df = spark.createDataFrame([(t,) for t in CORPUS], ["text"])
+    total = sum(
+        r["cnt"] for r in bigram_counts(df).collect()
+    )
+    expected = sum(max(len(_py_tokens(t)) - 1, 0) for t in CORPUS)
+    assert total == expected
+
+
+def test_tokenize_matches_python_mirror(spark):
+    from pyspark.sql import functions as F
+
+    from hadoop_map_reduce_spark.functions.text import sanitize, tokenize
+
+    df = spark.createDataFrame([(t,) for t in CORPUS], ["text"])
+    got = [
+        r["toks"]
+        for r in df.select(
+            tokenize(sanitize(F.col("text"))).alias("toks")
+        ).collect()
+    ]
+    assert got == [_py_tokens(t) for t in CORPUS]
+
+
+def test_null_and_empty_text_flow_through(spark):
+    """Nulls must flow, not throw: sanitize/tokenize/bigram/fingerprint."""
+    from pyspark.sql import functions as F
+
+    from hadoop_map_reduce_spark.functions.text import sanitize, tokenize
+    from hadoop_map_reduce_spark.functions.text_analysis import fingerprint
+    from hadoop_map_reduce_spark.operators.bigram import bigram_counts
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "ok text here")], ["doc_id", "text"]
+    )
+    toks = df.select(
+        "doc_id", tokenize(sanitize(F.col("text"))).alias("t"),
+        fingerprint(F.col("text")).alias("fp"),
+    ).collect()
+    by_id = {r.doc_id: r for r in toks}
+    assert by_id[1].t is None and by_id[1].fp is None
+    assert by_id[2].t == [] and by_id[2].fp == 0
+    assert by_id[3].t == ["ok", "text", "here"]
+
+    counts = {r.bigram: r.cnt for r in bigram_counts(df).collect()}
+    assert counts == {"ok+text": 1, "text+here": 1}
+
+
+def test_null_embedding_cosine(spark):
+    from pyspark.sql import functions as F
+
+    from hadoop_map_reduce_spark.functions.vectors import cosine_similarity
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], [1.0, 0.0]),
+         (2, None, [1.0, 0.0]),
+         (3, [0.0, 0.0], [1.0, 0.0])],
+        "id long, a array<double>, b array<double>",
+    )
+    rows = {
+        r.id: r.sim
+        for r in df.select(
+            "id", cosine_similarity(F.col("a"), F.col("b")).alias("sim")
+        ).collect()
+    }
+    assert rows[1] == 1.0
+    assert rows[2] is None  # null vector -> null, not crash
+    assert rows[3] is None  # zero vector -> null (guarded division)
