@@ -23,18 +23,34 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 from hadoop_map_reduce_spark.plans import REGISTRY  # noqa: E402
+from hadoop_map_reduce_spark.session import ensure_worker_imports  # noqa: E402
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
+def _with_worker_imports(
+    fn: Callable[[SparkSession, str], DataFrame],
+) -> Callable[[SparkSession, str], DataFrame]:
+    """The driver supplies its own SparkSession (any CWD): ship this
+    package to executor workers before building plans that pickle
+    module-referencing functions (pandas UDFs, RDD partitioners)."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_worker_imports(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    ensure_worker_imports(spark)
     return REGISTRY["bigram_count"].fn(spark, _SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: q.fn for name, q in REGISTRY.items()}
+    return {name: _with_worker_imports(q.fn) for name, q in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:

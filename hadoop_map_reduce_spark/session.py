@@ -65,7 +65,33 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ensure_worker_imports(spark)
     return spark
+
+
+def ensure_worker_imports(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    Pickled pandas-UDF / RDD functions reference this module BY NAME;
+    workers launched from a driver whose CWD is elsewhere (and without
+    PYTHONPATH) cannot resolve it. Shipping a zip via ``addPyFile`` fixes
+    the import on every worker regardless of deployment layout — the same
+    mechanism a cluster submit would use (``--py-files``).
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_hmrs_pyfiles_added", False):
+        return
+    import tempfile
+    import zipfile
+    from pathlib import Path
+
+    pkg_dir = Path(__file__).resolve().parent
+    zpath = Path(tempfile.gettempdir()) / f"hmrs_pkg_{os.getpid()}.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for p in sorted(pkg_dir.rglob("*.py")):
+            zf.write(p, arcname=str(Path(pkg_dir.name) / p.relative_to(pkg_dir)))
+    sc.addPyFile(str(zpath))
+    sc._hmrs_pyfiles_added = True
 
 
 TABLES = (

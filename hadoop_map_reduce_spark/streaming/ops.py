@@ -90,6 +90,33 @@ def streaming_dedup(
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lookback: str = "1 hour",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: right rows within ``lookback`` BEFORE
+    each left row, same key.
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so each side's state store retains only the watermark+
+    lookback window — the requirement for an unbounded-input join to run
+    with bounded state.
+    """
+    lw = left.withWatermark(left_ts, watermark_delay)
+    rw = right.withWatermark(right_ts, watermark_delay)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] <= lw[left_ts])
+        & (rw[right_ts] >= lw[left_ts] - F.expr(f"INTERVAL {lookback}"))
+    )
+    return lw.join(rw, cond, "inner")
+
+
 def session_window_stats(
     events: DataFrame,
     gap: str = "30 minutes",

@@ -97,6 +97,50 @@ def test_streaming_dedup(spark, tmp_path):
     assert len({r.event_id for r in rows}) == 5
 
 
+def test_stream_stream_interval_join(spark, tmp_path):
+    from hadoop_map_reduce_spark.streaming import stream_stream_interval_join
+
+    clicks = [
+        (1, "2024-01-01 10:00:00", 7),
+        (2, "2024-01-01 12:00:00", 7),
+    ]
+    views = [
+        (11, "2024-01-01 09:30:00", 7),  # within 1h before click 1 only
+        (12, "2024-01-01 11:59:00", 7),  # within 1h before click 2 only
+        (13, "2024-01-01 05:00:00", 7),  # too old for both
+        (14, "2024-01-01 09:40:00", 8),  # wrong user
+    ]
+    cdf = spark.createDataFrame(
+        clicks, "click_id bigint, cts string, user_id bigint"
+    ).withColumn("cts", F.to_timestamp("cts"))
+    vdf = spark.createDataFrame(
+        views, "view_id bigint, vts string, user_id bigint"
+    ).withColumn("vts", F.to_timestamp("vts"))
+    cdf.write.mode("overwrite").parquet(str(tmp_path / "clicks"))
+    vdf.write.mode("overwrite").parquet(str(tmp_path / "views"))
+
+    cs = spark.readStream.schema(cdf.schema).parquet(str(tmp_path / "clicks"))
+    vs = spark.readStream.schema(vdf.schema).parquet(str(tmp_path / "views"))
+    joined = stream_stream_interval_join(
+        cs, vs, key="user_id", left_ts="cts", right_ts="vts", lookback="1 hour",
+    )
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.selectExpr("click_id", "view_id")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.click_id, r.view_id)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    assert got == {(1, 11), (2, 12)}
+
+
 def test_session_window_stats(spark, tmp_path):
     batch = _write_events(spark, tmp_path / "ev3")
     stream = spark.readStream.schema(batch.schema).parquet(str(tmp_path / "ev3"))
