@@ -3,14 +3,17 @@
 After near-dup detection emits pairs, corpus curation needs CLUSTERS
 (keep one representative per component). Connected components is the
 canonical iterative algorithm the relational operators can't express in
-one pass; implemented as alternating min-label propagation (large-star /
-small-star style) — each iteration is two shuffles, converging in
-O(log n) iterations on real graphs.
+one pass; implemented as min-label propagation — each iteration is two
+shuffles, and the iteration count is O(graph diameter). Duplicate
+clusters in practice have tiny diameters (stars / short chains), but the
+loop runs to CONVERGENCE, not to a silent cap: if ``max_iterations`` is
+hit with labels still changing, it raises instead of returning wrong
+components.
 
-Scale notes: labels DataFrames are re-checkpointed each iteration via
-``localCheckpoint`` to cut the growing lineage (without it, iteration k
-replays all k-1 prior joins); convergence is detected with a count of
-changed labels (one action per iteration).
+Scale notes: the edge set is persisted (it drives two joins per
+iteration); labels are re-materialized each iteration via eager
+``localCheckpoint`` to cut the growing lineage, and the convergence
+count reads the CHECKPOINTED result so no iteration executes twice.
 """
 
 from __future__ import annotations
@@ -23,14 +26,19 @@ def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    max_iterations: int = 20,
+    max_iterations: int = 100,
 ) -> DataFrame:
     """Resolve undirected edges into components: (node, component) where
-    component is the minimum node id reachable from ``node``."""
+    component is the minimum node id reachable from ``node``.
+
+    Raises ``RuntimeError`` if labels are still changing after
+    ``max_iterations`` (never silently returns a partial clustering).
+    """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        .persist()
     )
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -39,28 +47,39 @@ def connected_components(
         .localCheckpoint()
     )
 
-    for _ in range(max_iterations):
-        # Each node proposes its neighbors' minimum current label.
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("component").alias("nbr_min"))
-        )
-        updated = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
-                ).alias("component"),
-                F.col("component").alias("_old"),
+    try:
+        for _ in range(max_iterations):
+            # Each node proposes its neighbors' minimum current label.
+            neighbor_min = (
+                edges.join(labels, edges.dst == labels.node)
+                .groupBy("src")
+                .agg(F.min("component").alias("nbr_min"))
             )
+            # Checkpoint FIRST (one execution), then read the convergence
+            # count from the materialized result.
+            updated = (
+                labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce("nbr_min", F.col("component")),
+                    ).alias("component"),
+                    F.col("component").alias("_old"),
+                )
+                .localCheckpoint()
+            )
+            changed = updated.filter(F.col("component") != F.col("_old")).count()
+            labels = updated.select("node", "component")
+            if changed == 0:
+                return labels
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations (graph diameter exceeds the cap); raise "
+            "max_iterations"
         )
-        changed = updated.filter(F.col("component") != F.col("_old")).count()
-        labels = updated.select("node", "component").localCheckpoint()
-        if changed == 0:
-            break
-    return labels
+    finally:
+        edges.unpersist()
 
 
 def dedup_representatives(

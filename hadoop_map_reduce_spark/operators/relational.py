@@ -31,40 +31,49 @@ def asof_join_backward(
     Ties: a right row at exactly ``left_time`` matches; among right rows
     with equal time the one with the greatest payload tuple (by the order
     of ``payload_cols``) wins, deterministically.
+
+    Payload columns travel as ONE struct through a single
+    ``last(ignorenulls=True)`` — carrying them independently would stitch
+    fields from different right rows whenever the latest row holds a null
+    in one payload column.
     """
     lcols = left.columns
+    payload_type = (
+        "struct<"
+        + ",".join(f"{c}:{dict(right.dtypes)[c]}" for c in payload_cols)
+        + ">"
+    )
     tagged_r = right.select(
         F.col(right_on or on).alias("_k"),
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_tag"),
-        *[F.col(c) for c in payload_cols],
+        F.struct(*[F.col(c) for c in payload_cols]).alias("_p"),
         *[F.lit(None).alias(f"_l_{c}") for c in lcols],
     )
     tagged_l = left.select(
         F.col(on).alias("_k"),
         F.col(left_time).alias("_t"),
         F.lit(1).alias("_tag"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in payload_cols],
+        F.lit(None).cast(payload_type).alias("_p"),
         *[F.col(c).alias(f"_l_{c}") for c in lcols],
     )
     # Order right rows before left rows at the same instant (<= semantics);
     # among equal-time right rows the later payload overwrites the earlier,
-    # so sort payloads ascending for a deterministic "greatest wins".
+    # so sort the payload struct ascending for a deterministic
+    # "greatest wins".
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_t").asc(), F.col("_tag").asc(), *[F.col(c).asc_nulls_first() for c in payload_cols])
+        .orderBy(
+            F.col("_t").asc(), F.col("_tag").asc(), F.col("_p").asc_nulls_first()
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = tagged_r.unionByName(tagged_l).select(
-        "*",
-        *[
-            F.last(F.col(c), ignorenulls=True).over(w).alias(f"_asof_{c}")
-            for c in payload_cols
-        ],
+        "*", F.last(F.col("_p"), ignorenulls=True).over(w).alias("_asof")
     )
     out = merged.filter(F.col("_tag") == 1).select(
         *[F.col(f"_l_{c}").alias(c) for c in lcols],
-        *[F.col(f"_asof_{c}").alias(c) for c in payload_cols],
+        *[F.col(f"_asof.{c}").alias(c) for c in payload_cols],
     )
     return out
 

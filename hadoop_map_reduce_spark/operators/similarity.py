@@ -131,15 +131,23 @@ def ann_topk_lsh(
         queries.select(F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec")),
         dim, n_planes, "_qvec", seed,
     )
-    if probe_flips >= 1:
-        probes = F.array(
-            F.col("bucket"),
-            *[
-                F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
-                for i in range(n_planes)
-            ],
+    if probe_flips > 2:
+        raise ValueError(
+            "probe_flips supports 0, 1, or 2 (probe count grows "
+            "combinatorially; beyond 2 flips use fewer planes instead)"
         )
-        q = q.withColumn("bucket", F.explode(probes))
+    if probe_flips >= 1:
+        flips = [
+            F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+            for i in range(n_planes)
+        ]
+        if probe_flips >= 2:
+            flips += [
+                F.col("bucket").bitwiseXOR(F.lit((1 << i) | (1 << j)).cast("long"))
+                for i in range(n_planes)
+                for j in range(i + 1, n_planes)
+            ]
+        q = q.withColumn("bucket", F.explode(F.array(F.col("bucket"), *flips)))
     sim = F.round(cosine_similarity(F.col("_qvec"), F.col("_cvec")), 6)
     scored = (
         c.join(F.broadcast(q), "bucket")

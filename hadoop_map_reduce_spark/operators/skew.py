@@ -30,7 +30,16 @@ def salted_join(
     across ``salt`` reducers. Right-side replication costs |right| x salt
     rows — use for large-skewed ⋈ small-to-medium shapes; for two huge
     skewed sides prefer AQE skew handling.
+
+    Only ``inner`` and ``left`` joins are supported: the replicated right
+    side would emit each unmatched right row ``salt`` times under
+    right/full-outer semantics.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins, got {how!r}: the "
+            "replicated right side breaks right/full-outer semantics"
+        )
     salted_l = left.withColumn(
         "_salt", (F.rand(seed) * salt).cast("int")
     )

@@ -93,7 +93,7 @@ def q_trigram_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     oracle=f"""
         SELECT doc_id,
-               len({_ORACLE_TOKENS}) AS n_tokens
+               CAST(len({_ORACLE_TOKENS}) AS BIGINT) AS n_tokens
         FROM documents
         WHERE len({_ORACLE_TOKENS}) >= 2
     """,
@@ -102,6 +102,6 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = tokenize(sanitize(F.col("text")))
     return (
-        docs.select("doc_id", F.size(toks).alias("n_tokens"))
+        docs.select("doc_id", F.size(toks).cast("long").alias("n_tokens"))
         .filter(F.col("n_tokens") >= 2)
     )

@@ -131,7 +131,7 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = li.join(
         orders, li.l_orderkey == orders.o_orderkey
-    ).join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    ).join(cust, orders.o_custkey == cust.c_custkey)
     agg = joined.groupBy(
         F.col("l_orderkey").alias("o_orderkey"), "o_orderdate", "o_orderpriority"
     ).agg(
@@ -173,9 +173,9 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey)
             & (supp.s_nationkey == cust.c_nationkey),
         )

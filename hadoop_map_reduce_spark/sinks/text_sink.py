@@ -5,12 +5,16 @@ The reference writes one sorted text file per reduce partition plus a
 ``bigram_custom8/part-r-00000..00031``). Two modes:
 
 - default (Spark-native, fast): ``repartition(n, key)`` (murmur3) +
-  ``sortWithinPartitions`` + text write. Same invariants (n files, each
-  sorted, disjoint key ranges per hash), different key→file assignment.
+  ``sortWithinPartitions`` + text write. Each written file is sorted with
+  disjoint hash-assigned keys; NOTE the DataFrame writer emits no file
+  for an empty partition, so the file count is <= n (and filenames carry
+  writer UUIDs). Consumers needing exactly-n contiguously-numbered parts
+  — the reference's output contract — must use ``hadoop_layout=True``.
 - ``hadoop_layout=True``: byte-identical file-level layout with the
   reference — keys routed by Hadoop ``Text.hashCode`` via an RDD
-  partitioner. This is the slow path (Python round-trip) and exists only
-  for golden-artifact parity; production pipelines should keep the default.
+  partitioner, exactly ``num_partitions`` files (``part-00000..``, empty
+  partitions included, like TextOutputFormat). Slow path (Python
+  round-trip); exists for golden-artifact parity.
 """
 
 from __future__ import annotations

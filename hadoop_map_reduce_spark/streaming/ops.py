@@ -79,15 +79,17 @@ def streaming_dedup(
     watermark_delay: str = "1 hour",
     ts_col: str = "ts",
 ) -> DataFrame:
-    """Stateful exact dedup over a stream: first occurrence wins.
+    """Stateful keyed dedup over a stream: first occurrence of each key
+    wins, even when later duplicates carry different timestamps.
 
-    The watermark bounds the dedup state — duplicates farther apart than
-    the delay are not suppressed (the batch exact-dedup operator is the
-    exhaustive complement in a lambda/kappa layout).
+    ``dropDuplicatesWithinWatermark`` evicts each key's state once the
+    watermark passes it — duplicates farther apart than the delay are not
+    suppressed (the batch exact-dedup operator is the exhaustive
+    complement in a lambda/kappa layout).
     """
-    return events.withWatermark(ts_col, watermark_delay).dropDuplicates(
-        key_cols + [ts_col]
-    )
+    return events.withWatermark(
+        ts_col, watermark_delay
+    ).dropDuplicatesWithinWatermark(key_cols)
 
 
 def stream_stream_interval_join(

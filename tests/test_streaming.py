@@ -88,13 +88,25 @@ def test_windowed_event_stats(spark, tmp_path):
 
 
 def test_streaming_dedup(spark, tmp_path):
-    batch = _write_events(spark, tmp_path / "ev2")
-    stream = spark.readStream.schema(batch.schema).parquet(str(tmp_path / "ev2"))
+    rows_in = [
+        (1, "2024-01-01 00:05:00", 7, "click", 10.0),
+        (2, "2024-01-01 00:20:00", 7, "click", 5.5),
+        (2, "2024-01-01 00:20:00", 7, "click", 5.5),   # exact duplicate
+        (2, "2024-01-01 00:26:00", 7, "retry", 5.5),   # same id, later ts
+        (3, "2024-01-01 01:10:00", 8, "view", 1.25),
+    ]
+    df = spark.createDataFrame(
+        rows_in, ["event_id", "ts", "user_id", "event_type", "value"]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.write.mode("overwrite").parquet(str(tmp_path / "ev2"))
+    stream = spark.readStream.schema(df.schema).parquet(str(tmp_path / "ev2"))
     name = f"dd_{uuid.uuid4().hex[:8]}"
     _run_to_memory(streaming_dedup(stream, ["event_id"]), name, "append")
     rows = spark.sql(f"SELECT * FROM {name}").collect()
-    assert len(rows) == 5  # 6 input rows, one exact duplicate suppressed
-    assert len({r.event_id for r in rows}) == 5
+    # Keyed dedup: both the exact duplicate AND the different-timestamp
+    # duplicate of event_id 2 are suppressed within the watermark.
+    assert len(rows) == 3
+    assert {r.event_id for r in rows} == {1, 2, 3}
 
 
 def test_stream_stream_interval_join(spark, tmp_path):
