@@ -153,6 +153,43 @@ def test_stream_stream_interval_join(spark, tmp_path):
     assert got == {(1, 11), (2, 12)}
 
 
+def test_foreach_batch_to_reference_sink(spark, tmp_path):
+    """Streaming results land in the reference's output format: each
+    micro-batch flows through write_kv_text via foreachBatch."""
+    from hadoop_map_reduce_spark.sinks import write_kv_text
+    from hadoop_map_reduce_spark.streaming import streaming_bigram_counts
+
+    src = tmp_path / "lines"
+    src.mkdir()
+    (src / "a.txt").write_text("the quick fox\nthe quick dog")
+    out = tmp_path / "kv_out"
+
+    def sink_batch(batch_df, batch_id):
+        write_kv_text(
+            batch_df, str(out / f"batch_{batch_id}"), "bigram", "cnt",
+            num_partitions=4, hadoop_layout=True,
+        )
+
+    stream = spark.readStream.format("text").load(str(src))
+    q = (
+        streaming_bigram_counts(stream)
+        .writeStream.outputMode("complete")
+        .foreachBatch(sink_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch_dirs = sorted(out.glob("batch_*"))
+    assert batch_dirs, "no batches written"
+    lines = []
+    for p in sorted(batch_dirs[-1].glob("part-*")):
+        lines += p.read_text().splitlines()
+    got = dict(line.split("\t") for line in lines)
+    assert got == {"the+quick": "2", "quick+fox": "1", "quick+dog": "1"}
+    assert (batch_dirs[-1] / "_SUCCESS").exists()
+
+
 def test_session_window_stats(spark, tmp_path):
     batch = _write_events(spark, tmp_path / "ev3")
     stream = spark.readStream.schema(batch.schema).parquet(str(tmp_path / "ev3"))
