@@ -76,6 +76,57 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
+def cosine_neardup_blas(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All near-dup pairs via Arrow-batched numpy matmul: each executor
+    block multiplies against a broadcast normalized corpus matrix.
+
+    The vectorized twin of :func:`cosine_neardup_pairs`: ~BLAS throughput
+    instead of per-pair expression folds, at the cost of float summation
+    order (results agree with the exact operator to ~1e-12, not
+    bit-exactly — hence no SQL oracle; parity is test-pinned). The corpus
+    matrix must fit in a broadcast (fine to ~1M x 256 float64); beyond
+    that, block the corpus with :func:`lsh_bucket` first.
+    """
+    import numpy as np
+
+    spark = df.sparkSession
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = np.inf  # zero vectors never match (null-sim parity)
+    normalized = mat / norms[:, None]
+    bc = spark.sparkContext.broadcast((ids, normalized))
+
+    def blocks(it):
+        import pandas as pd
+
+        corpus_ids, corpus = bc.value
+        for pdf in it:
+            block_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            block = np.array(list(pdf[vec_col]), dtype=np.float64)
+            bn = np.linalg.norm(block, axis=1)
+            bn[bn == 0] = np.inf
+            sims = (block / bn[:, None]) @ corpus.T
+            bi, ci = np.where(sims >= threshold)
+            keep = block_ids[bi] < corpus_ids[ci]
+            yield pd.DataFrame(
+                {
+                    "id_a": block_ids[bi][keep],
+                    "id_b": corpus_ids[ci][keep],
+                    "sim": np.round(sims[bi, ci][keep], 6),
+                }
+            )
+
+    schema = "id_a long, id_b long, sim double"
+    return df.select(id_col, vec_col).mapInPandas(blocks, schema)
+
+
 def lsh_bucket(
     df: DataFrame,
     dim: int,

@@ -50,6 +50,25 @@ def test_ann_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.3, f"ANN recall collapsed: {recall}"
 
 
+def test_blas_neardup_matches_exact(spark, sf_dir):
+    """The vectorized (numpy matmul) near-dup path finds the same pair
+    set as the exact fold-based operator, with sims within float noise."""
+    from hadoop_map_reduce_spark.operators.similarity import (
+        cosine_neardup_blas,
+        cosine_neardup_pairs,
+    )
+    from hadoop_map_reduce_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {(r.id_a, r.id_b): r.sim for r in cosine_neardup_pairs(emb, 0.4).collect()}
+    blas = {(r.id_a, r.id_b): r.sim for r in cosine_neardup_blas(emb, 0.4).collect()}
+    # Pair sets may differ only for sims within float noise of the
+    # threshold; none should exist at 1e-9 margin.
+    assert set(exact) == set(blas)
+    for k in exact:
+        assert abs(exact[k] - blas[k]) < 1e-5
+
+
 def test_simhash_duplicate_texts_collide(spark):
     from hadoop_map_reduce_spark.operators.dedup import simhash64
 
