@@ -39,6 +39,11 @@ def _cache_one_slot(df: DataFrame) -> DataFrame:
     repeated driver checks) REUSE the existing cached table; a different
     plan evicts the previous slot first — bounded storage without losing
     legitimate cross-invocation cache hits.
+
+    Staleness caveat (standard Spark cache semantics — the CacheManager
+    itself serves cached data for any matching plan): if the underlying
+    files are overwritten in place, call ``spark.catalog.refreshByPath``
+    (or ``clearCache``) before re-running, as with any persisted input.
     """
     global _LAST_SIG_CACHE
     prev = _LAST_SIG_CACHE
@@ -177,12 +182,17 @@ def minhash_lsh_pairs(
     threshold: float,
     n: int = 3,
     num_hashes: int = 64,
-    bands: int = 16,
+    bands: int = 32,
     text_col: str = "text",
     id_col: str = "doc_id",
     seed: int = 42,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding, verified with exact Jaccard.
+
+    Default banding is b=32, r=2 (S-curve midpoint ≈ 0.18): high recall
+    for J >= 0.5 thresholds. b=16/r=4 puts the midpoint AT 0.5 — ~50%
+    recall right at the threshold — so prefer more bands whenever the
+    output feeds an exactness-checked consumer.
 
     Plan shape (scale-first): signatures are computed in one pass; each doc
     explodes to ``bands`` rows keyed by (band index, hash of the band's

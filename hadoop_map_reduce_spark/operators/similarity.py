@@ -95,9 +95,17 @@ def cosine_neardup_blas(
     import numpy as np
 
     spark = df.sparkSession
-    rows = df.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    # Null vectors never match in the exact operator (null sim filtered),
+    # so dropping them up front preserves parity and keeps matmul clean.
+    clean = df.filter(F.col(vec_col).isNotNull()).select(id_col, vec_col)
+    # Arrow columnar transfer (toPandas), not collect() of boxed Rows —
+    # at the documented ceiling (~1M x 256 f64) collect would build tens
+    # of GB of Python objects before the matrix copy.
+    corpus_pdf = clean.toPandas()
+    if len(corpus_pdf) == 0:
+        return spark.createDataFrame([], "id_a long, id_b long, sim double")
+    ids = corpus_pdf[id_col].to_numpy(dtype=np.int64)
+    mat = np.array(list(corpus_pdf[vec_col]), dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1)
     norms[norms == 0] = np.inf  # zero vectors never match (null-sim parity)
     normalized = mat / norms[:, None]
@@ -108,6 +116,8 @@ def cosine_neardup_blas(
 
         corpus_ids, corpus = bc.value
         for pdf in it:
+            if len(pdf) == 0:
+                continue
             block_ids = pdf[id_col].to_numpy(dtype=np.int64)
             block = np.array(list(pdf[vec_col]), dtype=np.float64)
             bn = np.linalg.norm(block, axis=1)
@@ -124,7 +134,7 @@ def cosine_neardup_blas(
             )
 
     schema = "id_a long, id_b long, sim double"
-    return df.select(id_col, vec_col).mapInPandas(blocks, schema)
+    return clean.mapInPandas(blocks, schema)
 
 
 def lsh_bucket(

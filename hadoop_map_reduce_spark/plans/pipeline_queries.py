@@ -163,6 +163,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # Pair generation via LSH banding (equi-join, verified exact-Jaccard),
     # NOT the quadratic exact operator: same pair set (recall pinned by
-    # tests), ~100x cheaper at sf0.1 (measured 575s -> ~5s).
-    pairs = minhash_lsh_pairs(docs, threshold=0.5, n=3)
+    # tests), ~100x cheaper at sf0.1 (measured 575s -> ~5s). Banding
+    # params MUST match the oracle-pinned dedup_minhash_lsh query (b=32,
+    # r=2 — near-total recall at J>=0.5).
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, n=3, num_hashes=64, bands=32)
     return dedup_representatives(pairs, docs.select("doc_id"))

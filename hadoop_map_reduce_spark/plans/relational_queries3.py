@@ -7,7 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadoop_map_reduce_spark.plans.registry import register
-from hadoop_map_reduce_spark.session import load_table
+from hadoop_map_reduce_spark.session import load_table, register_views
 
 
 @register(
@@ -123,6 +123,5 @@ _Q_LATERAL = """
     oracle=_Q_LATERAL,
 )
 def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    register_views(spark, sf_dir, "customer", "orders")
     return spark.sql(_Q_LATERAL)

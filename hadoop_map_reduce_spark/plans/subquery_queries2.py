@@ -6,12 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from hadoop_map_reduce_spark.plans.registry import register
-from hadoop_map_reduce_spark.session import load_table
-
-
-def _views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
-    for t in tables:
-        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+from hadoop_map_reduce_spark.session import register_views as _views
 
 
 # Correlated scalar average per part (Q17 shape). Quantities are

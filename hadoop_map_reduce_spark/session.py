@@ -108,6 +108,13 @@ TABLES = (
 )
 
 
+def register_views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
+    """Register the given tables (or all of TABLES) as temp views, for
+    queries expressed through the SQL surface."""
+    for t in tables or TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one synthetic-table parquet from an sf directory.
 

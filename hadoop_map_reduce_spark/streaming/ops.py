@@ -116,7 +116,8 @@ def stream_stream_interval_join(
         & (rw[right_ts] <= lw[left_ts])
         & (rw[right_ts] >= lw[left_ts] - F.expr(f"INTERVAL {lookback}"))
     )
-    return lw.join(rw, cond, "inner")
+    # Keep a single, unambiguous key column (the left one).
+    return lw.join(rw, cond, "inner").drop(rw[key])
 
 
 def session_window_stats(
