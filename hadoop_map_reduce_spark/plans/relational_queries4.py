@@ -77,6 +77,49 @@ def scalar_interval_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "array_posexplode",
+    tags=("relational", "complex"),
+    description="posexplode: array to (id, position, value) rows.",
+    oracle="""
+        SELECT e.vec_id,
+               CAST(u.i - 1 AS INT) AS pos,
+               ROUND(CAST(e.embedding[u.i] AS DOUBLE), 6) AS val
+        FROM embeddings e, UNNEST(range(1, len(e.embedding) + 1)) AS u(i)
+        WHERE e.vec_id < 50
+    """,
+)
+def array_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    return emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "_v"),
+    ).select("vec_id", "pos", F.round("_v", 6).alias("val"))
+
+
+@register(
+    "agg_collect_sorted",
+    tags=("relational", "aggregation", "complex"),
+    description=(
+        "Array-building aggregates with deterministic (sorted) contents: "
+        "collect_set/list are order-nondeterministic, so sort before "
+        "comparing — the discipline any reproducible pipeline needs."
+    ),
+    oracle="""
+        SELECT l_returnflag,
+               list_sort(list(DISTINCT l_linestatus)) AS statuses,
+               CAST(len(list(DISTINCT l_suppkey)) AS INT) AS n_supps
+        FROM lineitem GROUP BY 1
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+        F.size(F.collect_set("l_suppkey")).alias("n_supps"),
+    )
+
+
 _COGROUP_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),

@@ -151,6 +151,10 @@ def test_stream_stream_interval_join(spark, tmp_path):
         for r in spark.sql(f"SELECT * FROM {name}").collect()
     }
     assert got == {(1, 11), (2, 12)}
+    # The output keeps exactly one key column (right side dropped) —
+    # name-based references must not be ambiguous.
+    assert joined.columns.count("user_id") == 1
+    joined.select("user_id")  # raises AMBIGUOUS_REFERENCE if duplicated
 
 
 def test_foreach_batch_to_reference_sink(spark, tmp_path):
