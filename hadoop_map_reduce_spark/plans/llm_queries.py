@@ -302,6 +302,54 @@ def text_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_stats_by_lang",
+    tags=("llm", "text", "aggregation"),
+    description=(
+        "Corpus curation dashboard: per-(lang, source) doc counts, size "
+        "totals, and mean quality (per-row quality rounded to 6dp, then "
+        "exact integer-sum averaged — deterministic across engines)."
+    ),
+    oracle=f"""
+        WITH toks AS (SELECT lang, source, n_chars, text, {_TOKS} AS t
+                      FROM documents),
+        q AS (
+            SELECT lang, source, n_chars,
+                   ROUND(0.3 * LEAST(len(t) / 100.0, 1.0)
+                         + 0.4 * ({_sql_stop_hits('en')} / len(t))
+                         + 0.3 * (LENGTH(regexp_replace(text, '[^A-Za-z]+',
+                                                        '', 'g'))
+                                  / LENGTH(text)), 6) AS quality
+            FROM toks
+        )
+        SELECT lang, source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               SUM(CAST(ROUND(quality * 1e6) AS BIGINT)) / 1e6 / COUNT(*)
+                   AS mean_quality
+        FROM q GROUP BY 1, 2
+    """,
+)
+def corpus_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(sanitize(F.col("text")))
+    q = docs.select(
+        "lang",
+        "source",
+        "n_chars",
+        F.round(quality_score(F.col("text"), toks), 6).alias("quality"),
+    )
+    return q.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (
+            F.sum(F.round(F.col("quality") * 1e6, 0).cast("long"))
+            / F.lit(1e6)
+            / F.count(F.lit(1))
+        ).alias("mean_quality"),
+    )
+
+
+@register(
     "multimodal_meta",
     tags=("llm", "multimodal"),
     description=(
