@@ -1,0 +1,51 @@
+"""Registry/driver-contract invariants: keep future rounds honest."""
+
+from __future__ import annotations
+
+from hadoop_map_reduce_spark.plans import REGISTRY
+
+# Tags whose queries are exercised by the oracle-differential test files.
+COVERED_TAGS = {"reference", "relational", "llm"}
+
+
+def test_every_query_reaches_an_oracle_test():
+    uncovered = [
+        name for name, q in REGISTRY.items()
+        if not (set(q.tags) & COVERED_TAGS)
+    ]
+    assert not uncovered, (
+        f"queries not collected by any oracle test file: {uncovered} — "
+        "add a covered tag or a dedicated test"
+    )
+
+
+def test_registry_entries_well_formed():
+    import __spark_entry__ as e
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) == len(REGISTRY)
+    for name, q in REGISTRY.items():
+        assert q.description.strip(), f"{name}: empty description"
+        assert callable(q.fn)
+        if q.oracle is None:
+            # rows-only checks must be deliberate and explained
+            assert "no SQL oracle" in q.description or "rows-only" in q.description, (
+                f"{name}: oracle-less query must say why in its description"
+            )
+
+
+def test_headline_set_is_stable_and_timed():
+    headline = sorted(n for n, q in REGISTRY.items() if q.headline)
+    assert headline == [
+        "bigram_count",
+        "dedup_minhash_lsh",
+        "join_asof",
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_local_supplier",
+        "sessionization",
+        "similarity_topk",
+        "subq_large_orders",
+        "text_quality",
+    ], "headline set drifted — update BASELINE.md tracked table in sync"
