@@ -122,9 +122,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     ``nanosAsLong`` conf); convert them back to timestamps with exact
     integer division (``div`` — double division would lose precision at
     nano magnitudes).
+
+    The ``nanosAsLong`` conf is (re)set at runtime here, not only in
+    :func:`get_spark`: callers may hand this engine an arbitrary
+    SparkSession (the verification driver does), and without the conf any
+    TIMESTAMP(NANOS) parquet read fails with ``PARQUET_TYPE_ILLEGAL``.
     """
     from pyspark.sql import functions as F
 
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
