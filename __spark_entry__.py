@@ -23,6 +23,9 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 from hadoop_map_reduce_spark.plans import REGISTRY  # noqa: E402
+from hadoop_map_reduce_spark.plans.verification import (  # noqa: E402
+    verification_order,
+)
 from hadoop_map_reduce_spark.session import ensure_worker_imports  # noqa: E402
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -49,8 +52,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: _with_worker_imports(q.fn) for name, q in REGISTRY.items()}
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordered so that queries without a conclusive driver verdict come
+    first: the driver verifies a bounded prefix per round, and already
+    green queries stay covered by the local oracle tests.
+    """
+    return {
+        name: _with_worker_imports(REGISTRY[name].fn)
+        for name in verification_order(list(REGISTRY))
+    }
 
 
 def oracle_sql() -> dict[str, str]:

@@ -35,6 +35,23 @@ def test_registry_entries_well_formed():
             )
 
 
+def test_verification_window_prioritizes_unverified():
+    """The driver oracle-checks only the first 50 queries() entries per
+    round; every query without a previous driver verdict must land in
+    that window (or, if there are more than 50 pending, fill it)."""
+    import __spark_entry__ as e
+    from hadoop_map_reduce_spark.plans.verification import DRIVER_VERIFIED
+
+    order = list(e.queries())
+    assert set(order) == set(REGISTRY)
+    unknown = DRIVER_VERIFIED - set(REGISTRY)
+    assert not unknown, f"DRIVER_VERIFIED names not in registry: {unknown}"
+    pending = [n for n in order if n not in DRIVER_VERIFIED]
+    window = set(order[:50])
+    missed = [n for n in pending[:50] if n not in window]
+    assert not missed, f"pending queries outside the driver window: {missed}"
+
+
 def test_headline_set_is_stable_and_timed():
     headline = sorted(n for n, q in REGISTRY.items() if q.headline)
     assert headline == [
