@@ -36,7 +36,7 @@ from hadoop_map_reduce_spark.operators.multimodal import (
 )
 from hadoop_map_reduce_spark.operators.similarity import (
     ann_topk_lsh,
-    cosine_neardup_pairs,
+    cosine_neardup_blocked,
     cosine_topk,
 )
 from hadoop_map_reduce_spark.plans.registry import register
@@ -193,7 +193,12 @@ def similarity_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_neardup",
     tags=("llm", "similarity", "dedup"),
-    description="Embedding near-dup pairs: cosine >= 0.4 (exact pairwise).",
+    description=(
+        "Embedding near-dup pairs: cosine >= 0.4, exact, via the "
+        "block-grid equi-join (no nested-loop/cartesian; quadratic "
+        "compute is inherent at this threshold — sims are a continuum "
+        "through 0.4 — but distributed in (n/B)^2 work units)."
+    ),
     oracle=f"""
         WITH e AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -205,7 +210,7 @@ def similarity_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return cosine_neardup_pairs(
+    return cosine_neardup_blocked(
         load_table(spark, sf_dir, "embeddings"), threshold=0.4
     )
 

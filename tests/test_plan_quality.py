@@ -64,6 +64,29 @@ def test_minhash_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan  # equi-join banding only
 
 
+def test_embedding_neardup_no_nested_loop(spark, sf_dir):
+    """Round-1 finding: the registered exact near-dup ran the id_a<id_b
+    θ-join (BroadcastNestedLoopJoin). The block-grid formulation must keep
+    it equi-join only."""
+    plan = plan_of(spark, sf_dir, "embedding_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_blocked_neardup_matches_exact_pairwise(spark, sf_dir):
+    from hadoop_map_reduce_spark.operators.similarity import (
+        cosine_neardup_blocked,
+        cosine_neardup_pairs,
+    )
+    from hadoop_map_reduce_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plain = sorted(map(tuple, cosine_neardup_pairs(emb, 0.4).collect()))
+    blocked = sorted(map(tuple, cosine_neardup_blocked(emb, 0.4).collect()))
+    assert plain == blocked  # bit-exact: same fold shapes, swapped operands
+    assert len(plain) > 0
+
+
 def test_asof_single_key_shuffle(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "join_asof")
     assert "Window" in plan
