@@ -223,9 +223,8 @@ def minhash_lsh_pairs(
     explodes to ``bands`` rows keyed by (band index, hash of the band's
     signature slice); candidates come from an equi-join on that key (the
     only shuffle that grows with corpus size); candidate pairs are then
-    verified with exact shingle Jaccard. With b=16, r=4 the S-curve
-    midpoint is ~(1/16)^(1/4) ≈ 0.5 — recall is high for J >= 0.5 and the
-    verify stage removes false positives, so precision is exact.
+    verified with exact shingle Jaccard, so precision is exact regardless
+    of banding.
     """
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")

@@ -37,9 +37,18 @@ def write_kv_text(
     """Write ``key<TAB>value`` lines, one file per hash partition.
 
     Emits Spark's ``_SUCCESS`` marker (same Hadoop output-committer
-    behavior as the reference).
+    behavior as the reference). Both modes share the overwrite contract:
+    an existing target directory is replaced (``saveAsTextFile`` has no
+    overwrite mode, so the hadoop_layout path clears the target through
+    Hadoop's FileSystem API — works on any supported scheme, not just
+    local paths).
     """
     if hadoop_layout:
+        sc = df.sparkSession.sparkContext
+        hpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+        if fs.exists(hpath):
+            fs.delete(hpath, True)
         kv = df.select(
             F.col(key_col).cast("string").alias("k"),
             F.col(value_col).cast("string").alias("v"),

@@ -149,3 +149,22 @@ def test_kv_text_sink(spark, tmp_path, hadoop_layout):
         seen.update(dict(kv))
     # Partition completeness: concat of parts == full result.
     assert seen == {f"key{i:03d}": str(i) for i in range(200)}
+
+
+@pytest.mark.parametrize("hadoop_layout", [False, True])
+def test_kv_text_sink_overwrites_existing_dir(spark, tmp_path, hadoop_layout):
+    """Both sink modes share the overwrite contract (round-1 advice: the
+    RDD path threw FileAlreadyExistsException on re-run)."""
+    docs = spark.createDataFrame([("a", 1), ("b", 2)], ["k", "n"])
+    out = tmp_path / "rewrite"
+    for expect in (["a\t1", "b\t2"], ["a\t1", "b\t2"]):
+        write_kv_text(
+            docs, str(out), "k", "n", num_partitions=2,
+            hadoop_layout=hadoop_layout,
+        )
+        lines = sorted(
+            line
+            for p in out.glob("part-*")
+            for line in p.read_text().splitlines()
+        )
+        assert lines == expect
