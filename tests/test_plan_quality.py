@@ -106,6 +106,44 @@ def test_projection_pruning_scalar_query(spark, sf_dir):
     assert "lang" not in cols and "source" not in cols  # pruned
 
 
+def test_ngram_jaccard_is_postings_join(spark, sf_dir):
+    """Inverted-index formulation: the pairs come from an equi-join on the
+    shingle, never a cartesian/nested-loop expansion."""
+    plan = plan_of(spark, sf_dir, "dedup_ngram_jaccard")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_corpus_stats_single_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "corpus_stats_by_lang")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial" in plan  # map-side combine before the one shuffle
+
+
+def test_new_tpch_shapes_no_nested_loop(spark, sf_dir):
+    for name in (
+        "q2_min_cost_supplier",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q9_product_profit",
+        "q11_important_parts",
+        "q15_top_supplier",
+        "q16_supplier_count",
+        "q21_waiting_supplier",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_q7_q9_dims_broadcast(spark, sf_dir):
+    """DataFrame-surface star joins must broadcast every dim even with
+    cold stats (explicit hints, like q3/q5)."""
+    for name, n_dims in (("q7_volume_shipping", 4), ("q9_product_profit", 3)):
+        plan = plan_of(spark, sf_dir, name)
+        assert plan.count("BroadcastHashJoin") >= n_dims, name
+
+
 def test_broadcast_under_aqe_threshold_in_q3_even_when_cold(spark, sf_dir):
     """The customer dim carries an explicit broadcast hint: the plan must
     not degrade to a shuffle join if stats are missing."""
