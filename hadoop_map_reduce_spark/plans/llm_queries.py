@@ -27,7 +27,7 @@ from hadoop_map_reduce_spark.functions.text_analysis import (
 from hadoop_map_reduce_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
-    ngram_jaccard_pairs,
+    ngram_jaccard_pairs_prefix,
     simhash_neardup_pairs,
 )
 from hadoop_map_reduce_spark.operators.multimodal import (
@@ -84,13 +84,14 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     tags=("llm", "dedup"),
     description=(
-        "Exact near-dup pairs: trigram-shingle Jaccard >= 0.5 (the verify "
-        "semantics; quadratic — at scale runs after LSH blocking)."
+        "Exact near-dup pairs: trigram-shingle Jaccard >= 0.5 via prefix "
+        "filtering (rarest-first prefixes generate candidates, so hot "
+        "shingles never become join keys; exact-Jaccard verify)."
     ),
     oracle=_JACCARD_PAIRS_SQL,
 )
 def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_jaccard_pairs(
+    return ngram_jaccard_pairs_prefix(
         load_table(spark, sf_dir, "documents"), threshold=0.5, n=3
     )
 

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hadoop_map_reduce_spark.functions.text import sanitize, tokenize
-from hadoop_map_reduce_spark.operators.dedup import ngram_jaccard_pairs
+from hadoop_map_reduce_spark.operators.dedup import ngram_jaccard_pairs_prefix
 from hadoop_map_reduce_spark.plans.llm_queries import _JACCARD_PAIRS_SQL, _TOKS
 from hadoop_map_reduce_spark.plans.registry import register
 from hadoop_map_reduce_spark.session import load_table
@@ -204,7 +204,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, threshold=0.5, n=3)
+    pairs = ngram_jaccard_pairs_prefix(docs, threshold=0.5, n=3)
     src = docs.select("doc_id", "source")
     return (
         pairs.join(

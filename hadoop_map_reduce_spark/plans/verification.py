@@ -17,10 +17,11 @@ removed from this set so it re-enters the verification window.
 
 from __future__ import annotations
 
-# Green (rows+schema+hash match) in CORRECTNESS_r01.json, minus
-# embedding_neardup whose registered plan changed in round 2 (LSH-blocked
-# candidate generation replaced the quadratic self-join) and therefore
-# re-enters the window.
+# Green (rows+schema+hash match) in CORRECTNESS_r01.json, minus the two
+# whose registered plans changed in round 2 and therefore re-enter the
+# window: embedding_neardup (block-grid equi-join replaced the quadratic
+# self-join) and dedup_ngram_jaccard (prefix filtering replaced the plain
+# inverted index).
 _GREEN_R1 = frozenset(
     {
         "bigram_count",
@@ -57,7 +58,6 @@ _GREEN_R1 = frozenset(
         "scalar_null_funcs",
         "unpivot_metrics",
         "dedup_exact",
-        "dedup_ngram_jaccard",
         "dedup_minhash_lsh",
         "similarity_topk",
         "text_lang_id",

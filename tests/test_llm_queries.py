@@ -39,6 +39,23 @@ def test_minhash_equals_exact(spark, sf_dir):
     assert len(e) > 0  # the corpus has planted near-dups
 
 
+def test_prefix_filter_equals_plain_inverted_index(spark, sf_dir):
+    """Prefix filtering must be a pure cost-model change: identical pair
+    set and jaccards as the plain inverted index at any threshold."""
+    from hadoop_map_reduce_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+    from hadoop_map_reduce_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    for t in (0.3, 0.5, 0.8):
+        plain = sorted(map(tuple, ngram_jaccard_pairs(docs, t).collect()))
+        pre = sorted(map(tuple, ngram_jaccard_pairs_prefix(docs, t).collect()))
+        assert plain == pre, f"threshold {t}"
+    assert len(pre) >= 0
+
+
 def test_ann_recall_vs_bruteforce(spark, sf_dir):
     """Single-probe LSH ANN keeps reasonable top-5 recall on this corpus."""
     exact = REGISTRY["similarity_topk"].fn(spark, sf_dir)
