@@ -17,11 +17,12 @@ removed from this set so it re-enters the verification window.
 
 from __future__ import annotations
 
-# Green (rows+schema+hash match) in CORRECTNESS_r01.json, minus the two
-# whose registered plans changed in round 2 and therefore re-enter the
-# window: embedding_neardup (block-grid equi-join replaced the quadratic
-# self-join) and dedup_ngram_jaccard (prefix filtering replaced the plain
-# inverted index).
+# Green (rows+schema+hash match) in CORRECTNESS_r01.json, minus the
+# three whose registered plans changed in round 2 and therefore re-enter
+# the window: embedding_neardup (block-grid equi-join replaced the
+# quadratic self-join), dedup_ngram_jaccard (prefix filtering replaced
+# the plain inverted index), dedup_minhash_lsh (Arrow-batched signature
+# stage).
 _GREEN_R1 = frozenset(
     {
         "bigram_count",
@@ -58,7 +59,6 @@ _GREEN_R1 = frozenset(
         "scalar_null_funcs",
         "unpivot_metrics",
         "dedup_exact",
-        "dedup_minhash_lsh",
         "similarity_topk",
         "text_lang_id",
         "text_quality",

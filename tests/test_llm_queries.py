@@ -56,6 +56,39 @@ def test_prefix_filter_equals_plain_inverted_index(spark, sf_dir):
     assert len(pre) >= 0
 
 
+def test_arrow_signature_equals_column_signature(spark, sf_dir):
+    """The Arrow-batched minhash signature must be bit-identical to the
+    pure-Column reference expression."""
+    from pyspark.sql import functions as F
+
+    from hadoop_map_reduce_spark.operators.dedup import (
+        hashed_shingles,
+        minhash_signature,
+        minhash_signature_arrow,
+        with_shingles,
+    )
+    from hadoop_map_reduce_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = with_shingles(docs).select(
+        "doc_id", hashed_shingles(F.col("_sh")).alias("_hs")
+    )
+    col = {
+        r["doc_id"]: r["s"]
+        for r in hashed.select(
+            "doc_id", minhash_signature(F.col("_hs")).alias("s")
+        ).collect()
+    }
+    arrow = {
+        r["doc_id"]: r["s"]
+        for r in hashed.select(
+            "doc_id", minhash_signature_arrow(F.col("_hs")).alias("s")
+        ).collect()
+    }
+    assert col == arrow
+    assert len(col) > 0
+
+
 def test_ann_recall_vs_bruteforce(spark, sf_dir):
     """Single-probe LSH ANN keeps reasonable top-5 recall on this corpus."""
     exact = REGISTRY["similarity_topk"].fn(spark, sf_dir)
