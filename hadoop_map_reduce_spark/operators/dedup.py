@@ -201,7 +201,13 @@ def ngram_jaccard_pairs_prefix(
     )
     dfreq = postings.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
     w = Window.partitionBy(id_col).orderBy(F.col("_df").asc(), F.col("_s").asc())
-    prefix_len = F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+    # ceil biased DOWN by epsilon: t*n can land one double ulp ABOVE the
+    # exact integer product (0.07*100 = 7.000000000000001), which would
+    # over-round the required overlap and under-size the prefix — losing
+    # true pairs. Erring low only lengthens the prefix (more candidates,
+    # never fewer), so exactness is preserved for any threshold.
+    required = F.ceil(F.lit(threshold) * F.col("_n") - F.lit(1e-9))
+    prefix_len = F.col("_n") - required + 1
     prefix = (
         postings.join(dfreq, "_s")
         .withColumn("_rk", F.row_number().over(w))
@@ -283,12 +289,12 @@ def minhash_signature_arrow(
     ``num_hashes`` separate JVM array traversals.
 
     Bit-identical to :func:`minhash_signature` (same params, same
-    modulus; parity pinned in tests). Measured at sf0.1 / 64 hashes:
-    1.37 s → 0.74 s warm, 4.2 s → 1.8 s cold. The exception that proves
-    the "UDFs are the slow path" rule: the built-in expression repeats
-    k passes over the same array, the Arrow batch does one matrix op —
-    intermediates stay < 2^62 (prime 2^31-1 bounds both factors), so
-    int64 never overflows.
+    modulus, same null/empty semantics: null or empty input → array of
+    nulls, matching F.array-of-array_min; parity pinned in tests). Measured at sf0.1 / 64 hashes: 1.37 s → 0.74 s warm, 4.2 s →
+    1.8 s cold. The exception that proves the "UDFs are the slow path"
+    rule: the built-in expression repeats k passes over the same array,
+    the Arrow batch does one matrix op — intermediates stay < 2^62
+    (prime 2^31-1 bounds both factors), so int64 never overflows.
     """
     params = _minhash_params(num_hashes, seed)
 
@@ -298,13 +304,16 @@ def minhash_signature_arrow(
 
         a = np.array([p[0] for p in params], dtype=np.int64)[None, :]
         b = np.array([p[1] for p in params], dtype=np.int64)[None, :]
-        fallback = np.full(len(params), _MINHASH_PRIME - 1, dtype=np.int64)
+        # Column parity: F.array(array_min(transform(x)), ...) yields an
+        # ARRAY of nulls for both null and empty inputs (array_min of
+        # empty/null is null), never a null array.
+        empty = [None] * len(params)
         out = []
         for h in hs:
-            hv = np.asarray(h, dtype=np.int64)
-            if hv.size == 0:
-                out.append(fallback)  # unreachable via with_shingles; guard
+            if h is None or len(h) == 0:
+                out.append(empty)
             else:
+                hv = np.asarray(h, dtype=np.int64)
                 out.append(((hv[:, None] * a + b) % _MINHASH_PRIME).min(axis=0))
         return pd.Series(out)
 

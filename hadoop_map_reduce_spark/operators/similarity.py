@@ -310,11 +310,15 @@ def cosine_neardup_blocked(
         [(i, j) for i in range(num_blocks) for j in range(i, num_blocks)],
         "_ba int, _bb int",
     )
+    # Hash the id into its block (rather than pmod on the raw id): works
+    # for any id type, and id allocation patterns (strides, parity)
+    # cannot collapse the corpus into few blocks and re-skew the grid.
+    blk = lambda c: F.pmod(F.xxhash64(c), F.lit(num_blocks)).cast("int")  # noqa: E731
     a = _with_self_dot(df, "id_a", "_va", "_na2", id_col, vec_col).withColumn(
-        "_blk_a", F.pmod(F.col("id_a"), F.lit(num_blocks)).cast("int")
+        "_blk_a", blk(F.col("id_a"))
     )
     b = _with_self_dot(df, "id_b", "_vb", "_nb2", id_col, vec_col).withColumn(
-        "_blk_b", F.pmod(F.col("id_b"), F.lit(num_blocks)).cast("int")
+        "_blk_b", blk(F.col("id_b"))
     )
     exp_a = a.join(F.broadcast(tasks), F.col("_blk_a") == F.col("_ba"))
     exp_b = b.join(F.broadcast(tasks), F.col("_blk_b") == F.col("_bb"))

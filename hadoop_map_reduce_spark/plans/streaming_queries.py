@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadoop_map_reduce_spark.plans.registry import register
-from hadoop_map_reduce_spark.plans.relational_queries import _sql_sum
+from hadoop_map_reduce_spark.plans.relational_queries import _sql_sum, exact_sum
 from hadoop_map_reduce_spark.session import load_table
 
 
@@ -81,10 +81,7 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("_win"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            (
-                F.sum(F.round(F.col("value") * F.lit(1e2)).cast("long"))
-                / F.lit(1e2)
-            ).alias("total_value"),
+            exact_sum(F.col("value"), "total_value"),
         )
         .select(F.col("_win.start").alias("hour"), "n_events", "total_value")
     )
@@ -109,10 +106,12 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_distinct_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read_stream(spark, sf_dir, "documents")
+    # Null texts are excluded on the Spark side because the oracle's
+    # COUNT(DISTINCT md5(text)) skips NULLs — dropDuplicates would keep
+    # one (source, NULL) state row and over-count by exactly that row.
     distinct = (
-        docs.select(
-            "source", F.md5(F.col("text").cast("binary")).alias("_fp")
-        )
+        docs.filter(F.col("text").isNotNull())
+        .select("source", F.md5(F.col("text").cast("binary")).alias("_fp"))
         .dropDuplicates(["source", "_fp"])
     )
     table = _run_to_table(distinct, "_hmrs_stream_distinct_docs", "append")

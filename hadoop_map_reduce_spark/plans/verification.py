@@ -75,7 +75,13 @@ DRIVER_VERIFIED: frozenset[str] = _GREEN_R1 | _ROWS_ONLY_DONE_R1
 
 def verification_order(names: list[str]) -> list[str]:
     """Stable partition: never-verified / changed names first (registry
-    order preserved within each group)."""
+    order preserved within each group).
+
+    When pending exceeds the driver's 50-slot window (round 2 ends with
+    ~62 pending), the overflow — by construction the most recently
+    registered entries — waits for the next round; local oracle tests
+    cover every entry in the meantime.
+    """
     pending = [n for n in names if n not in DRIVER_VERIFIED]
     done = [n for n in names if n in DRIVER_VERIFIED]
     return pending + done
