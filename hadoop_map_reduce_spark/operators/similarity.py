@@ -20,7 +20,7 @@ from __future__ import annotations
 import math
 import random
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -215,6 +215,85 @@ def ann_topk_lsh(
         .filter(F.col("neighbor_id") != F.col("_qid"))
         .select(F.col("_qid").alias("query_id"), "neighbor_id", sim.alias("sim"))
         .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer.
+
+    The other classic ANN scale path besides sign-bit LSH: partition the
+    corpus into ``n_cells`` Voronoi cells around centroid vectors, then
+    search only the ``n_probe`` cells nearest each query. Candidate
+    generation is an equi-join on the cell id; exact cosine re-ranks.
+
+    Centroids here are a deterministic pseudo-random sample of corpus
+    vectors (the ``n_cells`` smallest ``xxhash64(id)`` values — stable
+    across runs/partitionings) rather than trained k-means: sampled
+    centroids are the standard cheap initialization and keep the
+    operator fully deterministic for testing. The corpus side is
+    assigned ONCE (one scan, one small broadcast of centroids) and is
+    reusable across query batches; raising ``n_probe`` raises recall
+    touching only the query side — same knob structure as multi-probe
+    LSH. Recall < 1 by construction, so no SQL oracle; recall is pinned
+    against brute force in tests.
+    """
+    if n_probe > n_cells:
+        raise ValueError("n_probe cannot exceed n_cells")
+    cent_rows = (
+        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_cells)
+        .collect()
+    )
+    centroids = [list(r[1]) for r in cent_rows]
+
+    def cell_ranking(vec: Column) -> Column:
+        """Array of (negated cosine, cell idx) structs, ascending — the
+        struct ordering makes element 1 the nearest cell."""
+        scored = []
+        for i, c in enumerate(centroids):
+            cvec = F.array(*[F.lit(x) for x in c])
+            scored.append(
+                F.struct(
+                    (-cosine_similarity(vec, cvec)).alias("d"),
+                    F.lit(i).alias("cell"),
+                )
+            )
+        return F.array_sort(F.array(*scored))
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+    ).withColumn("cell", cell_ranking(F.col("_cvec"))[0]["cell"])
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qvec")
+    ).withColumn(
+        "cell",
+        F.explode(
+            F.slice(cell_ranking(F.col("_qvec")), 1, n_probe)["cell"]
+        ),
+    )
+    sim = F.round(cosine_similarity(F.col("_qvec"), F.col("_cvec")), 6)
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("_qid"))
+        .select(F.col("_qid").alias("query_id"), "neighbor_id", sim.alias("sim"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()

@@ -82,6 +82,7 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_ngram_jaccard",
+    headline=True,
     tags=("llm", "dedup"),
     description=(
         "Exact near-dup pairs: trigram-shingle Jaccard >= 0.5 via prefix "
@@ -193,6 +194,7 @@ def similarity_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_neardup",
+    headline=True,
     tags=("llm", "similarity", "dedup"),
     description=(
         "Embedding near-dup pairs: cosine >= 0.4, exact, via the "

@@ -126,6 +126,7 @@ def pack_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tfidf_top_terms",
+    headline=True,
     tags=("llm", "text", "aggregation"),
     description=(
         "Top-5 tf-idf terms per document. Exact integers only: the idf "

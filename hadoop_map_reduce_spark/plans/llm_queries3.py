@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hadoop_map_reduce_spark.operators.similarity import ivf_topk
 from hadoop_map_reduce_spark.plans.llm_queries2 import (
     _md5_bucket_spark,
     _md5_bucket_sql,
@@ -82,6 +83,26 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", dist.cast("long").alias("edit_dist"))
         .filter(F.col("edit_dist") <= 8)
     )
+
+
+@register(
+    "similarity_ivf",
+    tags=("llm", "similarity"),
+    description=(
+        "ANN via IVF coarse quantization: corpus assigned once to "
+        "deterministic sampled-centroid Voronoi cells, queries probe "
+        "their 6 nearest cells, exact cosine re-ranks (equi-join on the "
+        "cell id; recall<1 by design, so no SQL oracle — recall pinned "
+        "vs brute force in tests)."
+    ),
+    oracle=None,
+)
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, k=5, n_cells=16, n_probe=6)
 
 
 def _mix_case_sql() -> str:

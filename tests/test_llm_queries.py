@@ -123,6 +123,19 @@ def test_ann_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.3, f"ANN recall collapsed: {recall}"
 
 
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF with 4/16 probes keeps reasonable top-5 recall, and every
+    returned neighbor's sim matches the exact operator's value."""
+    exact = REGISTRY["similarity_topk"].fn(spark, sf_dir)
+    ivf = REGISTRY["similarity_ivf"].fn(spark, sf_dir)
+    e = {(r.query_id, r.neighbor_id): r.sim for r in exact.collect()}
+    i = {(r.query_id, r.neighbor_id): r.sim for r in ivf.collect()}
+    hits = set(e) & set(i)
+    assert len(hits) / len(e) >= 0.5  # probing 4/16 cells
+    for key in hits:
+        assert e[key] == i[key]  # re-rank is exact cosine
+
+
 def test_blas_neardup_matches_exact(spark, sf_dir):
     """The vectorized (numpy matmul) near-dup path finds the same pair
     set as the exact fold-based operator, with sims within float noise."""

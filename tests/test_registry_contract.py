@@ -57,6 +57,8 @@ def test_headline_set_is_stable_and_timed():
     assert headline == [
         "bigram_count",
         "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "embedding_neardup",
         "join_asof",
         "q1_pricing_summary",
         "q3_shipping_priority",
@@ -65,4 +67,5 @@ def test_headline_set_is_stable_and_timed():
         "similarity_topk",
         "subq_large_orders",
         "text_quality",
+        "tfidf_top_terms",
     ], "headline set drifted — update BASELINE.md tracked table in sync"
