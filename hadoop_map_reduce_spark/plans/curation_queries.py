@@ -1,0 +1,202 @@
+"""Corpus-curation query batch: the filter/report stages a training-data
+pipeline runs between raw ingestion and tokenization.
+
+- Banned-term filtering (the C4-style "bad word" gate): per-doc hit
+  count + keep flag from an integer density threshold, so the decision
+  is exact on both engines.
+- Repetition ratio (Gopher-style quality signal): distinct-token /
+  total-token ratio per doc, the cheap proxy for boilerplate and
+  template spam.
+- Per-source caps: keep at most N docs per source (domain frequency
+  capping) via one window shuffle on the source key.
+- Quality funnel: cumulative survival counts across the whole gate
+  chain in a single aggregate pass — the curation report that tells you
+  which stage is eating your corpus.
+
+All four are pure Column expressions (JVM-side, whole-stage codegen);
+per-doc work is embarrassingly parallel, and the only shuffles are the
+window partition (cap) and the final single-row aggregate (funnel),
+both of which hold at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hadoop_map_reduce_spark.plans.registry import register
+from hadoop_map_reduce_spark.session import load_table
+
+# Tokenizer shared by the batch: lowercase alnum runs, the same
+# convention as functions/text.py. One regex literal spelled identically
+# for Java regex (Spark) and RE2 (DuckDB).
+_TOKEN_RE = "[a-z0-9]+"
+# Stand-in banned vocabulary (the synthetic corpus has no profanity);
+# \b is a word boundary in both Java regex and RE2.
+_BANNED_RE = r"\b(key|hash|slow)\b"
+
+
+def _tokens(col):
+    return F.regexp_extract_all(F.lower(col), F.lit(_TOKEN_RE), 0)
+
+
+@register(
+    "curation_banned_terms",
+    tags=("llm", "curation"),
+    description=(
+        "Banned-term gate: per-doc banned-vocabulary hits and a keep "
+        "flag at <10% token density (integer cross-multiplication, no "
+        "float threshold)."
+    ),
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(lower(text), '{_TOKEN_RE}'))
+                       AS n_tokens,
+                   len(regexp_extract_all(lower(text), '{_BANNED_RE}'))
+                       AS n_banned
+            FROM documents)
+        SELECT doc_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(n_banned AS BIGINT) AS n_banned,
+               n_banned * 10 < n_tokens AS keep
+        FROM t
+    """,
+)
+def curation_banned_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(_tokens(F.col("text"))).cast("long")
+    n_banned = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit(_BANNED_RE), 0)
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_banned.alias("n_banned"),
+        (F.col("n_banned") * 10 < F.col("n_tokens")).alias("keep"),
+    )
+
+
+@register(
+    "curation_repetition_ratio",
+    tags=("llm", "curation"),
+    description=(
+        "Repetition quality signal: distinct-token / total-token ratio "
+        "per doc (low ratio = template spam). Ratio is an exact-int "
+        "division, bit-identical across engines."
+    ),
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '{_TOKEN_RE}') AS toks
+            FROM documents)
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+               CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                   AS distinct_ratio
+        FROM t WHERE len(toks) > 0
+    """,
+)
+def curation_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    n_tokens = F.size("toks").cast("long")
+    n_distinct = F.size(F.array_distinct("toks")).cast("long")
+    return (
+        t.filter(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            n_tokens.alias("n_tokens"),
+            n_distinct.alias("n_distinct"),
+            (n_distinct.cast("double") / n_tokens).alias("distinct_ratio"),
+        )
+    )
+
+
+@register(
+    "curation_cap_per_source",
+    tags=("llm", "curation"),
+    description=(
+        "Domain frequency capping: keep at most 20 docs per source, "
+        "deterministic by doc_id order (one window shuffle on the "
+        "source key; at scale, skewed sources split via AQE)."
+    ),
+    oracle="""
+        SELECT doc_id, source, rn FROM (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+                       AS rn
+            FROM documents)
+        WHERE rn <= 20
+    """,
+)
+def curation_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 20)
+    )
+
+
+@register(
+    "curation_quality_funnel",
+    tags=("llm", "curation"),
+    description=(
+        "Curation funnel report: cumulative survival counts through "
+        "length → token-count → repetition → language gates, one "
+        "aggregate pass over the corpus (all thresholds integer-exact)."
+    ),
+    oracle=f"""
+        WITH t AS (
+            SELECT n_chars, lang,
+                   len(regexp_extract_all(lower(text), '{_TOKEN_RE}'))
+                       AS n_tok,
+                   len(list_distinct(
+                       regexp_extract_all(lower(text), '{_TOKEN_RE}')))
+                       AS n_dist
+            FROM documents)
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS pass_len,
+               CAST(SUM(CASE WHEN n_chars >= 100 AND n_tok >= 30
+                             THEN 1 ELSE 0 END) AS BIGINT) AS pass_tokens,
+               CAST(SUM(CASE WHEN n_chars >= 100 AND n_tok >= 30
+                             AND n_dist * 2 >= n_tok
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS pass_repetition,
+               CAST(SUM(CASE WHEN n_chars >= 100 AND n_tok >= 30
+                             AND n_dist * 2 >= n_tok AND lang = 'en'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS pass_lang
+        FROM t
+    """,
+)
+def curation_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    t = docs.select(
+        "n_chars",
+        "lang",
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_dist"),
+    )
+    g1 = F.col("n_chars") >= 100
+    g2 = g1 & (F.col("n_tok") >= 30)
+    g3 = g2 & (F.col("n_dist") * 2 >= F.col("n_tok"))
+    g4 = g3 & (F.col("lang") == "en")
+
+    def _cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    return t.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        _cnt(g1).alias("pass_len"),
+        _cnt(g2).alias("pass_tokens"),
+        _cnt(g3).alias("pass_repetition"),
+        _cnt(g4).alias("pass_lang"),
+    )

@@ -432,3 +432,46 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fp")
         .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
     )
+
+
+_Q20_EXCESS_SHIPMENTS = """
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_name LIKE 'small%'
+          AND l.l_shipdate >= DATE '1995-01-01'
+          AND l.l_shipdate < DATE '1996-01-01'
+        GROUP BY l.l_suppkey, l.l_partkey
+        HAVING SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) > 5e-1 * (
+            SELECT SUM(CAST(ROUND(l2.l_quantity) AS BIGINT))
+            FROM lineitem l2
+            WHERE l2.l_partkey = l.l_partkey
+              AND l2.l_shipdate >= DATE '1995-01-01'
+              AND l2.l_shipdate < DATE '1996-01-01'))
+"""
+
+
+@register(
+    "q20_excess_shipments",
+    tags=("relational", "subquery"),
+    description=(
+        "TPC-H Q20 shape: suppliers who shipped more than half of a "
+        "part's yearly volume (IN over a grouped subquery whose HAVING "
+        "compares against a correlated scalar aggregate; shipped volume "
+        "stands in for partsupp availability). Completes the 22-query "
+        "TPC-H shape set."
+    ),
+    oracle=_Q20_EXCESS_SHIPMENTS,
+)
+def q20_excess_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20's planner stress is double-nested decorrelation: the IN
+    subquery aggregates per (supplier, part) while its HAVING references
+    a second aggregate correlated on the group key. Catalyst rewrites
+    both levels into aggregate joins (no per-group re-scan); at 100 TB
+    the inner and outer aggregates share the lineitem scan and shuffle
+    on l_partkey-derived keys, and the final IN is a left-semi join onto
+    the small supplier dim."""
+    _views(spark, sf_dir, "supplier", "lineitem", "part")
+    return spark.sql(_Q20_EXCESS_SHIPMENTS)
