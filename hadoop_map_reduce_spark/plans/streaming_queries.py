@@ -91,6 +91,63 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_sessionize",
+    tags=("streaming", "window", "state"),
+    description=(
+        "Streaming session windows: session_window(ts, 30 min) per user "
+        "over the event stream, merged-on-arrival state, run to "
+        "completion; final sessions must equal the batch gap-split. "
+        "Boundary note: session_window merges on diff < gap (half-open "
+        "[ts, ts+gap)), so the oracle splits on diff >= 1800 — the batch "
+        "`sessionization` entry splits on diff > 1800 (both conventions "
+        "are valid; each is pinned against its own oracle)."
+    ),
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(LAG(ts) OVER w) >= 1800
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ), sessions AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming-native form of `sessionization`: state is one
+    (user, open-window) row merged as events arrive, partitioned by
+    user_id across executors — no per-user sort, no lag window. At
+    100 TB of events this is the formulation that holds: the batch
+    twin's window functions need a full per-user ordered shuffle, while
+    session_window state is O(open sessions) and merges map-side."""
+    events = _read_stream(spark, sf_dir, "events")
+    agg = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("_w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("_w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+    # Complete mode flushes every session when the availableNow source
+    # drains, independent of where the watermark halts.
+    return _run_to_table(agg, "_hmrs_stream_sessionize", "complete")
+
+
+@register(
     "stream_distinct_docs",
     tags=("streaming", "dedup"),
     description=(

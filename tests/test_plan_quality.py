@@ -149,3 +149,56 @@ def test_broadcast_under_aqe_threshold_in_q3_even_when_cold(spark, sf_dir):
     not degrade to a shuffle join if stats are missing."""
     plan = plan_of(spark, sf_dir, "q3_shipping_priority")
     assert "SortMergeJoin" not in plan
+
+
+def test_llm_pipeline_queries_no_quadratic_joins(spark, sf_dir):
+    """The round-2 LLM-pipeline additions must all stay equi-join shaped:
+    a nested-loop anywhere here becomes O(n^2) over the corpus at scale.
+    tfidf is allowed exactly one BroadcastNestedLoopJoin — the deliberate
+    crossJoin of the single-row corpus count."""
+    for name, bnlj_budget in (
+        ("tfidf_top_terms", 1),
+        ("contamination_pairs", 0),
+        ("dedup_fuzzy_levenshtein", 0),
+        ("similarity_ivf", 0),
+        ("mix_sources_weighted", 0),
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert plan.count("BroadcastNestedLoopJoin") <= bnlj_budget, name
+
+
+def test_curation_cap_prunes_text_and_single_shuffle(spark, sf_dir):
+    """Per-source capping must never read the text column (the bulk of
+    the table) and needs exactly the one window shuffle on source."""
+    plan = plan_of(spark, sf_dir, "curation_cap_per_source")
+    m = re.search(r"ReadSchema: struct<([^>]*)", plan)
+    assert m and "text" not in m.group(1)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_pack_token_chunks_single_shuffle(spark, sf_dir):
+    """Context packing is one window shuffle on source — a global-sort
+    formulation (rangepartitioning) would serialize the corpus."""
+    plan = plan_of(spark, sf_dir, "pack_token_chunks")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_salted_agg_two_phase(spark, sf_dir):
+    """The salted rollup is exactly two shuffles: (key, salt) partial,
+    then key final; scan pruned to the two needed columns."""
+    plan = plan_of(spark, sf_dir, "agg_salted_hot_key")
+    assert plan.count("Exchange hashpartitioning") == 2
+    m = re.search(r"ReadSchema: struct<([^>]*)", plan)
+    assert m and m.group(1).count(":") == 2  # event_type, value only
+
+
+def test_sketch_hll_one_expand_no_join(spark, sf_dir):
+    """Grouping-sets HLL rollup: one Expand feeding aggregation, no join
+    anywhere (the exact and approx distinct ride the same pass)."""
+    plan = plan_of(spark, sf_dir, "sketch_hll_rollup")
+    assert "Expand" in plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
