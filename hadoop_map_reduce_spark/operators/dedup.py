@@ -212,12 +212,20 @@ def ngram_jaccard_pairs_prefix(
         postings.join(dfreq, "_s")
         .withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= prefix_len)
-        .select(id_col, "_s")
+        .select(id_col, "_n", "_s")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
+    # PPJoin length filter: J(A,B) >= t forces t·|A| <= |B| <= |A|/t
+    # (|A∩B| is bounded by the smaller set). Pruning size-mismatched
+    # candidates here skips the expensive full-array verify for them;
+    # the epsilon mirrors the prefix bound's (float t·n can land one ulp
+    # high — err towards keeping the candidate, never dropping it).
+    sized_ok = (
+        F.col("b._n") >= F.lit(threshold) * F.col("a._n") - F.lit(1e-9)
+    ) & (F.col("a._n") >= F.lit(threshold) * F.col("b._n") - F.lit(1e-9))
     cands = (
         a.join(b, F.col("a._s") == F.col("b._s"))
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .filter((F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & sized_ok)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),

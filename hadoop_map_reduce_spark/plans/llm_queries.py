@@ -36,7 +36,7 @@ from hadoop_map_reduce_spark.operators.multimodal import (
 )
 from hadoop_map_reduce_spark.operators.similarity import (
     ann_topk_lsh,
-    cosine_neardup_blocked,
+    cosine_neardup_grid_blas,
     cosine_topk,
 )
 from hadoop_map_reduce_spark.plans.registry import register
@@ -198,9 +198,11 @@ def similarity_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "similarity", "dedup"),
     description=(
         "Embedding near-dup pairs: cosine >= 0.4, exact, via the "
-        "block-grid equi-join (no nested-loop/cartesian; quadratic "
-        "compute is inherent at this threshold — sims are a continuum "
-        "through 0.4 — but distributed in (n/B)^2 work units)."
+        "block-grid cogroup with BLAS matmul per cell (no nested-loop/"
+        "cartesian; quadratic compute is inherent at this threshold — "
+        "sims are a continuum through 0.4 — but distributed in (n/B)^2 "
+        "work units at matmul throughput; round-6 parity with the "
+        "Catalyst-fold twin is test-pinned)."
     ),
     oracle=f"""
         WITH e AS (
@@ -213,7 +215,7 @@ def similarity_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return cosine_neardup_blocked(
+    return cosine_neardup_grid_blas(
         load_table(spark, sf_dir, "embeddings"), threshold=0.4
     )
 

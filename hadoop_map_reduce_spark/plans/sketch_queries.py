@@ -75,7 +75,7 @@ def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sketch_quantile_check",
-    tags=("sketch", "aggregation", "stats"),
+    tags=("sketch", "relational", "aggregation", "stats"),
     description=(
         "Approximate quantiles (percentile_approx, accuracy=10000) on "
         "order totals: exact row count hash-checked, p50/p90/p99 each "

@@ -202,3 +202,21 @@ def test_sketch_hll_one_expand_no_join(spark, sf_dir):
     assert "Expand" in plan
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_grid_blas_matches_fold_blocked(spark, sf_dir):
+    """The registered near-dup plan (grid cells + BLAS matmul) must stay
+    bit-identical to the Catalyst-fold grid twin: the round-6 margin on
+    this corpus (>=1e-12 from any boundary) absorbs summation-order
+    noise, so any mismatch means a real regression, not float drift."""
+    from hadoop_map_reduce_spark.operators.similarity import (
+        cosine_neardup_blocked,
+        cosine_neardup_grid_blas,
+    )
+    from hadoop_map_reduce_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fold = sorted(map(tuple, cosine_neardup_blocked(emb, 0.4).collect()))
+    blas = sorted(map(tuple, cosine_neardup_grid_blas(emb, 0.4).collect()))
+    assert fold == blas
+    assert len(fold) > 0
