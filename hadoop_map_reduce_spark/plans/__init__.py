@@ -22,5 +22,6 @@ from hadoop_map_reduce_spark.plans import llm_queries3  # noqa: F401
 from hadoop_map_reduce_spark.plans import udtf_queries  # noqa: F401
 from hadoop_map_reduce_spark.plans import curation_queries  # noqa: F401
 from hadoop_map_reduce_spark.plans import sketch_queries  # noqa: F401
+from hadoop_map_reduce_spark.plans import graph_queries  # noqa: F401
 
 __all__ = ["REGISTRY", "Query", "register"]

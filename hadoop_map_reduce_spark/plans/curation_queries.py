@@ -200,3 +200,173 @@ def curation_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cnt(g3).alias("pass_repetition"),
         _cnt(g4).alias("pass_lang"),
     )
+
+
+# PII patterns meaning the same thing in Java regex (Spark) and RE2
+# (DuckDB): no backrefs, no lookaround, explicit classes only.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\d{3}-\d{3}-\d{4}"
+
+
+@register(
+    "curation_pii_scrub",
+    tags=("llm", "curation"),
+    description=(
+        "PII detect + redact: the synthetic corpus carries no PII, so "
+        "deterministic emails/phones are injected keyed on doc_id, then "
+        "detected (counts), redacted (regexp_replace to placeholder "
+        "tokens), and re-scanned (residual_pii — the invariant the "
+        "pipeline actually cares about: 0 after scrub)."
+    ),
+    oracle=f"""
+        WITH aug AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                                || '@example.com'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 4 = 1
+                           THEN ' call 555-'
+                                || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                                || '-0199'
+                           ELSE '' END AS text
+            FROM documents
+        ), scrub AS (
+            SELECT doc_id, text,
+                   regexp_replace(
+                       regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+            FROM aug)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT)
+                   AS n_phones,
+               CAST(length(redacted) AS BIGINT) AS redacted_len,
+               CAST(len(regexp_extract_all(redacted, '{_EMAIL_RE}'))
+                    + len(regexp_extract_all(redacted, '{_PHONE_RE}'))
+                    AS BIGINT) AS residual_pii
+        FROM scrub
+    """,
+)
+def curation_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single projection pass, no shuffle; Spark's regexp_replace is
+    replace-all by default (DuckDB needs the 'g' flag — dialect pin)."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                F.lit("-0199"),
+            ),
+        ).otherwise(""),
+    )
+    t = docs.select("doc_id", aug.alias("text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    scrub = t.select("doc_id", "text", redacted.alias("redacted"))
+
+    def _hits(col, pat):
+        return F.size(F.regexp_extract_all(col, F.lit(pat), 0)).cast("long")
+
+    return scrub.select(
+        "doc_id",
+        _hits(F.col("text"), _EMAIL_RE).alias("n_emails"),
+        _hits(F.col("text"), _PHONE_RE).alias("n_phones"),
+        F.length("redacted").cast("long").alias("redacted_len"),
+        (
+            _hits(F.col("redacted"), _EMAIL_RE)
+            + _hits(F.col("redacted"), _PHONE_RE)
+        ).alias("residual_pii"),
+    )
+
+
+# Sliding 8-token passages, mirrored between engines. Spark builds them
+# with transform-over-sequence; DuckDB with a list comprehension. The
+# tokenizer here is sanitize+tokenize (the \w/ASCII reference dialect,
+# functions/text.py), NOT this module's [a-z0-9]+ curation tokenizer —
+# passages must align with the dedup family's shingles.
+_DUCK_TOKS = (
+    "list_filter(string_split_regex(lower(regexp_replace(text, "
+    r"'([^\s\w]|_)+', ' ', 'g')), '\s+'), t -> t <> '')"
+)
+_P = 8
+_DUCK_PASSAGES = (
+    "list_distinct(["
+    + " || ' ' || ".join(f"t[i+{k}]" for k in range(_P))
+    + f" for i in range(1, len(t) - {_P - 2})])"
+)
+
+
+@register(
+    "curation_passage_dedup",
+    tags=("llm", "curation", "dedup"),
+    description=(
+        "Shared-passage report: sliding 8-token passages appearing in "
+        ">= 2 distinct docs, with doc counts — the exact-substring "
+        "complement to the shingle-Jaccard near-dup family (finds "
+        "copied boilerplate even when whole-doc similarity is low)."
+    ),
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+        ), sh AS (
+            SELECT doc_id, {_DUCK_PASSAGES} AS s
+            FROM toks WHERE len(t) >= {_P}
+        ), u AS (
+            SELECT doc_id, unnest(s) AS passage FROM sh
+        )
+        SELECT passage, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM u GROUP BY passage HAVING COUNT(*) >= 2
+    """,
+)
+def curation_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan: tokenize → per-doc distinct passages (dedup before the
+    shuffle: a passage repeated inside one doc ships once) → explode →
+    one hash aggregation keyed by passage.
+
+    At 100 TB the passage *string* would be replaced by xxhash64(passage)
+    as the shuffle key (16-byte keys, collision-checked) — kept as text
+    here because the report itself is the contract, and the oracle
+    compares passage values.
+    """
+    from hadoop_map_reduce_spark.functions.text import sanitize, tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(sanitize(F.col("text")))
+    # Short docs yield [] inside the same projection (the bigram
+    # operator's implicit-filter trick): a separate .filter(size>=P)
+    # would be pushed below the projection and re-tokenize every row.
+    passages = F.when(
+        F.size("t") >= _P,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - _P),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at("t", i + k + 1) for k in range(_P)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(toks.alias("t"))
+        .select(F.explode(passages).alias("passage"))
+        .groupBy("passage")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )

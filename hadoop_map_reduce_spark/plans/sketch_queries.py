@@ -113,3 +113,46 @@ def sketch_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok("_a90", "_e90").alias("p90_ok"),
         ok("_a99", "_e99").alias("p99_ok"),
     )
+
+
+@register(
+    "sketch_freq_items",
+    tags=("sketch", "relational", "aggregation"),
+    description=(
+        "Approximate heavy hitters: df.stat.freqItems (lossy counting) "
+        "at support 0.1 over order priorities, cross-checked against "
+        "the exact frequent set. Contract: exact counts hash-checked; "
+        "in_approx pins the sketch's no-false-negative guarantee (every "
+        "item with frequency >= support appears in the sketch result)."
+    ),
+    oracle="""
+        SELECT o_orderpriority AS item,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               TRUE AS in_approx
+        FROM orders
+        GROUP BY o_orderpriority
+        HAVING COUNT(*) * 10 >= (SELECT COUNT(*) FROM orders)
+    """,
+)
+def sketch_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two passes at sketch cost: freqItems is one map-side-combined pass
+    producing a single driver row (broadcast back), the exact counts one
+    hash aggregation. At 100 TB the exact pass is the expensive one —
+    production keeps only the sketch; here the exact set IS the oracle
+    check that the sketch kept its guarantee."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderpriority")
+    approx = orders.stat.freqItems(["o_orderpriority"], support=0.1)
+    total = orders.agg(F.count(F.lit(1)).alias("_n"))
+    exact = (
+        orders.groupBy(F.col("o_orderpriority").alias("item"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * 10 >= F.col("_n"))
+    )
+    return exact.crossJoin(F.broadcast(approx)).select(
+        "item",
+        "cnt",
+        F.array_contains(
+            F.col("o_orderpriority_freqItems"), F.col("item")
+        ).alias("in_approx"),
+    )

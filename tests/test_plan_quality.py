@@ -220,3 +220,29 @@ def test_grid_blas_matches_fold_blocked(spark, sf_dir):
     blas = sorted(map(tuple, cosine_neardup_grid_blas(emb, 0.4).collect()))
     assert fold == blas
     assert len(fold) > 0
+
+
+def test_pagerank_no_cartesian_partial_agg(spark, sf_dir):
+    """Each PageRank iteration must be an equi-join + map-side-combined
+    aggregation — a nested-loop anywhere would be quadratic in edges."""
+    plan = plan_of(spark, sf_dir, "graph_pagerank")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_sum" in plan
+
+
+def test_passage_dedup_single_agg_shuffle_pruned(spark, sf_dir):
+    """Passage report: per-doc distinct before the explode (array_distinct
+    inside the projection), exactly one aggregation exchange keyed by
+    passage, the scan pruned to just text, and tokenization evaluated
+    once per row (no pushed Filter duplicating the split)."""
+    plan = plan_of(spark, sf_dir, "curation_passage_dedup")
+    assert "ReadSchema: struct<text:string>" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan
+    assert "+- Filter" not in plan.split("Exchange")[-1]
+
+
+def test_pii_scrub_no_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "curation_pii_scrub")
+    assert "Exchange" not in plan  # pure per-row projection
