@@ -116,3 +116,31 @@ def top_k(df: DataFrame, k: int, *order_cols: Column) -> DataFrame:
     columns). Spark plans this as TakeOrderedAndProject — per-partition
     heaps then a k-row merge, no full sort of the data."""
     return df.orderBy(*order_cols).limit(k)
+
+
+def merge_upsert(
+    target: DataFrame, source: DataFrame, on: list[str]
+) -> DataFrame:
+    """MERGE/upsert semantics (WHEN MATCHED THEN UPDATE SET * / WHEN NOT
+    MATCHED THEN INSERT *): source rows win on key collision, target rows
+    survive otherwise. The engine-level operator behind CDC apply — Spark
+    SQL's MERGE INTO statement needs a v2 catalog table (Delta/Iceberg),
+    so the engine provides the same semantics over any DataFrame.
+
+    Plan shape: one LEFT ANTI equi-join (target minus source keys) + a
+    union — cheaper than the naive full-outer-join-plus-per-column-
+    coalesce, which shuffles both sides AND evaluates width(columns)
+    conditionals. The anti join broadcasts when the CDC batch is small
+    (the common case: daily updates ≪ accumulated table), making the
+    merge a map-only pass over the big target.
+
+    Requires identical schemas (positional `unionByName`); dedupe the
+    source on `on` first if a CDC batch can carry multiple versions of
+    one key.
+    """
+    cond = None
+    for k in on:
+        clause = target[k].eqNullSafe(source[k])
+        cond = clause if cond is None else cond & clause
+    survivors = target.join(source, cond, "left_anti")
+    return source.unionByName(survivors)

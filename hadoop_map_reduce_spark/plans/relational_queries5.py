@@ -475,3 +475,70 @@ def q20_excess_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     the small supplier dim."""
     _views(spark, sf_dir, "supplier", "lineitem", "part")
     return spark.sql(_Q20_EXCESS_SHIPMENTS)
+
+
+_MERGE_CDC_SQL = """
+    WITH base AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM orders
+    ), upd AS (
+        SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+               price_cents + 500 AS price_cents
+        FROM base WHERE o_orderkey % 10 = 0
+    ), ins AS (
+        SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+               'N' AS o_orderstatus, price_cents
+        FROM base WHERE o_orderkey % 97 = 0
+    ), cdc AS (
+        SELECT * FROM upd UNION ALL SELECT * FROM ins
+    )
+    SELECT * FROM cdc
+    UNION ALL
+    SELECT b.* FROM base b
+    WHERE NOT EXISTS (SELECT 1 FROM cdc c
+                      WHERE c.o_orderkey = b.o_orderkey)
+"""
+
+
+@register(
+    "merge_upsert_orders",
+    tags=("relational", "join"),
+    description=(
+        "MERGE/upsert semantics (CDC apply): a deterministic change "
+        "batch — updates for keys %10=0, inserts for keys %97=0 — "
+        "merged into orders via operators.relational.merge_upsert "
+        "(anti-join + union; Spark's MERGE INTO statement is v2-catalog-"
+        "only, the operator gives the same semantics on any DataFrame). "
+        "Money stays integer cents end-to-end."
+    ),
+    oracle=_MERGE_CDC_SQL,
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC batch is small next to the accumulated table, so the anti
+    join broadcasts it: the merge is one map-side pass over the target,
+    no shuffle of the big side — the property that matters when the
+    target is the 100-TB fact table and the batch is a day of changes."""
+    from hadoop_map_reduce_spark.operators.relational import merge_upsert
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    upd = base.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("X").alias("o_orderstatus"),
+        (F.col("price_cents") + 500).alias("price_cents"),
+    )
+    ins = base.filter(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "price_cents",
+    )
+    return merge_upsert(base, upd.unionByName(ins), on=["o_orderkey"])

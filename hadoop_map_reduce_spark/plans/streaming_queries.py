@@ -173,3 +173,60 @@ def stream_distinct_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     table = _run_to_table(distinct, "_hmrs_stream_distinct_docs", "append")
     return table.groupBy("source").agg(F.count(F.lit(1)).alias("n_unique"))
+
+
+@register(
+    "stream_stream_join",
+    tags=("streaming", "join"),
+    description=(
+        "Stream-stream inner join: click events joined to view events of "
+        "the same user within [click.ts, click.ts + 10 min], both sides "
+        "watermarked (the event-time range bound is what lets Spark "
+        "expire join state); run to completion, must equal the batch "
+        "interval join."
+    ),
+    oracle="""
+        SELECT a.user_id AS user_id,
+               a.event_id AS click_id,
+               b.event_id AS view_id
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'click' AND b.event_type = 'view'
+         AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State stays bounded because the range condition plus watermarks
+    give both sides an event-time expiry: a buffered click can stop
+    waiting once the view watermark passes click.ts + 10 min, and a
+    buffered view once the click watermark passes view.ts. State is
+    hash-partitioned by user_id across executors — the same layout as
+    any keyed aggregation, so the 100-TB story is the aggregation one.
+    """
+    clicks = (
+        _read_stream(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    views = (
+        _read_stream(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    joined = clicks.join(
+        views,
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("c_ts"))
+        & (F.col("v_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 MINUTES")),
+    ).select(F.col("c_user").alias("user_id"), "click_id", "view_id")
+    return _run_to_table(joined, "_hmrs_stream_stream_join", "append")

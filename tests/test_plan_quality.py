@@ -246,3 +246,12 @@ def test_passage_dedup_single_agg_shuffle_pruned(spark, sf_dir):
 def test_pii_scrub_no_shuffle(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "curation_pii_scrub")
     assert "Exchange" not in plan  # pure per-row projection
+
+
+def test_merge_upsert_broadcast_anti_join(spark, sf_dir):
+    """The CDC merge must anti-join the small change batch via broadcast
+    (map-only pass over the big target), never shuffle-join or nested-loop."""
+    plan = plan_of(spark, sf_dir, "merge_upsert_orders")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
