@@ -30,6 +30,7 @@ def _read_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """File-source streaming read of one synthetic table, with the same
     nanos-timestamp handling as the batch ``load_table``."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     # Schema must be declared up front for streaming sources; reuse the
     # batch reader's (post-conf) raw schema.
     raw = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -40,8 +41,12 @@ def _read_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.readStream.schema(raw.schema)
         .parquet(os.path.join(sf_dir, f"{name}.parquet*"))
     )
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if name == "events" and ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif name == "events" and ts_type == "timestamp_ntz":
+        # Same LTZ normalization as load_table (UTC session pinned above).
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -1,0 +1,288 @@
+"""Time-series analytics and deterministic sampling queries.
+
+Hypertable-style operations over the ``events`` stream table — gap-filled
+rollups, ordered funnels, cohort retention — plus deterministic sampling
+over ``documents`` (hash-bucket and stratified quota). Everything here is
+expressible as one or two shuffles and stays oracle-checkable: sampling
+uses md5-derived buckets (identical in Spark and DuckDB) instead of RNG,
+so the "sample" is a pure filter both engines agree on.
+
+Scale notes are per-query; the common theme is that the events table is
+the 100-TB side and every plan touches it exactly once (single scan,
+single shuffle on the group key), with any generated/driver-side rows
+(hour spines, stage labels) kept to broadcast size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_map_reduce_spark.plans.registry import register
+from hadoop_map_reduce_spark.session import load_table
+
+_GAPFILL_ORACLE = """
+    WITH bounds AS (
+        SELECT date_trunc('hour', MIN(ts)) AS t0,
+               date_trunc('hour', MAX(ts)) AS t1
+        FROM events
+    ), hours AS (
+        SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS hour
+        FROM bounds
+    ), hourly AS (
+        SELECT date_trunc('hour', ts) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS v_e4
+        FROM events GROUP BY 1
+    )
+    SELECT h.hour,
+           COALESCE(y.n_events, 0) AS n_events,
+           COALESCE(y.v_e4, 0) / 10000.0 AS total_value
+    FROM hours h LEFT JOIN hourly y ON y.hour = h.hour
+"""
+
+
+@register(
+    "events_gapfill",
+    tags=("timeseries", "aggregation", "join"),
+    description=(
+        "Gap-filled hourly rollup (timescale-style time_bucket_gapfill): "
+        "aggregate events per hour, then left-join onto a generated "
+        "contiguous hour spine so silent hours appear as zero rows."
+    ),
+    oracle=_GAPFILL_ORACLE,
+)
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One scan + one shuffle on the hour key; the spine is generated
+    from a single-row min/max aggregate via ``sequence``/``explode`` and
+    is broadcast-sized by construction (hours between min and max, not
+    rows), so the gap-fill join never shuffles the fact side again. At
+    100 TB the hourly aggregate is already partial-agg'd map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 10000).cast("long")).alias("_v_e4"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("t0"), F.col("t1"), F.expr("interval 1 hour"))
+        ).alias("hour")
+    )
+    return spine.join(hourly, "hour", "left").select(
+        "hour",
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        (F.coalesce(F.col("_v_e4"), F.lit(0)) / F.lit(10000.0)).alias(
+            "total_value"
+        ),
+    )
+
+
+_FUNNEL_ORACLE = """
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t_view
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t_click
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT 'stage1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+    UNION ALL
+    SELECT 'stage2_click', CAST(COUNT(*) AS BIGINT) FROM c
+    UNION ALL
+    SELECT 'stage3_purchase', CAST(COUNT(*) AS BIGINT) FROM p
+"""
+
+
+@register(
+    "events_funnel",
+    tags=("timeseries", "join", "aggregation"),
+    description=(
+        "Ordered three-stage funnel (view -> click -> purchase): users "
+        "counted at each stage only when the later event strictly follows "
+        "their first event of the previous stage."
+    ),
+    oracle=_FUNNEL_ORACLE,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each stage is a per-user MIN aggregate joined to the next stage's
+    filtered scan on user_id — all three joins are equi-joins on the same
+    key, so a 100-TB run shuffles events once per stage on user_id (AQE
+    can reuse the exchange) and the per-stage survivor sets shrink
+    monotonically. The strictly-after condition rides on the join as a
+    residual filter, not a theta-join."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+
+    def _count(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(label).alias("stage"), "n_users"
+        )
+
+    return (
+        _count(v, "stage1_view")
+        .unionByName(_count(c, "stage2_click"))
+        .unionByName(_count(p, "stage3_purchase"))
+    )
+
+
+_RETENTION_ORACLE = """
+    WITH first_day AS (
+        SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS DATE) AS cohort_day
+        FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_day,
+           CAST(date_diff('day', f.cohort_day,
+                          CAST(date_trunc('day', e.ts) AS DATE)) AS BIGINT)
+               AS day_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e JOIN first_day f ON f.user_id = e.user_id
+    GROUP BY 1, 2
+"""
+
+
+@register(
+    "events_retention",
+    tags=("timeseries", "join", "aggregation"),
+    description=(
+        "Cohort retention: users grouped by first-seen day, distinct "
+        "active users counted per (cohort_day, day_offset) cell."
+    ),
+    oracle=_RETENTION_ORACLE,
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both the cohort assignment and the activity join shuffle on
+    user_id, so Catalyst plans one exchange reused across the aggregate
+    and the join; the final (cohort, offset) aggregate is a distinct-count
+    whose map-side partial dedups (user, cohort, offset) before the
+    second, much smaller shuffle."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first_day = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("cohort_day")
+    )
+    return (
+        ev.join(first_day, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.date_trunc("day", F.col("ts")).cast("date"), F.col("cohort_day"))
+            .cast("long")
+            .alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+_HASH_SAMPLE_ORACLE = """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    WHERE substr(md5(text), 1, 1) IN ('0', '1')
+    GROUP BY lang
+"""
+
+
+@register(
+    "sample_hash_bucket",
+    tags=("llm", "sampling"),
+    description=(
+        "Deterministic ~12.5% corpus sample: keep documents whose md5 "
+        "first hex digit is 0 or 1 (2 of 16 buckets), then profile the "
+        "sample per language. Hash-bucket sampling is reproducible across "
+        "engines and runs, unlike RNG-based TABLESAMPLE."
+    ),
+    oracle=_HASH_SAMPLE_ORACLE,
+)
+def sample_hash_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sample predicate is a pure per-row filter — at 100 TB it runs
+    in the scan stage, no shuffle until the tiny per-lang aggregate. The
+    same md5-prefix trick is how you carve reproducible held-out splits
+    from a training corpus without materializing an assignment table."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(
+            F.substring(F.md5(F.col("text").cast("binary")), 1, 1).isin("0", "1")
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+_QUOTA_SAMPLE_ORACLE = """
+    WITH ranked AS (
+        SELECT lang, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(text) ASC, doc_id ASC) AS rk
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM ranked WHERE rk <= 40
+    GROUP BY lang
+"""
+
+
+@register(
+    "sample_stratified_quota",
+    tags=("llm", "sampling", "window"),
+    description=(
+        "Stratified quota sample: up to 40 documents per language, chosen "
+        "deterministically by md5 order (a seedless shuffle), profiled "
+        "per stratum. The per-language cap is how corpus mixes bound "
+        "over-represented languages."
+    ),
+    oracle=_QUOTA_SAMPLE_ORACLE,
+)
+def sample_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW_NUMBER over (lang) is one hash-partition + per-partition sort;
+    with few strata and many rows per stratum, skew lands on the biggest
+    language — at 100 TB swap in the rank-free variant (per-lang md5
+    threshold chosen from a sampled quantile) to keep the cap a pure
+    filter. The quota semantics and output contract stay identical."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.md5(F.col("text").cast("binary")).asc(), F.col("doc_id").asc())
+    )
+    return (
+        docs.select("lang", "n_chars", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 40)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )

@@ -127,11 +127,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     :func:`get_spark`: callers may hand this engine an arbitrary
     SparkSession (the verification driver does), and without the conf any
     TIMESTAMP(NANOS) parquet read fails with ``PARQUET_TYPE_ILLEGAL``.
+
+    The session time zone is likewise pinned to UTC at runtime: the
+    synthetic data generator has written ``events.ts`` as ns-longs (round
+    1) and as ``timestamp[us]`` without tz metadata (round 2, surfacing
+    as TIMESTAMP_NTZ). The engine normalizes ``ts`` to TIMESTAMP_LTZ so
+    every downstream query sees one dtype, and the NTZ→LTZ cast — plus
+    every tz-dependent scalar (``hour``, ``unix_timestamp``, …) — is only
+    deterministic and oracle-consistent (DuckDB treats naive timestamps
+    as UTC wall clock) when the session zone is UTC.
     """
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if name == "events" and ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif name == "events" and ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df

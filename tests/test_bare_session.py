@@ -23,9 +23,21 @@ def bare_conf_spark(spark):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
-def test_bare_session_cannot_read_events_directly(bare_conf_spark, sf_dir):
+def _events_ts_unit(sf_dir: str) -> str:
+    import pyarrow.parquet as pq
+
+    return str(pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type)
+
+
+def test_bare_session_cannot_read_nanos_events_directly(bare_conf_spark, sf_dir):
     # Precondition for the regression test to be meaningful: without the
-    # conf, a raw read of the nanos parquet must fail.
+    # conf, a raw read of a NANOS-timestamp parquet must fail. The driver
+    # regenerates testdata per round and the timestamp unit has varied
+    # (ns in round 1, us in round 2) — only the ns case exercises the
+    # conf, so detect the actual unit and skip otherwise. load_table must
+    # work on a bare session in BOTH cases (next tests).
+    if _events_ts_unit(sf_dir) != "timestamp[ns]":
+        pytest.skip("events.parquet not written with nanosecond timestamps")
     from pyspark.errors.exceptions.captured import AnalysisException
 
     with pytest.raises(AnalysisException, match="PARQUET_TYPE_ILLEGAL"):

@@ -255,3 +255,29 @@ def test_merge_upsert_broadcast_anti_join(spark, sf_dir):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_timeseries_queries_no_quadratic_joins(spark, sf_dir):
+    """Gap-fill, funnel, and retention are all equi-join + aggregate
+    shapes; any nested-loop here would be quadratic over events at scale."""
+    for name in ("events_gapfill", "events_funnel", "events_retention"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_gapfill_prunes_events_scan(spark, sf_dir):
+    """The gap-fill rollup must read only (ts, value) from events — the
+    spine generation reuses the same pruned scan."""
+    plan = plan_of(spark, sf_dir, "events_gapfill")
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)", plan):
+        cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        assert cols <= {"ts", "value"}, cols
+
+
+def test_hash_sample_is_scan_side_filter(spark, sf_dir):
+    """The md5-bucket sample predicate must run in the scan stage: one
+    aggregate exchange only, no join, no extra shuffle for the filter."""
+    plan = plan_of(spark, sf_dir, "sample_hash_bucket")
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # partial->final agg pair under AQE

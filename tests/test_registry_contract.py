@@ -5,7 +5,14 @@ from __future__ import annotations
 from hadoop_map_reduce_spark.plans import REGISTRY
 
 # Tags whose queries are exercised by the oracle-differential test files.
-COVERED_TAGS = {"reference", "relational", "llm", "streaming", "graph"}
+COVERED_TAGS = {
+    "reference",
+    "relational",
+    "llm",
+    "streaming",
+    "graph",
+    "timeseries",  # tests/test_timeseries_queries.py
+}
 
 
 def test_every_query_reaches_an_oracle_test():
