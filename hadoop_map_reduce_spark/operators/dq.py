@@ -1,0 +1,49 @@
+"""Data-quality auditing: declarative constraint checks in one pass.
+
+A training-data pipeline gates every ingest behind constraint checks
+(null keys, duplicate keys, range violations, enum drift). This operator
+evaluates an arbitrary rule set in a SINGLE aggregate pass over the
+table — each rule is a Column predicate flagging VIOLATING rows, all
+rules reduce to conditional counts inside one partial-agg'd shuffle, and
+the wide one-row result unpivots to (rule, n_violations) rows. At 100 TB
+the cost is one scan regardless of how many rules ride on it.
+
+Uniqueness is the one constraint a row predicate can't express; it is
+handled as a dedicated count(*) - count(distinct ...) term in the same
+aggregate (Spark plans the distinct as a two-stage expand, still one
+scan of the input).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def audit(
+    df: DataFrame,
+    violation_rules: dict[str, Column],
+    unique_keys: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """Count violations per rule; returns (rule, n_violations) rows.
+
+    ``violation_rules`` maps rule name -> predicate that is TRUE for a
+    violating row. ``unique_keys`` maps rule name -> key column list that
+    must be unique (violations = extra copies beyond the first).
+    """
+    aggs = [
+        F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+        for name, cond in violation_rules.items()
+    ]
+    for name, keys in (unique_keys or {}).items():
+        aggs.append(
+            (F.count(F.lit(1)) - F.count_distinct(*[F.col(k) for k in keys]))
+            .cast("long")
+            .alias(name)
+        )
+    wide = df.agg(*aggs)
+    names = wide.columns
+    stack_expr = ", ".join(f"'{n}', `{n}`" for n in names)
+    return wide.select(
+        F.expr(f"stack({len(names)}, {stack_expr}) as (rule, n_violations)")
+    )

@@ -542,3 +542,60 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "price_cents",
     )
     return merge_upsert(base, upd.unionByName(ins), on=["o_orderkey"])
+
+
+@register(
+    "scalar_bitwise_funcs",
+    tags=("relational", "scalar"),
+    description=(
+        "Bitwise scalar family: AND/OR/XOR, shifts, popcount over the "
+        "integer key columns."
+    ),
+    oracle="""
+        SELECT o_orderkey,
+               CAST(o_orderkey & 255 AS BIGINT) AS low_byte,
+               CAST(o_orderkey | 4096 AS BIGINT) AS with_bit,
+               CAST(xor(o_orderkey, o_custkey) AS BIGINT) AS key_xor,
+               CAST(o_orderkey << 2 AS BIGINT) AS shl2,
+               CAST(o_orderkey >> 3 AS BIGINT) AS shr3,
+               CAST(bit_count(o_orderkey) AS INT) AS popcount
+        FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    k = F.col("o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_bit"),
+        k.bitwiseXOR(F.col("o_custkey")).alias("key_xor"),
+        F.shiftleft(k, 2).alias("shl2"),
+        F.shiftright(k, 3).alias("shr3"),
+        F.bit_count(k).alias("popcount"),
+    )
+
+
+@register(
+    "agg_bit_ops",
+    tags=("relational", "aggregation"),
+    description=(
+        "Bitwise aggregates (bit_and / bit_or / bit_xor) of order keys "
+        "per order status — set-intersection/union/parity semantics over "
+        "bit masks in one partial-agg'd shuffle."
+    ),
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(bit_and(o_orderkey) AS BIGINT) AS keys_and,
+               CAST(bit_or(o_orderkey) AS BIGINT) AS keys_or,
+               CAST(bit_xor(o_orderkey) AS BIGINT) AS keys_xor
+        FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.bit_and("o_orderkey").alias("keys_and"),
+        F.bit_or("o_orderkey").alias("keys_or"),
+        F.bit_xor("o_orderkey").alias("keys_xor"),
+    )

@@ -281,3 +281,12 @@ def test_hash_sample_is_scan_side_filter(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "sample_hash_bucket")
     assert "Join" not in plan
     assert plan.count("Exchange") <= 2  # partial->final agg pair under AQE
+
+
+def test_dq_audit_single_scan(spark, sf_dir):
+    """Every constraint in the audit must ride one scan of the table —
+    adding rules must not add scans or joins."""
+    for name in ("dq_orders_audit", "dq_documents_audit"):
+        plan = plan_of(spark, sf_dir, name)
+        assert plan.count("FileScan") == 1, name
+        assert "Join" not in plan, name
