@@ -599,3 +599,62 @@ def agg_bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_or("o_orderkey").alias("keys_or"),
         F.bit_xor("o_orderkey").alias("keys_xor"),
     )
+
+
+@register(
+    "window_count_distinct",
+    tags=("relational", "window"),
+    description=(
+        "Running COUNT(DISTINCT) over an ordered window — an aggregate "
+        "Spark's window functions don't support natively. Emulated as "
+        "sum-of-first-occurrence flags (row_number==1 over (key, value) "
+        "marks each value's first row; a running sum of flags is the "
+        "running distinct count). The DuckDB oracle runs its NATIVE "
+        "distinct-window aggregate, so the emulation is checked against "
+        "a true implementation, not against itself."
+    ),
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               CAST(COUNT(DISTINCT o_orderpriority) OVER
+                    (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS running_distinct_priorities
+        FROM orders
+    """,
+)
+def window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both window passes partition by o_custkey alone — the first-
+    occurrence flag uses lag over (priority, date, key) order rather
+    than row_number over a (custkey, priority) partition, precisely so
+    the two windows share ONE hash exchange (plan-tested); they differ
+    only in within-partition sort order. A (custkey, priority)-
+    partitioned row_number would force a second shuffle."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w_first = Window.partitionBy("o_custkey").orderBy(
+        "o_orderpriority", "o_orderdate", "o_orderkey"
+    )
+    w_run = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # Within (custkey) ordered by (priority, date, key): the first row of
+    # each priority run is that value's earliest (date, key) row.
+    is_new = ~F.lag("o_orderpriority").over(w_first).eqNullSafe(
+        F.col("o_orderpriority")
+    )
+    flagged = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        "o_orderpriority",
+        F.when(is_new, 1).otherwise(0).alias("_new"),
+    )
+    return flagged.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum("_new").over(w_run).alias("running_distinct_priorities"),
+    )

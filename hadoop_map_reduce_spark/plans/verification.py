@@ -78,9 +78,10 @@ def verification_order(names: list[str]) -> list[str]:
     order preserved within each group).
 
     When pending exceeds the driver's 50-slot window (round 2 ends with
-    ~62 pending), the overflow — by construction the most recently
-    registered entries — waits for the next round; local oracle tests
-    cover every entry in the meantime.
+    ~91 pending of 130 registered), the overflow — by construction the
+    most recently registered entries — waits for a later round; local
+    oracle tests and tools/verify_contract.py cover every entry in the
+    meantime.
     """
     pending = [n for n in names if n not in DRIVER_VERIFIED]
     done = [n for n in names if n in DRIVER_VERIFIED]

@@ -290,3 +290,10 @@ def test_dq_audit_single_scan(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert plan.count("FileScan") == 1, name
         assert "Join" not in plan, name
+
+
+def test_window_count_distinct_single_exchange(spark, sf_dir):
+    """The distinct-window emulation's two window passes must share one
+    o_custkey hash exchange (they differ only in sort order)."""
+    plan = plan_of(spark, sf_dir, "window_count_distinct")
+    assert plan.count("Exchange hashpartitioning") == 1
