@@ -17,9 +17,18 @@ def asof_join_backward(
     right_time: str,
     payload_cols: list[str],
     right_on: str | None = None,
+    tolerance: str | None = None,
 ) -> DataFrame:
     """Backward as-of join: for each left row, the latest right row with
     ``right_time <= left_time`` for the same key.
+
+    ``tolerance`` (an SQL interval literal, e.g. ``"INTERVAL 7 DAY"``)
+    additionally requires ``right_time >= left_time - tolerance``: stale
+    matches beyond the window come back as nulls, exactly like pandas
+    ``merge_asof(tolerance=...)``. The bound is applied to the carried
+    match AFTER the merge scan — interval arithmetic on the original
+    timestamps, no epoch truncation — so the plan shape (one shuffle,
+    linear) is unchanged.
 
     Scale-first design: instead of the naive inequality join (which
     explodes to |left| × |matching right| before aggregating), union the
@@ -38,16 +47,26 @@ def asof_join_backward(
     in one payload column.
     """
     lcols = left.columns
+    rtypes = dict(right.dtypes)
+    # __rt (the matched right row's time) rides first in the payload
+    # struct for the tolerance check; equal-time right rows have equal
+    # __rt, so the struct sort still tie-breaks on the payload columns.
     payload_type = (
         "struct<"
-        + ",".join(f"{c}:{dict(right.dtypes)[c]}" for c in payload_cols)
+        + ",".join(
+            [f"__rt:{rtypes[right_time]}"]
+            + [f"{c}:{rtypes[c]}" for c in payload_cols]
+        )
         + ">"
     )
     tagged_r = right.select(
         F.col(right_on or on).alias("_k"),
         F.col(right_time).alias("_t"),
         F.lit(0).alias("_tag"),
-        F.struct(*[F.col(c) for c in payload_cols]).alias("_p"),
+        F.struct(
+            F.col(right_time).alias("__rt"),
+            *[F.col(c) for c in payload_cols],
+        ).alias("_p"),
         *[F.lit(None).alias(f"_l_{c}") for c in lcols],
     )
     tagged_l = left.select(
@@ -71,9 +90,16 @@ def asof_join_backward(
     merged = tagged_r.unionByName(tagged_l).select(
         "*", F.last(F.col("_p"), ignorenulls=True).over(w).alias("_asof")
     )
+    if tolerance is None:
+        in_window = F.lit(True)
+    else:
+        in_window = F.col("_asof.__rt") >= F.col("_t") - F.expr(tolerance)
     out = merged.filter(F.col("_tag") == 1).select(
         *[F.col(f"_l_{c}").alias(c) for c in lcols],
-        *[F.col(f"_asof.{c}").alias(c) for c in payload_cols],
+        *[
+            F.when(in_window, F.col(f"_asof.{c}")).alias(c)
+            for c in payload_cols
+        ],
     )
     return out
 

@@ -658,3 +658,48 @@ def window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.sum("_new").over(w_run).alias("running_distinct_priorities"),
     )
+
+
+@register(
+    "join_asof_tolerance",
+    tags=("relational", "join", "asof"),
+    description=(
+        "Backward as-of join with a 7-day tolerance window (pandas "
+        "merge_asof(tolerance=...) semantics): each event matched to the "
+        "user's latest order at-or-before the event, nulled when the "
+        "match is staler than 7 days. Same one-shuffle merge plan as "
+        "join_asof — the bound filters the carried match, it does not "
+        "change the join."
+    ),
+    oracle="""
+        WITH m AS (
+            SELECT e.event_id, e.user_id, e.ts, MAX(o.o_orderdate) AS o_orderdate
+            FROM events e LEFT JOIN orders o
+              ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+                 AND o.o_orderdate >= e.ts - INTERVAL 7 DAY
+            GROUP BY 1, 2, 3
+        )
+        SELECT m.event_id, m.user_id, m.ts, m.o_orderdate,
+               MAX(o.o_orderkey) AS o_orderkey
+        FROM m LEFT JOIN orders o
+          ON o.o_custkey = m.user_id AND o.o_orderdate = m.o_orderdate
+        GROUP BY 1, 2, 3, 4
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_map_reduce_spark.operators.relational import asof_join_backward
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    )
+    return asof_join_backward(
+        events,
+        orders,
+        on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        payload_cols=["o_orderdate", "o_orderkey"],
+        tolerance="INTERVAL 7 DAY",
+    ).select("event_id", "user_id", "ts", "o_orderdate", "o_orderkey")
