@@ -286,3 +286,45 @@ def sample_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("sum_chars"),
         )
     )
+
+
+_MULTI_GRAIN_SQL = """
+    WITH e AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               date_trunc('hour', ts) AS hour,
+               CAST(ROUND(value * 10000) AS BIGINT) AS v_e4
+        FROM events
+    )
+    SELECT event_type, day, hour,
+           CAST(GROUPING(day) AS INT) AS g_day,
+           CAST(GROUPING(hour) AS INT) AS g_hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           SUM(v_e4) / 1e4 AS total_value
+    FROM e
+    GROUP BY GROUPING SETS ((event_type),
+                            (event_type, day),
+                            (event_type, day, hour))
+"""
+
+
+@register(
+    "events_multi_grain",
+    tags=("timeseries", "aggregation"),
+    description=(
+        "Hypertable-style multi-granularity rollup: per event type, "
+        "totals at day grain, hour grain, and overall, in ONE pass via "
+        "GROUPING SETS (grain identified by GROUPING flags). One shared "
+        "SQL string runs on both engines."
+    ),
+    oracle=_MULTI_GRAIN_SQL,
+)
+def events_multi_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalyst plans grouping sets as one Expand (3 replicas of each
+    row's grouping columns, not of the table) + one partial-agg'd
+    shuffle — at 100 TB this beats three separate rollup queries by
+    reading and shuffling once."""
+    from hadoop_map_reduce_spark.session import register_views
+
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_MULTI_GRAIN_SQL)

@@ -1,0 +1,58 @@
+"""CLI query runner: ``python -m hadoop_map_reduce_spark.run <query>
+[sf_dir] [--explain] [--limit N]``.
+
+Runs any registry query against an sf directory (default
+``$SPARK_GRAFT_SF_DIR`` or sf0.1) and prints the rows (tab-separated,
+column header first) or, with ``--explain``, the formatted physical plan
+instead. ``list`` prints every registered query name with its one-line
+description. Complements ``compat.main`` (the reference's drop-in CLI):
+this is the front door to everything the engine added beyond the
+reference.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("query", help="registry query name, or 'list'")
+    p.add_argument(
+        "sf_dir",
+        nargs="?",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+    )
+    p.add_argument("--explain", action="store_true", help="print the plan")
+    p.add_argument("--limit", type=int, default=20, help="max rows printed")
+    args = p.parse_args(argv)
+
+    from hadoop_map_reduce_spark.plans import REGISTRY
+
+    if args.query == "list":
+        for name, q in REGISTRY.items():
+            oracle = "oracled" if q.oracle else "rows-only"
+            print(f"{name}\t[{oracle}]\t{q.description.strip()}")
+        return 0
+
+    if args.query not in REGISTRY:
+        print(f"unknown query: {args.query} (try 'list')", file=sys.stderr)
+        return 2
+
+    from hadoop_map_reduce_spark.session import get_spark
+
+    spark = get_spark(app_name=f"run:{args.query}")
+    df = REGISTRY[args.query].fn(spark, args.sf_dir)
+    if args.explain:
+        df.explain("formatted")
+        return 0
+    print("\t".join(df.columns))
+    for row in df.limit(args.limit).collect():
+        print("\t".join("" if v is None else str(v) for v in row))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -62,3 +62,19 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def read_orc(spark: SparkSession, *paths: str) -> DataFrame:
+    """ORC: the other columnar format with predicate pushdown + column
+    pruning; same scan contract as parquet."""
+    return spark.read.orc(list(paths))
+
+
+def write_orc(
+    df: DataFrame, path: str, mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)

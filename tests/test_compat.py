@@ -57,3 +57,20 @@ def test_bigram_job_output_contract(spark, tmp_path):
     assert all(k.isascii() for k in total)
     assert total["of+the"] == max(total.values())
     assert sum(total.values()) > 100_000
+
+
+def test_run_cli_lists_and_runs(spark, sf_dir, capsys):
+    """The registry CLI: 'list' names every query; running one prints a
+    header + rows."""
+    from hadoop_map_reduce_spark.plans import REGISTRY
+    from hadoop_map_reduce_spark.run import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    for name in list(REGISTRY)[:3]:
+        assert name in out
+
+    assert main(["wordcount", sf_dir, "--limit", "5"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0].split("\t") == ["word", "cnt"]
+    assert 1 < len(out) <= 6

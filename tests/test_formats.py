@@ -43,3 +43,26 @@ def test_partitioned_parquet_prunes(spark, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(par" in plan  # pruned at the scan
     assert back.count() == 50
+
+
+def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
+    from hadoop_map_reduce_spark.sources.formats import read_orc, write_orc
+    from hadoop_map_reduce_spark.session import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path)
+    back = read_orc(spark, path)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, orders.collect())
+    )
+    # Filters reach the ORC scan like they do for parquet.
+    plan = (
+        back.filter("o_orderkey < 100")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(o_orderkey), LessThan(o_orderkey,100)]" in plan

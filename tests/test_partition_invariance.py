@@ -27,6 +27,16 @@ QUERIES = [
     "events_gapfill",
     "window_count_distinct",
     "dq_orders_audit",
+    "join_asof",
+    "join_asof_tolerance",
+    "sessionization",
+    "dedup_clusters",
+    "graph_pagerank",
+    "events_multi_grain",
+    "embedding_neardup",
+    "sample_stratified_quota",
+    "subq_large_orders",
+    "curation_quality_funnel",
 ]
 
 
