@@ -95,3 +95,59 @@ def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_val")
         )
     )
+
+
+_HEX = "0123456789abcdef"
+
+_EMBED_HASHED_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(regexp_replace(text,
+                   '([^\\s\\w]|_)+', ' ', 'g')), '\\s+'), t -> t <> '') AS t
+        FROM documents
+    ), flat AS (
+        SELECT doc_id, u.tok FROM toks, UNNEST(t) AS u(tok)
+    ), b AS (
+        SELECT doc_id,
+               ((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+                + strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1)
+               % 64 AS dim
+        FROM flat
+    )
+    SELECT doc_id, CAST(dim AS INT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS weight
+    FROM b GROUP BY 1, 2
+"""
+
+
+@register(
+    "doc_embed_hashed",
+    tags=("llm", "ml"),
+    description=(
+        "In-engine text featurization: 64-dim feature-hash embeddings "
+        "(token -> md5-derived bucket, weight = term count), emitted as "
+        "sparse (doc_id, dim, weight) rows. Deterministic and "
+        "engine-portable — the bucket comes from md5 hex digits, not an "
+        "engine-specific hash — so the full docs->vectors step is "
+        "oracle-checked. Feeds the similarity/kmeans operators without "
+        "a Python featurizer."
+    ),
+    oracle=_EMBED_HASHED_ORACLE,
+)
+def doc_embed_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize + explode widens map-side; the (doc, dim) count is
+    partial-agg'd before its single shuffle. No UDFs — the md5 bucket is
+    whole-stage-codegen'd, so featurizing 100 TB of text is one scan at
+    JVM speed."""
+    from hadoop_map_reduce_spark.functions.text import sanitize, tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokenize(sanitize(F.col("text")))).alias("tok")
+    )
+    h1 = F.expr(f"instr('{_HEX}', substring(md5(cast(tok as binary)), 1, 1))")
+    h2 = F.expr(f"instr('{_HEX}', substring(md5(cast(tok as binary)), 2, 1))")
+    dim = (((h1 - 1) * 16 + h2 - 1) % 64).cast("int")
+    return toks.groupBy("doc_id", dim.alias("dim")).agg(
+        F.count(F.lit(1)).alias("weight")
+    )

@@ -78,4 +78,18 @@ def write_kv_text(
     ).repartition(num_partitions, F.col("_k"))
     if sort_within:
         out = out.sortWithinPartitions("_k")
-    out.select("value").write.mode("overwrite").text(path)
+    # The exactly-num_partitions contract vs AQE: when an upstream
+    # exchange already hash-partitions on the same key with the same
+    # count (e.g. the count aggregate and the session default both at
+    # n), EnsureRequirements elides this repartition and AQE is then
+    # free to coalesce the surviving upstream exchange — the write
+    # produced 1-4 files instead of n. Pin coalescing off for the write
+    # action only (restored after); upstream queries keep full AQE.
+    sess = df.sparkSession
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = sess.conf.get(coalesce_key, "true")
+    sess.conf.set(coalesce_key, "false")
+    try:
+        out.select("value").write.mode("overwrite").text(path)
+    finally:
+        sess.conf.set(coalesce_key, prev)

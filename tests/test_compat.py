@@ -61,16 +61,23 @@ def test_bigram_job_output_contract(spark, tmp_path):
 
 def test_run_cli_lists_and_runs(spark, sf_dir, capsys):
     """The registry CLI: 'list' names every query; running one prints a
-    header + rows."""
+    header + rows. The CLI's get_spark() applies its default confs to
+    the live session (getOrCreate semantics) — restore the fixture's
+    shuffle sizing afterwards so later tests see their configured
+    session."""
     from hadoop_map_reduce_spark.plans import REGISTRY
     from hadoop_map_reduce_spark.run import main
 
-    assert main(["list"]) == 0
-    out = capsys.readouterr().out
-    for name in list(REGISTRY)[:3]:
-        assert name in out
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        assert main(["list"]) == 0
+        out = capsys.readouterr().out
+        for name in list(REGISTRY)[:3]:
+            assert name in out
 
-    assert main(["wordcount", sf_dir, "--limit", "5"]) == 0
-    out = capsys.readouterr().out.strip().splitlines()
-    assert out[0].split("\t") == ["word", "cnt"]
-    assert 1 < len(out) <= 6
+        assert main(["wordcount", sf_dir, "--limit", "5"]) == 0
+        out = capsys.readouterr().out.strip().splitlines()
+        assert out[0].split("\t") == ["word", "cnt"]
+        assert 1 < len(out) <= 6
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)

@@ -168,3 +168,38 @@ def test_kv_text_sink_overwrites_existing_dir(spark, tmp_path, hadoop_layout):
             for line in p.read_text().splitlines()
         )
         assert lines == expect
+
+
+def test_sink_exact_partition_count_when_default_matches(spark, sf_dir, tmp_path):
+    """Regression: when spark.sql.shuffle.partitions equals the sink's
+    num_partitions and the upstream aggregate shuffles on the same key,
+    the sink's repartition used to be elided and AQE coalesced the
+    surviving exchange — 4 files instead of 32. The sink must hold its
+    exactly-n contract under ANY session default."""
+    from pyspark.sql import functions as F
+
+    from hadoop_map_reduce_spark.sinks import write_kv_text
+
+    # 50k distinct keys through the same shape as the bigram pipeline
+    # (aggregate shuffling on the sink key) so every hash bucket is
+    # non-empty — the default sink mode documents that empty partitions
+    # write no file.
+    counts = (
+        spark.range(200_000)
+        .select(F.concat(F.lit("w"), (F.col("id") % 50_000)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        out = tmp_path / "kv"
+        write_kv_text(counts, str(out), "w", "cnt", num_partitions=32)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert len(sorted(out.glob("part-*"))) == 32
+    # And the scoped AQE override was restored.
+    assert (
+        spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+        == "true"
+    )
