@@ -235,3 +235,32 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("v_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 MINUTES")),
     ).select(F.col("c_user").alias("user_id"), "click_id", "view_id")
     return _run_to_table(joined, "_hmrs_stream_stream_join", "append")
+
+
+@register(
+    "stream_dedup_watermarked",
+    tags=("streaming", "dedup"),
+    description=(
+        "State-BOUNDED streaming dedup: dropDuplicatesWithinWatermark on "
+        "(user_id, event_type) — unlike plain dropDuplicates, whose state "
+        "grows with the distinct-key count forever, expired keys leave "
+        "the state store once they age past the watermark, which is what "
+        "makes streaming dedup viable on an unbounded 100-TB stream. The "
+        "delay here (40 days) covers the synthetic data's whole span, so "
+        "the availableNow run reduces exactly to batch DISTINCT and the "
+        "oracle can hash-check it; a production deployment sets the "
+        "delay to its real dedup horizon."
+    ),
+    oracle="""
+        SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read_stream(spark, sf_dir, "events")
+    deduped = (
+        events.select("user_id", "event_type", "ts")
+        .withWatermark("ts", "40 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return _run_to_table(deduped, "_hmrs_stream_dedup_wm", "append")
