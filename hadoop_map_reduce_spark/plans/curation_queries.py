@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from hadoop_map_reduce_spark.plans.llm_queries import _JACCARD_PAIRS_SQL
 from hadoop_map_reduce_spark.plans.registry import register
 from hadoop_map_reduce_spark.session import load_table
 
@@ -369,4 +370,70 @@ def curation_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("passage")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") >= 2)
+    )
+
+
+@register(
+    "dedup_incremental",
+    tags=("llm", "curation", "dedup"),
+    description=(
+        "Incremental corpus dedup: a new crawl batch (doc_id % 4 == 0) is "
+        "deduped against the existing corpus store (the other 75%) AND "
+        "against earlier docs of the same batch — near-dup = trigram "
+        "Jaccard >= 0.5 via MinHash-LSH banding. Returns surviving batch "
+        "doc ids: what an append-only ingestion pipeline would admit "
+        "without ever re-deduplicating the store against itself."
+    ),
+    oracle=f"""
+        WITH near AS ({_JACCARD_PAIRS_SQL}),
+        dup AS (
+            SELECT id_b AS b, id_a AS q FROM near
+            UNION ALL
+            SELECT id_a AS b, id_b AS q FROM near
+        )
+        SELECT d.doc_id FROM documents d
+        WHERE d.doc_id % 4 = 0
+          AND NOT EXISTS (
+            SELECT 1 FROM dup
+            WHERE dup.b = d.doc_id
+              AND (dup.q % 4 <> 0 OR dup.q < d.doc_id))
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A batch doc is dropped iff it has a near-dup partner in the store
+    (any id) or an earlier (lower-id) partner within its own batch — the
+    greedy, non-recursive admission rule an append-only pipeline applies
+    per increment.
+
+    Plan shape: candidate pairs come from the same banded MinHash
+    equi-join as ``dedup_minhash_lsh`` (no cartesian), the blocker set is
+    a projection + distinct over those pairs, and admission is one
+    left-anti equi-join on doc_id. At 100 TB the store side would be a
+    persisted signature table (signatures are computed once per doc,
+    ever); each increment hashes only the new batch and joins its bands
+    against the store's — cost proportional to the batch, not the corpus.
+    Here both sides' signatures come from one pass over `documents`
+    because the registered query must be self-contained.
+    """
+    from hadoop_map_reduce_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, threshold=0.5, n=3, num_hashes=64, bands=32
+    )
+    partners = pairs.select(
+        F.col("id_b").alias("b"), F.col("id_a").alias("q")
+    ).unionAll(
+        pairs.select(F.col("id_a").alias("b"), F.col("id_b").alias("q"))
+    )
+    blockers = (
+        partners.filter(
+            (F.col("q") % 4 != 0) | (F.col("q") < F.col("b"))
+        )
+        .select("b")
+        .distinct()
+    )
+    batch = docs.filter(F.col("doc_id") % 4 == 0).select("doc_id")
+    return batch.join(
+        blockers, batch.doc_id == blockers.b, "left_anti"
     )

@@ -138,6 +138,142 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         nodes.unpersist(blocking=False)
 
 
+# Total-order key for degree orientation: degree-major, id-minor (the id
+# breaks ties, so keys are distinct per node). 2^32 base keeps the two
+# components from colliding for any id < 2^32 (TPC-H partkeys at SF 100k
+# are still < 2e9) and any degree < 2^31.
+_KEY_BASE = 4_294_967_296
+
+
+def _tri_case_sql() -> str:
+    ku = f"du.d * {_KEY_BASE} + e.u"
+    kv = f"dv.d * {_KEY_BASE} + e.v"
+    return f"""
+    SELECT CASE WHEN {ku} < {kv} THEN {ku} ELSE {kv} END AS src_key,
+           CASE WHEN {ku} < {kv} THEN {kv} ELSE {ku} END AS dst_key,
+           CASE WHEN {ku} < {kv} THEN e.u ELSE e.v END AS src,
+           CASE WHEN {ku} < {kv} THEN e.v ELSE e.u END AS dst
+    FROM edges e
+    JOIN deg du ON du.node = e.u
+    JOIN deg dv ON dv.node = e.v
+    """
+
+
+_TRIANGLES_SQL = f"""
+    WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    deg AS (
+        SELECT node, COUNT(*) AS d FROM (
+            SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges)
+        GROUP BY node),
+    oe AS ({_tri_case_sql()}),
+    tri AS (
+        SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+        FROM oe e1
+        JOIN oe e2 ON e1.src_key = e2.src_key AND e1.dst_key < e2.dst_key
+        JOIN oe e3 ON e3.src_key = e1.dst_key AND e3.dst_key = e2.dst_key)
+    SELECT part_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM (SELECT x AS part_id FROM tri
+          UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri)
+    GROUP BY part_id
+"""
+
+
+@register(
+    "graph_triangles",
+    tags=("graph", "join"),
+    description=(
+        "Per-node triangle participation counts on the part co-purchase "
+        "graph (edge = two parts appearing in the same order), via "
+        "degree-ordered edge orientation: each triangle is found exactly "
+        "once as a wedge from its lowest-(degree,id) vertex plus the "
+        "closing oriented edge — all equi-joins, no cartesian."
+    ),
+    oracle=_TRIANGLES_SQL,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-ordered (compact-forward) triangle counting.
+
+    Orienting every edge from its lower to its higher (degree, id) key
+    makes the edge set a DAG where each triangle has exactly one vertex
+    with two outgoing edges; counting wedges at that vertex and closing
+    them with a third equi-join finds each triangle once. The wedge
+    fan-out of a node is C(oriented_outdeg, 2), and orientation toward
+    the higher-degree endpoint caps oriented outdeg at O(sqrt(m)) — the
+    hub-skew bound that makes this the standard distributed triangle
+    algorithm at 100 TB (a raw hub of degree 1e6 would otherwise
+    generate 5e11 wedges on one key). The closing join shuffles on
+    (src_key, dst_key) pairs: uniform by construction.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ku = F.col("du") * F.lit(_KEY_BASE) + F.col("u")
+    kv = F.col("dv") * F.lit(_KEY_BASE) + F.col("v")
+    oe = (
+        edges.join(
+            deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u"
+        )
+        .join(
+            deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v"
+        )
+        .select(
+            F.when(ku < kv, ku).otherwise(kv).alias("src_key"),
+            F.when(ku < kv, kv).otherwise(ku).alias("dst_key"),
+            F.when(ku < kv, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(ku < kv, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    e1, e2, e3 = oe.alias("e1"), oe.alias("e2"), oe.alias("e3")
+    tri = (
+        e1.join(
+            e2,
+            (F.col("e1.src_key") == F.col("e2.src_key"))
+            & (F.col("e1.dst_key") < F.col("e2.dst_key")),
+        )
+        .join(
+            e3,
+            (F.col("e3.src_key") == F.col("e1.dst_key"))
+            & (F.col("e3.dst_key") == F.col("e2.dst_key")),
+        )
+        .select(
+            F.col("e1.src").alias("x"),
+            F.col("e1.dst").alias("y"),
+            F.col("e2.dst").alias("z"),
+        )
+    )
+    nodes = (
+        tri.select(F.col("x").alias("part_id"))
+        .unionAll(tri.select(F.col("y").alias("part_id")))
+        .unionAll(tri.select(F.col("z").alias("part_id")))
+    )
+    return nodes.groupBy("part_id").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
 @register(
     "graph_degree_hist",
     tags=("graph", "aggregation"),

@@ -1,0 +1,129 @@
+"""Data-layout queries: multi-dimensional (Z-order) clustering.
+
+At 100 TB, scan cost is dominated by how much data a filter can skip.
+Sorting by one column gives perfect min/max pruning on that column and
+none on any other; interleaving the bits of two quantized dimensions
+(Morton / Z-order) gives useful pruning on BOTH — every contiguous
+z-range maps to a small rectangle in (dim1, dim2) space, so per-file
+min/max footer stats stay tight for either predicate. This is the
+layout trick behind Delta/Iceberg ``OPTIMIZE ZORDER BY``; here it is a
+pure Column expression (shift/and/or — whole-stage codegen, no UDF),
+composable with ``storage.write_partitioned`` or
+``repartitionByRange(zvalue)`` at write time.
+
+The registered query computes the z-value per order and reports, per
+z-range cluster, the bounding box of both source dimensions — i.e. the
+min/max stats a parquet footer would carry if files were cut on z —
+demonstrating that each cluster is a tight rectangle. Everything is
+integer arithmetic, exact on both engines.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_map_reduce_spark.plans.registry import register
+from hadoop_map_reduce_spark.session import load_table
+
+#: Bits per dimension (z-values span 2 * _BITS bits).
+_BITS = 8
+#: Cluster id = z >> _CLUSTER_SHIFT (64 clusters at 16-bit z).
+_CLUSTER_SHIFT = 10
+
+_EPOCH = "1995-01-01"  # min o_orderdate in the synthetic data
+_DAYS_PER_BUCKET = 10
+_PRICE_PER_BUCKET = 2000.0
+
+
+def zorder_key(x: Column, y: Column, bits: int = _BITS) -> Column:
+    """Morton interleave of two non-negative ints quantized to `bits` bits:
+    bit i of x lands at position 2i, bit i of y at 2i+1."""
+    terms = []
+    for i in range(bits):
+        terms.append(
+            F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+        terms.append(
+            F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return reduce(lambda a, b: a + b, terms)
+
+
+def _zorder_sql(x: str, y: str, bits: int = _BITS) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@register(
+    "layout_zorder_clusters",
+    tags=("layout", "scalar"),
+    description=(
+        "Z-order (Morton) clustering of orders on (order-date bucket, "
+        "total-price bucket): interleave the bits of both quantized "
+        "dimensions, cut the z-range into 64 clusters, and report each "
+        "cluster's row count and per-dimension bounding box — the "
+        "min/max footer stats files cut on z would carry, showing both "
+        "dimensions stay prunable."
+    ),
+    oracle=f"""
+        WITH dims AS (
+            SELECT LEAST(255, CAST(FLOOR(date_diff('day',
+                       DATE '{_EPOCH}', CAST(o_orderdate AS DATE))
+                       / {_DAYS_PER_BUCKET}.0) AS INT)) AS day_bucket,
+                   LEAST(255, CAST(FLOOR(o_totalprice
+                       / {_PRICE_PER_BUCKET}) AS INT)) AS price_bucket
+            FROM orders),
+        z AS (
+            SELECT day_bucket, price_bucket,
+                   {_zorder_sql("day_bucket", "price_bucket")} AS zval
+            FROM dims)
+        SELECT zval >> {_CLUSTER_SHIFT} AS cluster_id,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               MIN(day_bucket) AS min_day, MAX(day_bucket) AS max_day,
+               MIN(price_bucket) AS min_price, MAX(price_bucket) AS max_price
+        FROM z GROUP BY cluster_id
+    """,
+)
+def layout_zorder_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One projection (pure integer bit ops, codegen'd) + one hash
+    aggregation on the 64 cluster ids. At write time the same z column
+    feeds ``repartitionByRange`` so each output file covers one tight
+    z-range; nothing here shuffles more than the 64-row aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    day_bucket = F.least(
+        F.lit(255),
+        F.floor(
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.to_date(F.lit(_EPOCH)),
+            )
+            / _DAYS_PER_BUCKET
+        ).cast("int"),
+    )
+    price_bucket = F.least(
+        F.lit(255),
+        F.floor(F.col("o_totalprice") / _PRICE_PER_BUCKET).cast("int"),
+    )
+    z = zorder_key(F.col("day_bucket"), F.col("price_bucket"))
+    return (
+        orders.select(
+            day_bucket.alias("day_bucket"), price_bucket.alias("price_bucket")
+        )
+        .select("day_bucket", "price_bucket", z.alias("zval"))
+        .groupBy(
+            F.shiftright("zval", _CLUSTER_SHIFT).alias("cluster_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("day_bucket").alias("min_day"),
+            F.max("day_bucket").alias("max_day"),
+            F.min("price_bucket").alias("min_price"),
+            F.max("price_bucket").alias("max_price"),
+        )
+    )

@@ -297,3 +297,28 @@ def test_window_count_distinct_single_exchange(spark, sf_dir):
     o_custkey hash exchange (they differ only in sort order)."""
     plan = plan_of(spark, sf_dir, "window_count_distinct")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_triangles_all_equi_joins(spark, sf_dir):
+    """Degree-ordered triangle counting is only scale-safe if every join
+    (edge build, degree attach, wedge, closing) stays an equi-join."""
+    plan = plan_of(spark, sf_dir, "graph_triangles")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_incremental_no_cartesian(spark, sf_dir):
+    """Incremental admission = banded-minhash candidates + anti-join;
+    nothing may degrade to a nested loop."""
+    plan = plan_of(spark, sf_dir, "dedup_incremental")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zorder_codegen_single_shuffle(spark, sf_dir):
+    """The z-value must stay a pure integer Column expression (no
+    Python), leaving one 64-key aggregate as the only exchange."""
+    plan = plan_of(spark, sf_dir, "layout_zorder_clusters")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1

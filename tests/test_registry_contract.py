@@ -12,6 +12,7 @@ COVERED_TAGS = {
     "streaming",
     "graph",
     "timeseries",  # tests/test_timeseries_queries.py
+    "layout",  # tests/test_layout_queries.py
 }
 
 
