@@ -150,9 +150,7 @@ def _tri_case_sql() -> str:
     kv = f"dv.d * {_KEY_BASE} + e.v"
     return f"""
     SELECT CASE WHEN {ku} < {kv} THEN {ku} ELSE {kv} END AS src_key,
-           CASE WHEN {ku} < {kv} THEN {kv} ELSE {ku} END AS dst_key,
-           CASE WHEN {ku} < {kv} THEN e.u ELSE e.v END AS src,
-           CASE WHEN {ku} < {kv} THEN e.v ELSE e.u END AS dst
+           CASE WHEN {ku} < {kv} THEN {kv} ELSE {ku} END AS dst_key
     FROM edges e
     JOIN deg du ON du.node = e.u
     JOIN deg dv ON dv.node = e.v
@@ -171,14 +169,14 @@ _TRIANGLES_SQL = f"""
         GROUP BY node),
     oe AS ({_tri_case_sql()}),
     tri AS (
-        SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+        SELECT e1.src_key AS ak, e1.dst_key AS bk, e2.dst_key AS ck
         FROM oe e1
         JOIN oe e2 ON e1.src_key = e2.src_key AND e1.dst_key < e2.dst_key
         JOIN oe e3 ON e3.src_key = e1.dst_key AND e3.dst_key = e2.dst_key)
-    SELECT part_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
-    FROM (SELECT x AS part_id FROM tri
-          UNION ALL SELECT y FROM tri
-          UNION ALL SELECT z FROM tri)
+    SELECT k % {_KEY_BASE} AS part_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM (SELECT ak AS k FROM tri
+          UNION ALL SELECT bk FROM tri
+          UNION ALL SELECT ck FROM tri)
     GROUP BY part_id
 """
 
@@ -208,6 +206,12 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm at 100 TB (a raw hub of degree 1e6 would otherwise
     generate 5e11 wedges on one key). The closing join shuffles on
     (src_key, dst_key) pairs: uniform by construction.
+
+    The wedge table — by far the largest intermediate (sum of
+    C(outdeg, 2), ~34x the edge count on this data) — carries ONLY the
+    three orientation keys: the key encodes the node id in its low 32
+    bits, so ids are decoded with one ``% 2^32`` after the joins instead
+    of widening every wedge row with carried id columns.
     """
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
@@ -242,8 +246,6 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.when(ku < kv, ku).otherwise(kv).alias("src_key"),
             F.when(ku < kv, kv).otherwise(ku).alias("dst_key"),
-            F.when(ku < kv, F.col("u")).otherwise(F.col("v")).alias("src"),
-            F.when(ku < kv, F.col("v")).otherwise(F.col("u")).alias("dst"),
         )
     )
     e1, e2, e3 = oe.alias("e1"), oe.alias("e2"), oe.alias("e3")
@@ -259,19 +261,19 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("e3.dst_key") == F.col("e2.dst_key")),
         )
         .select(
-            F.col("e1.src").alias("x"),
-            F.col("e1.dst").alias("y"),
-            F.col("e2.dst").alias("z"),
+            F.col("e1.src_key").alias("ak"),
+            F.col("e1.dst_key").alias("bk"),
+            F.col("e2.dst_key").alias("ck"),
         )
     )
     nodes = (
-        tri.select(F.col("x").alias("part_id"))
-        .unionAll(tri.select(F.col("y").alias("part_id")))
-        .unionAll(tri.select(F.col("z").alias("part_id")))
+        tri.select(F.col("ak").alias("k"))
+        .unionAll(tri.select(F.col("bk").alias("k")))
+        .unionAll(tri.select(F.col("ck").alias("k")))
     )
-    return nodes.groupBy("part_id").agg(
-        F.count(F.lit(1)).alias("n_triangles")
-    )
+    return nodes.groupBy(
+        (F.col("k") % _KEY_BASE).alias("part_id")
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
 @register(

@@ -42,6 +42,23 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Local mode runs driver + all executor threads in ONE JVM whose
+        # heap defaults to 1g — far below this machine's memory and small
+        # enough that a single wide sort-merge join OOMs. Sized via env
+        # (SPARK_GRAFT_DRIVER_MEM) with a default that leaves room for
+        # Python workers; only effective when this builder launches the
+        # JVM (a cluster submit sets --driver-memory/--executor-memory).
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+        )
+        # 10 MB default broadcast threshold is sized for 1 GB executors;
+        # with tens of GB per executor, broadcasting up to 64 MB trades a
+        # full shuffle of the big side for a cheap replicated build —
+        # decisive when a huge derived stream (e.g. triangle wedges)
+        # joins a modest edge/dim table. Cluster deploys re-tune via
+        # --conf; AQE still downgrades when runtime sizes disagree.
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         # Arrow for any pandas-UDF path (vectorized Python interchange).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Keep parquet scans pruned and pushed down (defaults, pinned

@@ -44,3 +44,33 @@ def write_partitioned(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zcol,
+    num_files: int = 32,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Cluster rows by a z-order key at write time.
+
+    ``zcol`` is the interleaved key (see
+    ``plans.layout_queries.zorder_key``). ``repartitionByRange`` range-
+    partitions on z (one sample pass, contiguous non-overlapping z-ranges
+    per output file) and the within-partition sort keeps each parquet
+    row group's footer min/max tight on BOTH interleaved dimensions —
+    the stats a scan consults to skip files/row-groups for a predicate
+    on either dimension. This is the write-side half of the layout
+    story; `layout_zorder_clusters` is the read-side report.
+    """
+    (
+        df.withColumn("_z", zcol)
+        .repartitionByRange(num_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .format(fmt)
+        .save(path)
+    )

@@ -71,3 +71,82 @@ def test_bucketed_join_is_shuffle_free(spark):
         assert joined.count() == 1000
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_zordered_write_keeps_footer_stats_tight(spark, oracle_sf_dir, tmp_path):
+    """Z-clustered files must each cover a small bounding box in BOTH
+    interleaved dimensions — the parquet footer min/max tightness that
+    lets a scan skip files for a predicate on either column. A
+    single-column sort would leave the other dimension's per-file range
+    at ~100% of global; z-order bounds both."""
+    import pyarrow.parquet as pq
+
+    from hadoop_map_reduce_spark.plans.layout_queries import zorder_key
+    from hadoop_map_reduce_spark.session import load_table
+    from hadoop_map_reduce_spark.storage import write_zordered
+
+    orders = load_table(spark, oracle_sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.least(
+            F.lit(255),
+            F.floor(
+                F.datediff(
+                    F.col("o_orderdate").cast("date"),
+                    F.to_date(F.lit("1995-01-01")),
+                )
+                / 10
+            ).cast("int"),
+        ).alias("day_bucket"),
+        F.least(
+            F.lit(255), F.floor(F.col("o_totalprice") / 2000).cast("int")
+        ).alias("price_bucket"),
+    )
+    out = str(tmp_path / "orders_z")
+    write_zordered(
+        orders,
+        out,
+        zorder_key(F.col("day_bucket"), F.col("price_bucket")),
+        num_files=16,
+    )
+
+    files = sorted(str(p) for p in (tmp_path / "orders_z").glob("*.parquet"))
+    assert len(files) >= 8  # range partitioner actually spread the data
+
+    def col_spans(col: str) -> list[tuple[int, int]]:
+        spans = []
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            lo = min(
+                md.row_group(i).column(
+                    next(
+                        j
+                        for j in range(md.num_columns)
+                        if md.row_group(i).column(j).path_in_schema == col
+                    )
+                ).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(i).column(
+                    next(
+                        j
+                        for j in range(md.num_columns)
+                        if md.row_group(i).column(j).path_in_schema == col
+                    )
+                ).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            spans.append((lo, hi))
+        return spans
+
+    for col in ("day_bucket", "price_bucket"):
+        spans = col_spans(col)
+        global_lo = min(lo for lo, _ in spans)
+        global_hi = max(hi for _, hi in spans)
+        width = global_hi - global_lo
+        assert width > 0
+        mean_frac = sum((hi - lo) / width for lo, hi in spans) / len(spans)
+        # 16 z-range files over a 256x256 space: each file's rectangle
+        # must cover well under half the global range on BOTH dims.
+        assert mean_frac < 0.5, (col, mean_frac, spans)
