@@ -47,3 +47,29 @@ def audit(
     return wide.select(
         F.expr(f"stack({len(names)}, {stack_expr}) as (rule, n_violations)")
     )
+
+
+def observed(
+    df: DataFrame,
+    metrics: dict[str, Column],
+    name: str = "dq",
+):
+    """Attach zero-extra-scan metrics to a DataFrame via ``observe``.
+
+    ``audit`` answers "how bad is this table" with a dedicated aggregate
+    job; ``observed`` instruments a DataFrame that is *already* flowing
+    through a pipeline, collecting aggregate metrics as a side effect of
+    whatever action the caller runs — no second scan, no extra shuffle
+    (metrics are accumulated per-task and merged on the driver). This is
+    how a 100 TB ingest records row counts / null rates / violation
+    counts for every stage without doubling its IO.
+
+    Returns ``(instrumented_df, observation)``; read
+    ``observation.get`` AFTER an action has run on the instrumented
+    DataFrame.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    named = [c.alias(n) for n, c in metrics.items()]
+    return df.observe(obs, *named), obs

@@ -437,3 +437,116 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch.join(
         blockers, batch.doc_id == blockers.b, "left_anti"
     )
+
+
+# Shared deterministic split bucket (llm_queries2's md5 trick).
+from hadoop_map_reduce_spark.plans.llm_queries2 import (  # noqa: E402
+    _md5_bucket_sql,
+)
+
+_mb_sql = _md5_bucket_sql("doc_id", 100)
+
+
+@register(
+    "pipeline_training_manifest",
+    tags=("llm", "curation", "dedup"),
+    description=(
+        "End-to-end corpus -> training-set manifest in ONE query: "
+        "quality gates (length / token count / repetition / language) -> "
+        "exact dedup (min-id per md5 fingerprint) -> near-dup removal "
+        "(trigram Jaccard >= 0.5 keep-lowest against gate+exact "
+        "survivors) -> deterministic md5 train/val/test split. Returns "
+        "the admitted manifest (doc_id, split, n_tok) a tokenizer job "
+        "would consume — every stage an existing registered operator, "
+        "composed without materialization barriers."
+    ),
+    oracle=f"""
+        WITH g AS (
+            SELECT doc_id, text,
+                   len(regexp_extract_all(lower(text), '{_TOKEN_RE}'))
+                       AS n_tok,
+                   len(list_distinct(
+                       regexp_extract_all(lower(text), '{_TOKEN_RE}')))
+                       AS n_dist
+            FROM documents
+            WHERE n_chars >= 100 AND lang = 'en'),
+        s1 AS (
+            SELECT doc_id, text, n_tok FROM g
+            WHERE n_tok >= 30 AND n_dist * 2 >= n_tok),
+        s2 AS (
+            SELECT doc_id, n_tok FROM (
+                SELECT doc_id, n_tok,
+                       ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                          ORDER BY doc_id) AS rn
+                FROM s1)
+            WHERE rn = 1),
+        near AS ({_JACCARD_PAIRS_SQL}),
+        s3 AS (
+            SELECT d.doc_id, d.n_tok FROM s2 d
+            WHERE NOT EXISTS (
+                SELECT 1 FROM near n JOIN s2 q ON q.doc_id = n.id_a
+                WHERE n.id_b = d.doc_id))
+        SELECT doc_id,
+               CASE WHEN {_mb_sql} < 80 THEN 'train'
+                    WHEN {_mb_sql} < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(n_tok AS BIGINT) AS n_tok
+        FROM s3
+    """,
+)
+def pipeline_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage plan: one corpus scan feeds the gate projection (pure
+    Column ops), exact dedup is a window over slim (fp, doc_id, n_tok)
+    rows (the text never shuffles — the 16-byte md5 is the key), the
+    near-dup blocker set reuses the banded-MinHash equi-join, and
+    admission + split assignment are an anti-join plus a scalar
+    expression. Every shuffle key is a digest or an id; document text
+    stays in the scan stage. At 100 TB each stage's intermediate is a
+    manifest (ids + small ints), orders of magnitude smaller than the
+    corpus."""
+    from pyspark.sql import Window
+
+    from hadoop_map_reduce_spark.operators.dedup import minhash_lsh_pairs
+    from hadoop_map_reduce_spark.plans.llm_queries2 import _md5_bucket_spark
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    s1 = (
+        docs.filter((F.col("n_chars") >= 100) & (F.col("lang") == "en"))
+        .select(
+            "doc_id",
+            F.md5(F.col("text").cast("binary")).alias("fp"),
+            F.size(toks).alias("n_tok"),
+            F.size(F.array_distinct(toks)).alias("n_dist"),
+        )
+        .filter(
+            (F.col("n_tok") >= 30)
+            & (F.col("n_dist") * 2 >= F.col("n_tok"))
+        )
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    s2 = (
+        s1.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "n_tok")
+    )
+    pairs = minhash_lsh_pairs(
+        docs, threshold=0.5, n=3, num_hashes=64, bands=32
+    )
+    blockers = (
+        pairs.join(
+            s2.select(F.col("doc_id").alias("id_a")), "id_a", "left_semi"
+        )
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    s3 = s2.join(blockers, "doc_id", "left_anti")
+    bucket = _md5_bucket_spark(F.col("doc_id"), 100)
+    return s3.select(
+        "doc_id",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+        F.col("n_tok").cast("long").alias("n_tok"),
+    )

@@ -703,3 +703,43 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload_cols=["o_orderdate", "o_orderkey"],
         tolerance="INTERVAL 7 DAY",
     ).select("event_id", "user_id", "ts", "o_orderdate", "o_orderkey")
+
+
+@register(
+    "join_null_safe",
+    tags=("relational", "join"),
+    description=(
+        "Null-safe equality join (<=> / IS NOT DISTINCT FROM): customers "
+        "and suppliers matched on a derived nation key where one value is "
+        "NULLIF'd away on both sides — NULL <=> NULL matches (one row "
+        "group per null pair), plain = would drop them. Completes the "
+        "join-variant checklist; still a hash-partitionable equi-join "
+        "(Spark plans EqualNullSafe as a normal shuffle/broadcast key)."
+    ),
+    oracle="""
+        SELECT c.nk AS nation_key,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM (SELECT NULLIF(c_nationkey, 0) AS nk FROM customer) c
+        JOIN (SELECT NULLIF(s_nationkey, 0) AS nk FROM supplier) s
+          ON c.nk IS NOT DISTINCT FROM s.nk
+        GROUP BY c.nk
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EqualNullSafe is a first-class join key for Spark: the plan is the
+    same Exchange-on-key + hash join as plain equality (nulls hash to one
+    partition — acceptable when the null group is a bounded fraction, as
+    here; a dominant null key would call for the salted-join variant)."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.nullif(F.col("c_nationkey"), F.lit(0)).alias("c_nk"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .select(F.nullif(F.col("s_nationkey"), F.lit(0)).alias("s_nk"))
+    )
+    return (
+        cust.join(supp, cust.c_nk.eqNullSafe(supp.s_nk))
+        .groupBy(F.col("c_nk").alias("nation_key"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

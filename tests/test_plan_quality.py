@@ -322,3 +322,37 @@ def test_zorder_codegen_single_shuffle(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_parquet_aggregate_pushdown_v2(spark, sf_dir):
+    """COUNT/MIN/MAX over a bare scan can be answered from parquet
+    footer metadata alone (no row reads) via the DSv2 reader — the
+    100-TB 'how many rows do we have' query costs one footer pass per
+    file. Session-scoped confs on a sibling session; the engine default
+    keeps the v1 reader for everything else."""
+    from pyspark.sql import functions as F
+
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.sources.useV1SourceList", "")
+    s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    df = s2.read.parquet(f"{sf_dir}/lineitem.parquet")
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_orderkey").alias("min_key"),
+        F.max("l_orderkey").alias("max_key"),
+    )
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "PushedAggregation: [COUNT(*), MIN(l_orderkey), MAX(l_orderkey)]" in plan
+    [row] = agg.collect()
+    assert row.n_rows > 0 and row.min_key <= row.max_key
+
+
+def test_training_manifest_text_never_shuffles(spark, sf_dir):
+    """The end-to-end manifest pipeline must keep document text in the
+    scan stage: every exchange key is a digest or an id (at 100 TB the
+    intermediates are manifests, not the corpus)."""
+    plan = plan_of(spark, sf_dir, "pipeline_training_manifest")
+    assert "hashpartitioning(text" not in plan
+    assert "hashpartitioning(cast(text" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -150,3 +150,36 @@ def test_zordered_write_keeps_footer_stats_tight(spark, oracle_sf_dir, tmp_path)
         # 16 z-range files over a 256x256 space: each file's rectangle
         # must cover well under half the global range on BOTH dims.
         assert mean_frac < 0.5, (col, mean_frac, spans)
+
+
+def test_observed_metrics_match_direct_aggregate(spark, oracle_sf_dir):
+    """`observed` must report the same numbers a dedicated aggregate
+    would compute, while the observed action itself stays the only job
+    touching the data (zero-extra-scan instrumentation)."""
+    from hadoop_map_reduce_spark.operators.dq import observed
+    from hadoop_map_reduce_spark.session import load_table
+
+    df = load_table(spark, oracle_sf_dir, "orders")
+    inst, obs = observed(
+        df,
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_null_cust": F.sum(
+                F.when(F.col("o_custkey").isNull(), 1).otherwise(0)
+            ),
+            "max_price": F.max("o_totalprice"),
+        },
+        name="orders-ingest",
+    )
+    inst.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    [direct] = df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias(
+            "n_null_cust"
+        ),
+        F.max("o_totalprice").alias("max_price"),
+    ).collect()
+    assert got["n_rows"] == direct.n_rows
+    assert (got["n_null_cust"] or 0) == (direct.n_null_cust or 0)
+    assert got["max_price"] == direct.max_price
