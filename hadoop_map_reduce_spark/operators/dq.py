@@ -31,8 +31,12 @@ def audit(
     violating row. ``unique_keys`` maps rule name -> key column list that
     must be unique (violations = extra copies beyond the first).
     """
+    # coalesce: SUM over zero rows is NULL — an empty ingest must audit
+    # as "0 violations", not "unknown".
     aggs = [
-        F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+        F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias(name)
         for name, cond in violation_rules.items()
     ]
     for name, keys in (unique_keys or {}).items():

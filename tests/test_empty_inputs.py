@@ -1,0 +1,79 @@
+"""Empty-input robustness: every operator family must return an empty
+(not crashed, not null-schema'd) result when its input has no rows —
+the guarantee that lets a scheduled 100 TB pipeline run on a day with
+no new data."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoop_map_reduce_spark.session import load_table
+
+
+@pytest.fixture(scope="module")
+def empty_docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").filter(F.lit(False))
+
+
+def test_exact_dedup_empty(spark, empty_docs):
+    from hadoop_map_reduce_spark.operators.dedup import exact_dedup
+
+    assert exact_dedup(empty_docs).count() == 0
+
+
+def test_minhash_pairs_empty(spark, empty_docs):
+    from hadoop_map_reduce_spark.operators.dedup import minhash_lsh_pairs
+
+    assert minhash_lsh_pairs(empty_docs, threshold=0.5).count() == 0
+
+
+def test_prefix_jaccard_empty(spark, empty_docs):
+    from hadoop_map_reduce_spark.operators.dedup import (
+        ngram_jaccard_pairs_prefix,
+    )
+
+    assert ngram_jaccard_pairs_prefix(empty_docs, threshold=0.5).count() == 0
+
+
+def test_cosine_topk_empty_corpus(spark, sf_dir):
+    from hadoop_map_reduce_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    empty = emb.filter(F.lit(False))
+    queries = emb.limit(2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    assert cosine_topk(empty, queries, k=5).count() == 0
+
+
+def test_asof_join_empty_left(spark, sf_dir):
+    from hadoop_map_reduce_spark.operators.relational import asof_join_backward
+
+    events = load_table(spark, sf_dir, "events").filter(F.lit(False))
+    orders = load_table(spark, sf_dir, "orders")
+    out = asof_join_backward(
+        events.select("event_id", "user_id", "ts"),
+        orders.select("o_custkey", "o_orderdate", "o_orderkey"),
+        on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        payload_cols=["o_orderkey"],
+    )
+    assert out.count() == 0
+
+
+def test_audit_empty_table_reports_zero_violations(spark, sf_dir):
+    from hadoop_map_reduce_spark.operators.dq import audit
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.lit(False))
+    out = audit(
+        orders,
+        {"null_key": F.col("o_orderkey").isNull()},
+        unique_keys={"dup_key": ["o_orderkey"]},
+    ).collect()
+    assert {r.rule: r.n_violations for r in out} == {
+        "null_key": 0,
+        "dup_key": 0,
+    }

@@ -66,3 +66,62 @@ def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
         .toString()
     )
     assert "PushedFilters: [IsNotNull(o_orderkey), LessThan(o_orderkey,100)]" in plan
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched(spark, oracle_sf_dir, tmp_path):
+    """Incremental pipelines rewrite ONE partition of a date-partitioned
+    table per run; dynamic overwrite mode must leave sibling partitions
+    intact (static mode would truncate the whole table)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_map_reduce_spark.session import load_table
+
+    out = str(tmp_path / "orders_by_status")
+    orders = load_table(spark, oracle_sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    orders.write.partitionBy("o_orderstatus").mode("overwrite").parquet(out)
+    full = spark.read.parquet(out)
+    statuses = [r.o_orderstatus for r in full.select("o_orderstatus").distinct().collect()]
+    assert len(statuses) >= 2
+    target = statuses[0]
+    before_other = full.filter(F.col("o_orderstatus") != target).count()
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        patch = orders.filter(F.col("o_orderstatus") == target).withColumn(
+            "o_totalprice", F.lit(0.0)
+        )
+        patch.write.partitionBy("o_orderstatus").mode("overwrite").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+
+    after = spark.read.parquet(out)
+    assert after.filter(F.col("o_orderstatus") != target).count() == before_other
+    assert (
+        after.filter(
+            (F.col("o_orderstatus") == target) & (F.col("o_totalprice") != 0.0)
+        ).count()
+        == 0
+    )
+
+
+def test_merge_schema_reads_evolved_files(spark, oracle_sf_dir, tmp_path):
+    """Schema evolution: files written before a column existed must read
+    as NULL for that column under mergeSchema — the append-only contract
+    a long-lived table relies on."""
+    from pyspark.sql import functions as F
+
+    from hadoop_map_reduce_spark.session import load_table
+
+    out = tmp_path / "evolving"
+    v1 = load_table(spark, oracle_sf_dir, "region")
+    v1.write.parquet(str(out / "batch=1"))
+    v2 = v1.withColumn("ingested_by", F.lit("v2"))
+    v2.write.parquet(str(out / "batch=2"))
+
+    merged = spark.read.option("mergeSchema", "true").parquet(str(out))
+    assert "ingested_by" in merged.columns
+    n = v1.count()
+    assert merged.count() == 2 * n
+    assert merged.filter(F.col("ingested_by").isNull()).count() == n

@@ -183,3 +183,28 @@ def test_observed_metrics_match_direct_aggregate(spark, oracle_sf_dir):
     assert got["n_rows"] == direct.n_rows
     assert (got["n_null_cust"] or 0) == (direct.n_null_cust or 0)
     assert got["max_price"] == direct.max_price
+
+
+def test_compact_merges_small_files_preserving_rows(spark, oracle_sf_dir, tmp_path):
+    """Compaction must cut file count to the byte-target without
+    touching row content (coalesce concatenates partitions; no shuffle,
+    no reorder across files)."""
+    from hadoop_map_reduce_spark.session import load_table
+    from hadoop_map_reduce_spark.storage import compact
+
+    out = str(tmp_path / "frag")
+    orders = load_table(spark, oracle_sf_dir, "orders")
+    orders.repartition(64).write.mode("overwrite").parquet(out)
+    before_files = len(list((tmp_path / "frag").glob("*.parquet")))
+    assert before_files >= 32
+    before_rows = sorted(
+        tuple(r) for r in spark.read.parquet(out).select("o_orderkey").collect()
+    )
+
+    n = compact(spark, out, target_file_mb=128)
+    after_files = len(list((tmp_path / "frag").glob("*.parquet")))
+    assert after_files == n < before_files
+    after_rows = sorted(
+        tuple(r) for r in spark.read.parquet(out).select("o_orderkey").collect()
+    )
+    assert after_rows == before_rows
