@@ -16,6 +16,8 @@ scan of the input).
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -29,7 +31,10 @@ def audit(
 
     ``violation_rules`` maps rule name -> predicate that is TRUE for a
     violating row. ``unique_keys`` maps rule name -> key column list that
-    must be unique (violations = extra copies beyond the first).
+    must be unique (violations = extra copies beyond the first, among
+    rows whose key components are all non-null: COUNT(DISTINCT) skips
+    null-containing keys, so rows with a null key component are excluded
+    from BOTH counts — null-ness is its own rule, not a duplicate).
     """
     # coalesce: SUM over zero rows is NULL — an empty ingest must audit
     # as "0 violations", not "unknown".
@@ -40,8 +45,14 @@ def audit(
         for name, cond in violation_rules.items()
     ]
     for name, keys in (unique_keys or {}).items():
+        all_non_null = F.lit(True)
+        for k in keys:
+            all_non_null = all_non_null & F.col(k).isNotNull()
         aggs.append(
-            (F.count(F.lit(1)) - F.count_distinct(*[F.col(k) for k in keys]))
+            (
+                F.count(F.when(all_non_null, 1))
+                - F.count_distinct(*[F.col(k) for k in keys])
+            )
             .cast("long")
             .alias(name)
         )
@@ -53,10 +64,15 @@ def audit(
     )
 
 
+#: Monotonic suffix so two instrumented stages of ONE query never share
+#: an Observation name (Spark rejects duplicate names in a plan).
+_OBS_COUNTER = itertools.count()
+
+
 def observed(
     df: DataFrame,
     metrics: dict[str, Column],
-    name: str = "dq",
+    name: str | None = None,
 ):
     """Attach zero-extra-scan metrics to a DataFrame via ``observe``.
 
@@ -74,6 +90,6 @@ def observed(
     """
     from pyspark.sql import Observation
 
-    obs = Observation(name)
+    obs = Observation(name or f"dq-{next(_OBS_COUNTER)}")
     named = [c.alias(n) for n, c in metrics.items()]
     return df.observe(obs, *named), obs

@@ -504,25 +504,22 @@ def pipeline_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays in the scan stage. At 100 TB each stage's intermediate is a
     manifest (ids + small ints), orders of magnitude smaller than the
     corpus."""
-    from pyspark.sql import Window
-
     from hadoop_map_reduce_spark.operators.dedup import minhash_lsh_pairs
     from hadoop_map_reduce_spark.plans.llm_queries2 import _md5_bucket_spark
 
     docs = load_table(spark, sf_dir, "documents")
     toks = _tokens(F.col("text"))
-    s1 = (
-        docs.filter((F.col("n_chars") >= 100) & (F.col("lang") == "en"))
-        .select(
-            "doc_id",
-            F.md5(F.col("text").cast("binary")).alias("fp"),
-            F.size(toks).alias("n_tok"),
-            F.size(F.array_distinct(toks)).alias("n_dist"),
-        )
-        .filter(
-            (F.col("n_tok") >= 30)
-            & (F.col("n_dist") * 2 >= F.col("n_tok"))
-        )
+    gated = docs.filter(
+        (F.col("n_chars") >= 100) & (F.col("lang") == "en")
+    )
+    s1 = gated.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("fp"),
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_dist"),
+    ).filter(
+        (F.col("n_tok") >= 30)
+        & (F.col("n_dist") * 2 >= F.col("n_tok"))
     )
     w = Window.partitionBy("fp").orderBy("doc_id")
     s2 = (
@@ -530,8 +527,13 @@ def pipeline_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "n_tok")
     )
+    # Signatures only for gate survivors: both endpoints of a blocking
+    # pair must lie in s2 ⊆ gated, so hashing rejected docs is pure
+    # waste (and at 100 TB the rejected fraction dominates). `gated`
+    # (the cheap-filter superset of s2) avoids recomputing the token
+    # stats just to scope the hash.
     pairs = minhash_lsh_pairs(
-        docs, threshold=0.5, n=3, num_hashes=64, bands=32
+        gated, threshold=0.5, n=3, num_hashes=64, bands=32
     )
     blockers = (
         pairs.join(

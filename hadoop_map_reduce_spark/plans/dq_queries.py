@@ -33,7 +33,9 @@ _ORDERS_AUDIT_ORACLE = """
                          THEN 1 ELSE 0 END) AS BIGINT)
     FROM orders
     UNION ALL
-    SELECT 'dup_key', CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+    -- COUNT(col) counts non-null rows: null-keyed rows are excluded from
+    -- both terms (they are the null rule's violations, not duplicates)
+    SELECT 'dup_key', CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT)
     FROM orders
 """
 
@@ -85,7 +87,7 @@ _DOCS_AUDIT_ORACLE = """
                 AS BIGINT)
     FROM documents
     UNION ALL
-    SELECT 'dup_doc_id', CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT)
+    SELECT 'dup_doc_id', CAST(COUNT(doc_id) - COUNT(DISTINCT doc_id) AS BIGINT)
     FROM documents
 """
 

@@ -328,3 +328,69 @@ def events_multi_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, "events")
     return spark.sql(_MULTI_GRAIN_SQL)
+
+
+@register(
+    "events_anomaly_zscore",
+    tags=("timeseries", "window"),
+    description=(
+        "Windowed anomaly score: per event type, z-score of each value "
+        "against the trailing 100 events (exact-integer-cents window "
+        "sums, so the mean/variance inputs are order-free and the float "
+        "pipeline is bit-identical across engines; emitted where the "
+        "trailing window has >= 20 points and positive variance)."
+    ),
+    oracle="""
+        WITH w AS (
+            SELECT event_id, event_type,
+                   CAST(ROUND(value * 100) AS BIGINT) AS vc,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER tw AS s,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)
+                       * CAST(ROUND(value * 100) AS BIGINT)) OVER tw AS sq,
+                   COUNT(*) OVER tw AS n
+            FROM events
+            WINDOW tw AS (PARTITION BY event_type
+                          ORDER BY ts ASC, event_id ASC
+                          ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_id, event_type,
+               ROUND((vc - CAST(s AS DOUBLE) / n)
+                     / SQRT((sq - CAST(s AS DOUBLE) * s / n) / (n - 1)),
+                     6) AS zscore
+        FROM w
+        WHERE n >= 20 AND (sq - CAST(s AS DOUBLE) * s / n) / (n - 1) > 0
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One window shuffle keyed by event_type (AQE splits a hot type).
+    The trailing sums are over exact integer cents — summation order
+    cannot perturb them — so mean/variance/z are fixed IEEE expression
+    DAGs over identical inputs on any engine, and round-6 output
+    hash-matches. This is the streaming-friendly anomaly shape: the
+    same trailing stats maintain incrementally under
+    applyInPandasWithState."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    vc = F.round(F.col("value") * 100).cast("bigint")
+    tw = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-100, -1)
+    )
+    w = events.select(
+        "event_id",
+        "event_type",
+        vc.alias("vc"),
+        F.sum(vc).over(tw).alias("s"),
+        F.sum(vc * vc).over(tw).alias("sq"),
+        F.count(F.lit(1)).over(tw).alias("n"),
+    )
+    var = (
+        F.col("sq") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ) / (F.col("n") - 1)
+    z = (F.col("vc") - F.col("s").cast("double") / F.col("n")) / F.sqrt(var)
+    return (
+        w.filter((F.col("n") >= 20) & (var > 0))
+        .select("event_id", "event_type", F.round(z, 6).alias("zscore"))
+    )

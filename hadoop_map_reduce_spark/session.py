@@ -32,6 +32,17 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus else 32
 
+    # Machine-sized tuning defaults. These are DEFAULTS, not pins: a
+    # value already supplied via spark-submit --conf / spark-defaults
+    # (visible in the launch-time SparkConf) wins — builder.config would
+    # otherwise override the submit, defeating per-deployment re-tuning.
+    from pyspark import SparkConf
+
+    submitted = SparkConf()
+
+    def _default(b, key: str, value: str):
+        return b if submitted.contains(key) else b.config(key, value)
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -42,33 +53,42 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        # Local mode runs driver + all executor threads in ONE JVM whose
-        # heap defaults to 1g — far below this machine's memory and small
-        # enough that a single wide sort-merge join OOMs. Sized via env
-        # (SPARK_GRAFT_DRIVER_MEM) with a default that leaves room for
-        # Python workers; only effective when this builder launches the
-        # JVM (a cluster submit sets --driver-memory/--executor-memory).
-        .config(
-            "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
-        )
-        # 10 MB default broadcast threshold is sized for 1 GB executors;
-        # with tens of GB per executor, broadcasting up to 64 MB trades a
-        # full shuffle of the big side for a cheap replicated build —
-        # decisive when a huge derived stream (e.g. triangle wedges)
-        # joins a modest edge/dim table. Cluster deploys re-tune via
-        # --conf; AQE still downgrades when runtime sizes disagree.
-        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
-        # Scan-split sizing: the 128 MB default yields 1-2 tasks for the
-        # ~100 MB-class files local testing reads — 30 of 32 cores idle
-        # during scans (measured: TPC-H Q1 on a 184 MB file, 7.7 s -> 1.3 s
-        # at 16 MB splits). A real cluster keeps the 128 MB default
-        # (per-task overhead amortizes over thousands of files); this is
-        # the knob the brief says to size for the deployment, via env.
-        .config(
-            "spark.sql.files.maxPartitionBytes",
-            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
-        )
+    )
+    # Local mode runs driver + all executor threads in ONE JVM whose
+    # heap defaults to 1g — small enough that a single wide sort-merge
+    # join OOMs. Default to a quarter of physical memory (floor 2g,
+    # cap 24g) so small CI hosts don't get a heap above their cgroup
+    # limit; SPARK_GRAFT_DRIVER_MEM overrides. Only effective when this
+    # builder launches the JVM (a cluster submit sets --driver-memory).
+    builder = _default(
+        builder,
+        "spark.driver.memory",
+        os.environ.get("SPARK_GRAFT_DRIVER_MEM", f"{_default_heap_gb()}g"),
+    )
+    # 10 MB default broadcast threshold is sized for 1 GB executors;
+    # with tens of GB per executor, broadcasting up to 64 MB trades a
+    # full shuffle of the big side for a cheap replicated build —
+    # decisive when a huge derived stream (e.g. triangle wedges) joins
+    # a modest edge/dim table. --conf / env re-tunes; AQE still
+    # downgrades when runtime sizes disagree.
+    builder = _default(
+        builder,
+        "spark.sql.autoBroadcastJoinThreshold",
+        os.environ.get("SPARK_GRAFT_BROADCAST_THRESHOLD", "64m"),
+    )
+    # Scan-split sizing: the 128 MB default yields 1-2 tasks for the
+    # ~100 MB-class files local testing reads — 30 of 32 cores idle
+    # during scans (measured: TPC-H Q1 on a 184 MB file, 7.7 s -> 1.3 s
+    # at 16 MB splits). A real cluster keeps the 128 MB default
+    # (per-task overhead amortizes over thousands of files); this is
+    # the knob the brief says to size for the deployment, via env/--conf.
+    builder = _default(
+        builder,
+        "spark.sql.files.maxPartitionBytes",
+        os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+    )
+    builder = (
+        builder
         # Arrow for any pandas-UDF path (vectorized Python interchange).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Keep parquet scans pruned and pushed down (defaults, pinned
@@ -94,6 +114,20 @@ def get_spark(
     spark.sparkContext.setLogLevel("WARN")
     ensure_worker_imports(spark)
     return spark
+
+
+def _default_heap_gb() -> int:
+    """Quarter of physical memory, clamped to [2, 24] GB — big enough
+    for wide local shuffles, never above what a small host can give."""
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemTotal:"):
+                    total_gb = int(line.split()[1]) // (1024 * 1024)
+                    return max(2, min(24, total_gb // 4))
+    except OSError:
+        pass
+    return 4
 
 
 def ensure_worker_imports(spark: SparkSession) -> None:

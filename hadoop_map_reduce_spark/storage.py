@@ -94,8 +94,17 @@ def compact(
     within input files is preserved, so footer min/max stats of sorted
     (e.g. z-ordered) data stay as tight as the merge allows.
 
-    Writes to ``path + ".compact"`` then swaps directories atomically at
-    the filesystem-rename level (same contract as a Spark job commit).
+    Swap protocol (two renames — directory swap cannot be a single
+    atomic op on a generic filesystem): write to ``<path>.compact``,
+    rename ``<path>`` -> ``<path>.old``, rename the compact dir into
+    place, delete the backup. A crash between the renames leaves
+    ``<path>.old`` holding the intact original; the next ``compact``
+    call detects that state and restores it before proceeding, so the
+    table is never lost and reruns self-heal. Hive-style partitioned
+    layouts (``col=value`` subdirectories) are refused — reading them
+    flat would silently destroy the partition columns' physical layout;
+    compact each partition directory individually instead.
+
     Returns the new file count.
     """
     import math
@@ -103,6 +112,18 @@ def compact(
     from pathlib import Path
 
     p = Path(path)
+    bak = Path(str(p) + ".old")
+    if bak.exists():
+        # Crashed previous run: the backup is the authoritative table.
+        if not p.exists():
+            bak.rename(p)
+        else:
+            shutil.rmtree(bak)
+    if any(d.is_dir() and "=" in d.name for d in p.iterdir()):
+        raise ValueError(
+            f"{path} is a partitioned layout; compact each partition "
+            "directory individually to preserve partition pruning"
+        )
     data_files = [
         f for f in p.rglob("*") if f.is_file() and not f.name.startswith("_")
     ]
@@ -117,8 +138,7 @@ def compact(
         .format(fmt)
         .save(tmp)
     )
-    bak = str(p) + ".old"
     p.rename(bak)
-    Path(tmp).rename(str(p))
+    Path(tmp).rename(p)
     shutil.rmtree(bak)
     return n_files

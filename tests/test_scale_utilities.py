@@ -60,6 +60,9 @@ def test_bucketed_join_is_shuffle_free(spark):
     write_bucketed(left, "t_bleft", ["k"], num_buckets=8, sort_cols=["k"])
     write_bucketed(right, "t_bright", ["k"], num_buckets=8, sort_cols=["k"])
 
+    # Restore the SESSION's value, not a hardcoded default — the shared
+    # fixture must keep the engine's configured threshold after this test.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         joined = read_table(spark, "t_bleft").join(
@@ -70,7 +73,7 @@ def test_bucketed_join_is_shuffle_free(spark):
         assert "Exchange hashpartitioning" not in plan
         assert joined.count() == 1000
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
 def test_zordered_write_keeps_footer_stats_tight(spark, oracle_sf_dir, tmp_path):
@@ -208,3 +211,66 @@ def test_compact_merges_small_files_preserving_rows(spark, oracle_sf_dir, tmp_pa
         tuple(r) for r in spark.read.parquet(out).select("o_orderkey").collect()
     )
     assert after_rows == before_rows
+
+
+def test_compact_refuses_partitioned_layout(spark, oracle_sf_dir, tmp_path):
+    import pytest as _pytest
+
+    from hadoop_map_reduce_spark.session import load_table
+    from hadoop_map_reduce_spark.storage import compact
+
+    out = str(tmp_path / "parted")
+    load_table(spark, oracle_sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    ).write.partitionBy("o_orderstatus").parquet(out)
+    with _pytest.raises(ValueError, match="partitioned layout"):
+        compact(spark, out)
+
+
+def test_compact_recovers_from_crashed_swap(spark, oracle_sf_dir, tmp_path):
+    """A crash between the two swap renames leaves only <path>.old; the
+    next compact() must restore it and proceed normally."""
+    from hadoop_map_reduce_spark.session import load_table
+    from hadoop_map_reduce_spark.storage import compact
+
+    out = tmp_path / "crashy"
+    orders = load_table(spark, oracle_sf_dir, "orders").select("o_orderkey")
+    orders.repartition(8).write.parquet(str(out))
+    n_rows = spark.read.parquet(str(out)).count()
+
+    # Simulate the crash window: table renamed away, new dir never moved in.
+    out.rename(tmp_path / "crashy.old")
+    compact(spark, str(out), target_file_mb=128)
+    assert spark.read.parquet(str(out)).count() == n_rows
+    assert not (tmp_path / "crashy.old").exists()
+
+
+def test_audit_null_keys_are_not_duplicates(spark):
+    from hadoop_map_reduce_spark.operators.dq import audit
+
+    df = spark.createDataFrame(
+        [(1,), (2,), (2,), (None,), (None,)], "k int"
+    )
+    out = {
+        r.rule: r.n_violations
+        for r in audit(
+            df,
+            {"null_key": F.col("k").isNull()},
+            unique_keys={"dup_key": ["k"]},
+        ).collect()
+    }
+    # Two null rows are null violations; the only duplicate is k=2.
+    assert out == {"null_key": 2, "dup_key": 1}
+
+
+def test_observed_unique_default_names(spark, oracle_sf_dir):
+    """Two instrumented stages in ONE plan must not collide on the
+    default Observation name."""
+    from hadoop_map_reduce_spark.operators.dq import observed
+    from hadoop_map_reduce_spark.session import load_table
+
+    df = load_table(spark, oracle_sf_dir, "region")
+    s1, o1 = observed(df, {"n1": F.count(F.lit(1))})
+    s2, o2 = observed(s1.filter(F.lit(True)), {"n2": F.count(F.lit(1))})
+    s2.write.format("noop").mode("overwrite").save()
+    assert o1.get["n1"] == o2.get["n2"] == df.count()
