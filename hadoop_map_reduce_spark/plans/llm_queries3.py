@@ -76,12 +76,17 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         "block_key",
         F.col("prefix").alias("_pb"),
     )
-    dist = F.levenshtein(F.col("_pa"), F.col("_pb"))
+    # Banded DP: with the threshold argument Spark computes only the
+    # |i-j| <= 8 diagonal band and early-exits past it (-1), ~4-8x less
+    # work per candidate pair than the full 64x64 matrix — and the
+    # returned value is the exact distance whenever it is <= threshold,
+    # so results are identical to the unbounded form filtered afterward.
+    dist = F.levenshtein(F.col("_pa"), F.col("_pb"), 8)
     return (
         a.join(b, "block_key")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", dist.cast("long").alias("edit_dist"))
-        .filter(F.col("edit_dist") <= 8)
+        .filter(F.col("edit_dist") >= 0)
     )
 
 
