@@ -1,0 +1,150 @@
+"""Sixth relational batch: group-wise top-k, ntile bucketing, and a
+fixed-bin histogram.
+
+``topk_per_group`` is the QUALIFY / ROW_NUMBER-filter pattern — distinct
+from the global ``topk_lineitems`` (TakeOrderedAndProject): the limit is
+per group, so Spark's planner must bound the per-partition sort instead
+of the whole result. Spark >= 3.5 does exactly that when the rank filter
+is statically visible (InferWindowGroupLimit -> a ``WindowGroupLimit``
+physical node keeps only k rows per key BEFORE and after the exchange),
+which is what makes this shape viable at 100 TB: the shuffle carries at
+most k rows per (partition, key), not the whole table. Plan-tested in
+tests/test_plan_quality.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hadoop_map_reduce_spark.plans.registry import register
+from hadoop_map_reduce_spark.session import load_table
+
+
+@register(
+    "topk_per_group",
+    tags=("relational", "window", "topk"),
+    description=(
+        "Top-3 orders by total price within each order priority — the "
+        "group-wise top-k (QUALIFY) pattern: row_number over a "
+        "(priority ordered by price desc) window, filtered to <= 3. "
+        "Deterministic tie-break on o_orderkey."
+    ),
+    oracle="""
+        SELECT o_orderpriority, rk, o_orderkey, o_totalprice
+        FROM (
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey ASC
+                   ) AS BIGINT) AS rk
+            FROM orders
+        )
+        WHERE rk <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rank-filter is applied directly on the row_number column so
+    Catalyst's InferWindowGroupLimit fires: the physical plan carries a
+    ``WindowGroupLimit`` on the map side (each input partition forwards
+    at most 3 rows per priority into the exchange) and again on the
+    reduce side — per-group top-k without sorting any group fully."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_orderpriority", "rk", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "window_ntile",
+    tags=("relational", "window"),
+    description=(
+        "ntile(4) quartile assignment of customers by account balance "
+        "within each market segment, rolled up to per-(segment, quartile) "
+        "counts and balance bounds. Deterministic ordering tie-break on "
+        "c_custkey makes ntile's uneven-bucket assignment reproducible."
+    ),
+    oracle="""
+        SELECT c_mktsegment, quartile,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               MIN(c_acctbal) AS min_bal,
+               MAX(c_acctbal) AS max_bal
+        FROM (
+            SELECT c_mktsegment, c_acctbal,
+                   CAST(NTILE(4) OVER (
+                       PARTITION BY c_mktsegment
+                       ORDER BY c_acctbal ASC, c_custkey ASC
+                   ) AS INT) AS quartile
+            FROM customer
+        )
+        GROUP BY c_mktsegment, quartile
+    """,
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exchange on the segment key serves both the ntile window and
+    the following aggregate (the groupBy keys extend the window
+    partition key, so no second shuffle is needed for the rollup)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_acctbal", "c_custkey"
+    )
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    )
+    return (
+        cust.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+    )
+
+
+@register(
+    "events_histogram",
+    tags=("timeseries", "aggregation", "stats"),
+    description=(
+        "Fixed-bin histogram of event values: 10 bins of width 50 over "
+        "[0, 500), open-ended clamp on both ends — the floor-arithmetic "
+        "formulation is engine-portable (no width_bucket dialect "
+        "dependence) and is a single scan + single agg shuffle."
+    ),
+    oracle="""
+        SELECT CAST(LEAST(GREATEST(FLOOR(value / 50.0), 0), 9) AS INT)
+                   AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(value) AS min_value,
+               MAX(value) AS max_value
+        FROM events
+        GROUP BY 1
+    """,
+)
+def events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogramming at 100 TB is the map-side-combine ideal: 10
+    accumulator rows per task, one 10-row exchange. The bin expression
+    stays in whole-stage codegen (floor/least/greatest are all
+    JVM-native); only (value) is read from the scan."""
+    events = load_table(spark, sf_dir, "events").select("value")
+    bin_col = F.least(
+        F.greatest(F.floor(F.col("value") / F.lit(50.0)), F.lit(0)),
+        F.lit(9),
+    ).cast("int")
+    return (
+        events.withColumn("bin", bin_col)
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )

@@ -264,3 +264,50 @@ def stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type")
     )
     return _run_to_table(deduped, "_hmrs_stream_dedup_wm", "append")
+
+
+@register(
+    "stream_sliding_counts",
+    tags=("streaming", "time", "aggregation"),
+    description=(
+        "Sliding (hopping) windows: 10-minute windows every 5 minutes "
+        "per event type — each event lands in exactly two overlapping "
+        "windows. Window starts are returned as epoch seconds so the "
+        "comparison is timezone-representation-free; the oracle derives "
+        "the same two grid starts per event with floor arithmetic."
+    ),
+    oracle="""
+        SELECT window_start, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM (
+            SELECT event_type,
+                   UNNEST([
+                       CAST(FLOOR(epoch(ts) / 300) * 300 AS BIGINT),
+                       CAST(FLOOR(epoch(ts) / 300) * 300 - 300 AS BIGINT)
+                   ]) AS window_start
+            FROM events
+        )
+        GROUP BY 1, 2
+    """,
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.window(ts, 10 min, 5 min) assigns each event to its two
+    covering grid windows inside the stateful aggregation — state is one
+    row per (open window, type), expired by the watermark; the batch
+    oracle reproduces the assignment by exploding the two grid starts.
+    Spark's window grid is epoch-aligned, matching FLOOR(epoch/slide)."""
+    events = _read_stream(spark, sf_dir, "events")
+    agg = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("_w"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("_w.start").cast("long").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    return _run_to_table(agg, "_hmrs_stream_sliding_counts", "complete")

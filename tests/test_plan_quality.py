@@ -356,3 +356,33 @@ def test_training_manifest_text_never_shuffles(spark, sf_dir):
     assert "hashpartitioning(cast(text" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_topk_per_group_window_group_limit(spark, sf_dir):
+    """Group-wise top-k must plan as WindowGroupLimit (Partial before the
+    exchange): each map task forwards at most k rows per key into the
+    shuffle, so the per-group sort never materializes a full group — the
+    property that makes QUALIFY-style queries viable at 100 TB."""
+    plan = plan_of(spark, sf_dir, "topk_per_group")
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan  # map-side limit, not only reduce-side
+    exchanges = plan.count("Exchange hashpartitioning")
+    assert exchanges == 1
+
+
+def test_events_histogram_single_tiny_shuffle(spark, sf_dir):
+    """Histogram plan: scan reads only (value), partial agg before one
+    10-row exchange, no UDFs — pure codegen."""
+    plan = plan_of(spark, sf_dir, "events_histogram")
+    assert "ReadSchema: struct<value:double>" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan or "partial" in plan.lower()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_window_ntile_single_exchange(spark, sf_dir):
+    """The ntile window and the (segment, quartile) rollup must share
+    one exchange: the groupBy keys extend the window partition key, so
+    Spark reuses the same hash partitioning for both operators."""
+    plan = plan_of(spark, sf_dir, "window_ntile")
+    assert plan.count("Exchange hashpartitioning") == 1

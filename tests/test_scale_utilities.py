@@ -150,9 +150,14 @@ def test_zordered_write_keeps_footer_stats_tight(spark, oracle_sf_dir, tmp_path)
         width = global_hi - global_lo
         assert width > 0
         mean_frac = sum((hi - lo) / width for lo, hi in spans) / len(spans)
-        # 16 z-range files over a 256x256 space: each file's rectangle
-        # must cover well under half the global range on BOTH dims.
-        assert mean_frac < 0.5, (col, mean_frac, spans)
+        # 16 z-range files over a 256x256 space: a linear sort would leave
+        # one dim's spans at ~1.0; z-order must bound BOTH. The exact
+        # fraction depends on where the range partitioner's quantile cuts
+        # land relative to Morton bit boundaries, and those cuts move with
+        # the sampler seed (rddId-dependent, so session-history-dependent:
+        # measured 0.45-0.50 on day_bucket across seeds) — 0.6 pins the
+        # 2-D locality claim with margin for that noise.
+        assert mean_frac < 0.6, (col, mean_frac, spans)
 
 
 def test_observed_metrics_match_direct_aggregate(spark, oracle_sf_dir):
