@@ -5,9 +5,11 @@ Runs any registry query against an sf directory (default
 ``$SPARK_GRAFT_SF_DIR`` or sf0.1) and prints the rows (tab-separated,
 column header first) or, with ``--explain``, the formatted physical plan
 instead. ``list`` prints every registered query name with its one-line
-description. Complements ``compat.main`` (the reference's drop-in CLI):
-this is the front door to everything the engine added beyond the
-reference.
+description. ``sql "<statement>"`` runs an ad-hoc Spark SQL statement
+with every synthetic table pre-registered as a view — the free-form SQL
+front door next to the named-query registry. Complements ``compat.main``
+(the reference's drop-in CLI): this is the front door to everything the
+engine added beyond the reference.
 """
 
 from __future__ import annotations
@@ -19,7 +21,13 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("query", help="registry query name, or 'list'")
+    p.add_argument("query", help="registry query name, 'list', or 'sql'")
+    p.add_argument(
+        "statement",
+        nargs="?",
+        default=None,
+        help="SQL text (only with the 'sql' subcommand)",
+    )
     p.add_argument(
         "sf_dir",
         nargs="?",
@@ -28,8 +36,29 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--explain", action="store_true", help="print the plan")
     p.add_argument("--limit", type=int, default=20, help="max rows printed")
     args = p.parse_args(argv)
+    # `statement` only means SQL text under the 'sql' subcommand; for a
+    # named query the second positional is the sf directory as before.
+    if args.query != "sql" and args.statement is not None:
+        args.sf_dir = args.statement
 
     from hadoop_map_reduce_spark.plans import REGISTRY
+
+    if args.query == "sql":
+        if not args.statement:
+            print("usage: run sql \"<statement>\" [sf_dir]", file=sys.stderr)
+            return 2
+        from hadoop_map_reduce_spark.session import get_spark, register_views
+
+        spark = get_spark(app_name="run:sql")
+        register_views(spark, args.sf_dir)
+        df = spark.sql(args.statement)
+        if args.explain:
+            df.explain("formatted")
+            return 0
+        print("\t".join(df.columns))
+        for row in df.limit(args.limit).collect():
+            print("\t".join("" if v is None else str(v) for v in row))
+        return 0
 
     if args.query == "list":
         for name, q in REGISTRY.items():

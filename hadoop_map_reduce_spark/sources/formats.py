@@ -78,3 +78,21 @@ def write_orc(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.orc(path)
+
+
+def read_parquet_evolved(spark: SparkSession, *paths: str) -> DataFrame:
+    """Parquet read across schema versions (``mergeSchema``).
+
+    Long-lived tables accrete columns: files written before a column
+    existed simply lack it. ``mergeSchema`` unions the file schemas
+    (by name) and fills missing columns with NULL, so old and new files
+    scan as one table — the append-only schema-evolution contract a
+    100-TB lakehouse table needs (add-column is free; renames/drops are
+    NOT reconciled — a rename reads as drop + add, both halves nullable).
+
+    Cost note: merging reads every file footer at planning time rather
+    than one; on tables with very many files, prefer declaring the
+    target schema explicitly via ``spark.read.schema(...)`` — same
+    NULL-fill semantics, no extra footer pass.
+    """
+    return spark.read.option("mergeSchema", True).parquet(*paths)

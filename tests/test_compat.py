@@ -81,3 +81,26 @@ def test_run_cli_lists_and_runs(spark, sf_dir, capsys):
         assert 1 < len(out) <= 6
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def test_run_cli_sql_front_door(spark, sf_dir, capsys):
+    """`run sql \"<stmt>\"` registers every table as a view and executes
+    free-form Spark SQL — the ad-hoc complement to the named registry."""
+    from hadoop_map_reduce_spark.run import main
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        rc = main([
+            "sql",
+            "SELECT l_returnflag, COUNT(*) AS n FROM lineitem "
+            "GROUP BY 1 ORDER BY 1",
+            sf_dir,
+        ])
+        assert rc == 0
+        out = capsys.readouterr().out.strip().splitlines()
+        assert out[0].split("\t") == ["l_returnflag", "n"]
+        assert len(out) == 4  # A/N/R + header
+        # a named query with an explicit sf_dir still binds positionally
+        assert main(["wordcount", sf_dir, "--limit", "2"]) == 0
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)

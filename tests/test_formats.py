@@ -125,3 +125,37 @@ def test_merge_schema_reads_evolved_files(spark, oracle_sf_dir, tmp_path):
     n = v1.count()
     assert merged.count() == 2 * n
     assert merged.filter(F.col("ingested_by").isNull()).count() == n
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Old files lacking a column and new files carrying it must scan as
+    one table: merged schema is the by-name union, missing values NULL,
+    and filters on the new column still push down to the scan."""
+    from pyspark.sql import functions as F
+
+    from hadoop_map_reduce_spark.sources.formats import read_parquet_evolved
+
+    v1 = str(tmp_path / "v1")
+    v2 = str(tmp_path / "v2")
+    spark.range(0, 5).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+    ).write.parquet(v1)
+    spark.range(5, 8).select(
+        F.col("id").alias("doc_id"),
+        F.lit("de").alias("lang"),
+        (F.col("id") * 10).alias("quality"),
+    ).write.parquet(v2)
+
+    df = read_parquet_evolved(spark, v1, v2)
+    assert sorted(df.columns) == ["doc_id", "lang", "quality"]
+    assert df.count() == 8
+    # rows from pre-evolution files surface the new column as NULL
+    assert df.filter(F.col("quality").isNull()).count() == 5
+    got = {r.doc_id: r.quality for r in df.collect()}
+    assert got[6] == 60 and got[2] is None
+    # pushdown still reaches the scan for the evolved column
+    plan = (
+        df.filter(F.col("quality") > 50)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [IsNotNull(quality), GreaterThan(quality,50)]" in plan
