@@ -279,3 +279,40 @@ def test_observed_unique_default_names(spark, oracle_sf_dir):
     s2, o2 = observed(s1.filter(F.lit(True)), {"n2": F.count(F.lit(1))})
     s2.write.format("noop").mode("overwrite").save()
     assert o1.get["n1"] == o2.get["n2"] == df.count()
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE's runtime skew handling — the zero-code-change complement to
+    salted_join: a sort-merge join whose left side is 90% one key must
+    come out of adaptive replanning with the hot partition split across
+    multiple tasks (SortMergeJoin(skew=true) in the final plan), so one
+    straggler task never holds the whole hot key. Thresholds are lowered
+    to make the ~8 MB local hot partition count as skewed; a cluster
+    run keeps the 256 MB default. Session-scoped confs on a sibling
+    session."""
+    from pyspark.sql import functions as F
+
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+    )
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    s2.conf.set("spark.sql.shuffle.partitions", "16")
+
+    left = s2.range(0, 300000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id")).alias("k"),
+        F.concat(
+            F.lit("payload-payload-payload-"), F.col("id").cast("string")
+        ).alias("v"),
+    )
+    right = s2.range(0, 5000).select(
+        F.col("id").alias("k2"), F.lit("dim").alias("name")
+    )
+    joined = left.join(right, left.k == right.k2)
+    rows = joined.collect()
+    # 270,000 hot-key matches (9 of 10 left rows hit k=0) + 500 tail
+    assert len(rows) == 270500
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "SortMergeJoin(skew=true)" in plan
