@@ -148,3 +148,89 @@ def events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("max_value"),
         )
     )
+
+
+_RECURSIVE_CHAIN = """
+    WITH RECURSIVE edges AS (
+        SELECT n_nationkey AS src,
+               COALESCE(
+                   LEAD(n_nationkey) OVER (
+                       PARTITION BY n_regionkey ORDER BY n_nationkey
+                   ),
+                   MIN(n_nationkey) OVER (PARTITION BY n_regionkey)
+               ) AS dst
+        FROM nation
+    ),
+    reach(nk, depth) AS (
+        SELECT CAST(0 AS BIGINT) AS nk, 0 AS depth
+        UNION ALL
+        SELECT e.dst AS nk, r.depth + 1 AS depth
+        FROM reach r JOIN edges e ON e.src = r.nk
+        WHERE r.depth < 12
+    )
+    SELECT nk,
+           CAST(COUNT(*) AS BIGINT) AS n_visits,
+           MIN(depth) AS first_depth
+    FROM reach
+    GROUP BY nk
+"""
+
+
+@register(
+    "recursive_nation_chain",
+    tags=("relational", "subquery", "graph"),
+    description=(
+        "Native WITH RECURSIVE (Spark >= 4.0): depth-limited reachability "
+        "walk over the per-region nation ring (each nation points to the "
+        "next key in its region, wrapping). One SQL string runs verbatim "
+        "on both engines — the SQL-surface twin of the iterative "
+        "DataFrame algorithms (dedup_clusters, graph_pagerank), which "
+        "remain the tuned path for data-sized graphs."
+    ),
+    oracle=_RECURSIVE_CHAIN,
+)
+def recursive_nation_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark executes the recursion as iterated unions with the same
+    per-step shuffle shape as a hand-rolled loop; the depth guard bounds
+    the iteration exactly like the loop counters in operators/clustering.
+    Out-degree here is 1, so state stays one row per step — the guard,
+    not row growth, ends the recursion."""
+    from hadoop_map_reduce_spark.session import register_views
+
+    register_views(spark, sf_dir, "nation")
+    return spark.sql(_RECURSIVE_CHAIN)
+
+
+@register(
+    "scalar_variant_funcs",
+    tags=("relational", "scalar", "json"),
+    description=(
+        "VARIANT ingestion (Spark >= 4.0): parse_json(props) into the "
+        "binary variant encoding, typed extraction via variant_get and "
+        "per-value type introspection via schema_of_variant — the "
+        "schema-on-read path for heterogeneous JSON event payloads. The "
+        "oracle extracts the same values through DuckDB's JSON operators."
+    ),
+    oracle="""
+        SELECT event_id,
+               CAST(props->>'k' AS BIGINT) AS k_val,
+               'BIGINT' AS k_type
+        FROM events
+        WHERE CAST(props->>'k' AS BIGINT) IS NOT NULL
+    """,
+)
+def scalar_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT keeps the parsed tree in a binary columnar encoding, so
+    repeated extractions don't re-parse the JSON text (get_json_object
+    re-parses per call — see scalar_json_funcs for the classic path).
+    Values stay JVM-side; both functions are codegen expressions."""
+    events = load_table(spark, sf_dir, "events").select("event_id", "props")
+    v = F.parse_json("props")
+    extracted = events.select(
+        "event_id",
+        F.variant_get(v, "$.k", "long").alias("k_val"),
+        F.schema_of_variant(F.variant_get(v, "$.k", "variant")).alias(
+            "k_type"
+        ),
+    )
+    return extracted.filter(F.col("k_val").isNotNull())

@@ -27,3 +27,58 @@ def test_streaming_rerun_same_session(spark, sf_dir, name):
     n1 = df1.count()
     df2 = REGISTRY[name].fn(spark, sf_dir)
     assert df2.count() == n1
+
+
+def test_session_windows_merge_across_micro_batches(spark, sf_dir, tmp_path):
+    """session_window state must merge on out-of-order arrival ACROSS
+    micro-batches, not only within one: events split round-robin into 3
+    files and streamed one file per trigger interleave every session
+    across batches, yet the final sessions must equal the single-batch
+    run (complete mode keeps all state; no watermark eviction). This is
+    the property that lets a production stream resume mid-session."""
+    from pyspark.sql import functions as F
+
+    from hadoop_map_reduce_spark.session import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    src = str(tmp_path / "events_split")
+    # round-robin by event_id: each file holds a slice of EVERY session
+    events.withColumn("_b", F.col("event_id") % 3).repartition(
+        3, "_b"
+    ).drop("_b").write.parquet(src)
+
+    def run(max_files: int | None, table: str):
+        reader = spark.readStream.schema(events.schema)
+        if max_files is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files)
+        stream = reader.parquet(src)
+        agg = (
+            stream.withWatermark("ts", "2 hours")
+            .groupBy(
+                "user_id", F.session_window("ts", "30 minutes").alias("_w")
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("_w.start").alias("session_start"),
+                "n_events",
+            )
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(table)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            tuple(r) for r in spark.table(table).collect()
+        )
+
+    multi = run(1, "_t_sess_multi")  # >= 3 micro-batches
+    single = run(None, "_t_sess_single")  # one batch
+    assert multi == single
+    assert len(multi) > 0
