@@ -170,3 +170,34 @@ def merge_upsert(
         cond = clause if cond is None else cond & clause
     survivors = target.join(source, cond, "left_anti")
     return source.unionByName(survivors)
+
+
+def apply_cdc(
+    target: DataFrame,
+    source: DataFrame,
+    on: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Full CDC apply — :func:`merge_upsert` plus delete semantics.
+
+    ``source`` carries an operation column (insert/update rows with any
+    value, deletes marked ``delete_op``). Every target row whose key
+    appears in the batch drops via one LEFT ANTI equi-join (only the
+    batch's key columns are shipped — the broadcast stays slim no matter
+    how wide the change rows are); non-delete batch rows are appended
+    with ``op_col`` removed. Same map-only shape over the big target as
+    merge_upsert; this is the GDPR-deletion / tombstone-apply path a
+    long-lived 100-TB corpus store needs.
+
+    Requires at most one source row per key (dedupe the batch to its
+    latest version first, as any CDC consumer must).
+    """
+    keys = source.select(*on).distinct()
+    cond = None
+    for k in on:
+        clause = target[k].eqNullSafe(keys[k])
+        cond = clause if cond is None else cond & clause
+    survivors = target.join(keys, cond, "left_anti")
+    upserts = source.filter(F.col(op_col) != F.lit(delete_op)).drop(op_col)
+    return upserts.unionByName(survivors)

@@ -234,3 +234,70 @@ def scalar_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return extracted.filter(F.col("k_val").isNotNull())
+
+
+_CDC_DELETES_SQL = """
+    WITH batch AS (
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+               'X' AS o_orderstatus,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) + 500 AS price_cents
+        FROM orders
+        WHERE o_orderkey % 10 = 0 OR o_orderkey % 7 = 0
+    ),
+    base AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM orders
+    )
+    SELECT b.o_orderkey, b.o_custkey, b.o_orderstatus, b.price_cents
+    FROM base b
+    WHERE NOT EXISTS (
+        SELECT 1 FROM batch c WHERE c.o_orderkey = b.o_orderkey
+    )
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, price_cents
+    FROM batch WHERE op <> 'D'
+"""
+
+
+@register(
+    "merge_apply_cdc_deletes",
+    tags=("relational", "join"),
+    description=(
+        "Full CDC apply including deletes (operators.relational."
+        "apply_cdc): a deterministic change batch — updates for keys "
+        "%10=0, tombstones for keys %7=0 — applied to orders. Every "
+        "batched key leaves the target via one slim anti-join on the "
+        "key projection; update rows re-enter, tombstoned keys do not. "
+        "Completes the merge_upsert_orders story with the GDPR-deletion "
+        "path. Money stays integer cents end-to-end."
+    ),
+    oracle=_CDC_DELETES_SQL,
+)
+def merge_apply_cdc_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The anti join ships only the batch's KEYS (distinct projection),
+    so the broadcast is minimal regardless of change-row width; the big
+    target is never shuffled — one map-side pass, like merge_upsert."""
+    from hadoop_map_reduce_spark.operators.relational import apply_cdc
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+    batch = (
+        load_table(spark, sf_dir, "orders")
+        .filter((F.col("o_orderkey") % 10 == 0) | (F.col("o_orderkey") % 7 == 0))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.when(F.col("o_orderkey") % 7 == 0, "D").otherwise("U").alias("op"),
+            F.lit("X").alias("o_orderstatus"),
+            (F.round(F.col("o_totalprice") * 100).cast("long") + 500).alias(
+                "price_cents"
+            ),
+        )
+    )
+    return apply_cdc(base, batch, on=["o_orderkey"])

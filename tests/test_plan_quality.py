@@ -386,3 +386,36 @@ def test_window_ntile_single_exchange(spark, sf_dir):
     Spark reuses the same hash partitioning for both operators."""
     plan = plan_of(spark, sf_dir, "window_ntile")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_apply_cdc_deletes_broadcast_anti_join(spark, sf_dir):
+    """Full CDC apply (with tombstones) keeps merge_upsert's shape: one
+    broadcast LEFT ANTI join on the batch's key projection over the big
+    target — no shuffle of the target, no nested loop."""
+    plan = plan_of(spark, sf_dir, "merge_apply_cdc_deletes")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_join_strategy_hints_honored(spark, sf_dir):
+    """All three physical join strategies are selectable per-join via
+    hints — the manual override lane when size-based planning guesses
+    wrong (e.g. a filtered dim whose stats overestimate): merge ->
+    SortMergeJoin, shuffle_hash -> ShuffledHashJoin (no sort, wins when
+    one side is modest and memory fits), broadcast -> BroadcastHashJoin."""
+    from hadoop_map_reduce_spark.session import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    expect = {
+        "merge": "SortMergeJoin",
+        "shuffle_hash": "ShuffledHashJoin",
+        "broadcast": "BroadcastHashJoin",
+    }
+    for hint, node in expect.items():
+        plan = (
+            o.join(c.hint(hint), o.o_custkey == c.c_custkey)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert node in plan, (hint, node)

@@ -74,3 +74,21 @@ def test_ann_probe_flips_two_probes_more_buckets(spark):
     assert n2 >= n1
     with pytest.raises(ValueError, match="probe_flips"):
         ann_topk_lsh(emb, q, k=5, dim=8, n_planes=5, probe_flips=3)
+
+
+def test_apply_cdc_semantics(spark):
+    """apply_cdc unit semantics: tombstoned keys vanish, updated keys
+    carry the batch row, untouched keys survive unchanged."""
+    from pyspark.sql import functions as F
+
+    from hadoop_map_reduce_spark.operators.relational import apply_cdc
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k INT, v STRING"
+    )
+    batch = spark.createDataFrame(
+        [("U", 2, "b2"), ("D", 3, None), ("I", 9, "i9")],
+        "op STRING, k INT, v STRING",
+    )
+    got = {r.k: r.v for r in apply_cdc(target, batch, on=["k"]).collect()}
+    assert got == {1: "a", 2: "b2", 4: "d", 9: "i9"}
