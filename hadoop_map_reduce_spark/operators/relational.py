@@ -191,7 +191,11 @@ def apply_cdc(
     long-lived 100-TB corpus store needs.
 
     Requires at most one source row per key (dedupe the batch to its
-    latest version first, as any CDC consumer must).
+    latest version first, as any CDC consumer must). A NULL ``op_col``
+    is applied as an upsert, never a delete — the null-safe filter below
+    keeps malformed rows visible in the output instead of silently
+    dropping the key (a plain ``!=`` would evaluate NULL and turn a
+    missing op into a hard delete).
     """
     keys = source.select(*on).distinct()
     cond = None
@@ -199,5 +203,7 @@ def apply_cdc(
         clause = target[k].eqNullSafe(keys[k])
         cond = clause if cond is None else cond & clause
     survivors = target.join(keys, cond, "left_anti")
-    upserts = source.filter(F.col(op_col) != F.lit(delete_op)).drop(op_col)
+    upserts = source.filter(
+        ~F.col(op_col).eqNullSafe(F.lit(delete_op))
+    ).drop(op_col)
     return upserts.unionByName(survivors)

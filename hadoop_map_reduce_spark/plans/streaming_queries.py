@@ -292,10 +292,14 @@ def stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F.window(ts, 10 min, 5 min) assigns each event to its two
-    covering grid windows inside the stateful aggregation — state is one
-    row per (open window, type), expired by the watermark; the batch
+    covering grid windows inside the stateful aggregation; the batch
     oracle reproduces the assignment by exploding the two grid starts.
-    Spark's window grid is epoch-aligned, matching FLOOR(epoch/slide)."""
+    Spark's window grid is epoch-aligned, matching FLOOR(epoch/slide).
+    State honesty: this verify harness runs COMPLETE mode, which keeps
+    every window for the life of the (availableNow, finite) query — the
+    watermark is inert here. A production deployment emits in append/
+    update mode, where the same watermark is what expires closed windows
+    and bounds state to the open ones."""
     events = _read_stream(spark, sf_dir, "events")
     agg = (
         events.withWatermark("ts", "2 hours")

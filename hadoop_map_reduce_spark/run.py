@@ -18,6 +18,19 @@ import argparse
 import os
 import sys
 
+_SF_DEFAULT = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _emit(df, explain: bool, limit: int) -> int:
+    """Shared output path for both CLI modes: plan or header + rows."""
+    if explain:
+        df.explain("formatted")
+        return 0
+    print("\t".join(df.columns))
+    for row in df.limit(limit).collect():
+        print("\t".join("" if v is None else str(v) for v in row))
+    return 0
+
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
@@ -28,18 +41,20 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="SQL text (only with the 'sql' subcommand)",
     )
-    p.add_argument(
-        "sf_dir",
-        nargs="?",
-        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
-    )
+    p.add_argument("sf_dir", nargs="?", default=None)
     p.add_argument("--explain", action="store_true", help="print the plan")
     p.add_argument("--limit", type=int, default=20, help="max rows printed")
     args = p.parse_args(argv)
     # `statement` only means SQL text under the 'sql' subcommand; for a
-    # named query the second positional is the sf directory as before.
-    if args.query != "sql" and args.statement is not None:
-        args.sf_dir = args.statement
+    # named query the second positional is the sf directory as before —
+    # and a third positional is the error it always was.
+    if args.query != "sql":
+        if args.statement is not None and args.sf_dir is not None:
+            p.error(f"unrecognized argument: {args.sf_dir}")
+        if args.statement is not None:
+            args.sf_dir = args.statement
+    if args.sf_dir is None:
+        args.sf_dir = _SF_DEFAULT
 
     from hadoop_map_reduce_spark.plans import REGISTRY
 
@@ -51,14 +66,7 @@ def main(argv: list[str] | None = None) -> int:
 
         spark = get_spark(app_name="run:sql")
         register_views(spark, args.sf_dir)
-        df = spark.sql(args.statement)
-        if args.explain:
-            df.explain("formatted")
-            return 0
-        print("\t".join(df.columns))
-        for row in df.limit(args.limit).collect():
-            print("\t".join("" if v is None else str(v) for v in row))
-        return 0
+        return _emit(spark.sql(args.statement), args.explain, args.limit)
 
     if args.query == "list":
         for name, q in REGISTRY.items():
@@ -73,14 +81,9 @@ def main(argv: list[str] | None = None) -> int:
     from hadoop_map_reduce_spark.session import get_spark
 
     spark = get_spark(app_name=f"run:{args.query}")
-    df = REGISTRY[args.query].fn(spark, args.sf_dir)
-    if args.explain:
-        df.explain("formatted")
-        return 0
-    print("\t".join(df.columns))
-    for row in df.limit(args.limit).collect():
-        print("\t".join("" if v is None else str(v) for v in row))
-    return 0
+    return _emit(
+        REGISTRY[args.query].fn(spark, args.sf_dir), args.explain, args.limit
+    )
 
 
 if __name__ == "__main__":

@@ -34,8 +34,12 @@ def test_session_windows_merge_across_micro_batches(spark, sf_dir, tmp_path):
     micro-batches, not only within one: events split round-robin into 3
     files and streamed one file per trigger interleave every session
     across batches, yet the final sessions must equal the single-batch
-    run (complete mode keeps all state; no watermark eviction). This is
-    the property that lets a production stream resume mid-session."""
+    run. The watermark delay (90 days) must cover the arrival skew —
+    here each batch spans the whole 40-day corpus, and session windows
+    drop late input in EVERY output mode (verified: a 2-hour delay
+    silently loses ~a third of the events to late filtering in batch
+    2+). That delay-covers-skew contract is exactly what a production
+    stream needs to resume mid-session."""
     from pyspark.sql import functions as F
 
     from hadoop_map_reduce_spark.session import load_table
@@ -44,10 +48,16 @@ def test_session_windows_merge_across_micro_batches(spark, sf_dir, tmp_path):
         "event_id", "user_id", "ts"
     )
     src = str(tmp_path / "events_split")
-    # round-robin by event_id: each file holds a slice of EVERY session
-    events.withColumn("_b", F.col("event_id") % 3).repartition(
-        3, "_b"
-    ).drop("_b").write.parquet(src)
+    # round-robin by event_id: each file holds a slice of EVERY session.
+    # Three explicit appends (not repartition(3, _b): hash(0)%3 ==
+    # hash(2)%3 collides two slices into one file) guarantee >= 3 files
+    # and therefore >= 3 micro-batches under maxFilesPerTrigger=1.
+    for i in range(3):
+        events.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    n_files = len(list((tmp_path / "events_split").glob("*.parquet")))
+    assert n_files >= 3
 
     def run(max_files: int | None, table: str):
         reader = spark.readStream.schema(events.schema)
@@ -55,7 +65,7 @@ def test_session_windows_merge_across_micro_batches(spark, sf_dir, tmp_path):
             reader = reader.option("maxFilesPerTrigger", max_files)
         stream = reader.parquet(src)
         agg = (
-            stream.withWatermark("ts", "2 hours")
+            stream.withWatermark("ts", "90 days")
             .groupBy(
                 "user_id", F.session_window("ts", "30 minutes").alias("_w")
             )

@@ -3,11 +3,13 @@
 Builds (once) an Nx dataset at /tmp/sfx{N}: fact/doc tables are N
 id-shifted copies of sf0.1, dimension tables are copied unchanged, so
 fact->dim joins keep their selectivity and fact->fact joins match within
-a copy. Document text is rot-ciphered per copy (rotation i%26) so the
-corpus does NOT degenerate into N-sized duplicate cliques: ~N/26 copies
-share a rotation, so true near-dup pairs grow ~N*(N/26)/2-fold (at
-N=100: ~24x the per-copy pair count) — enough to stress candidate
-generation, far from the C(N,2) blowup of byte-identical copies.
+a copy. Document text is rot-ciphered per copy (rotation i%26) so each
+base text matches only its ~N/26 same-rotation copies, not all N: at
+N=100 that is 22*C(4,2) + 4*C(3,2) = 144 cross-copy identical pairs per
+base text instead of C(100,2) = 4950 — a heavy but not degenerate
+near-dup load (measured for dedup_minhash_lsh: 256 pairs at x1 ->
+819,328 at x100, i.e. 3200x the output for 24x the time; see
+BASELINE.md).
 
 Usage: python tools/scale_audit.py [N] [query ...]
 Prints one JSON line per query: {"query", "x1_s", "xN_s", "ratio"}.
@@ -60,9 +62,15 @@ def build(spark, n: int, out_dir: str) -> None:
     from pyspark.sql import functions as F
 
     os.makedirs(out_dir, exist_ok=True)
+    def complete(path: str) -> bool:
+        # A bare directory check would accept a killed run's partial
+        # output (Spark creates the dir before committing); _SUCCESS is
+        # only written on commit.
+        return os.path.exists(os.path.join(path, "_SUCCESS"))
+
     for t in DIMS:
         dst = f"{out_dir}/{t}.parquet"
-        if not os.path.exists(dst):
+        if not complete(dst):
             spark.read.parquet(f"{BASE}/{t}.parquet").write.mode(
                 "overwrite"
             ).parquet(dst)
@@ -77,7 +85,7 @@ def build(spark, n: int, out_dir: str) -> None:
     }
     for t, id_cols in shifts.items():
         dst = f"{out_dir}/{t}.parquet"
-        if os.path.exists(dst):
+        if complete(dst):
             continue
         base = spark.read.parquet(f"{BASE}/{t}.parquet")
         offset = base.agg(F.max(id_cols[0])).collect()[0][0] + 1
