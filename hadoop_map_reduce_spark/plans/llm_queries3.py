@@ -145,3 +145,97 @@ def mix_sources_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_total"),
         F.sum(F.when(keep, 1).otherwise(0)).alias("n_kept"),
     )
+
+
+_LM_SCORE_SQL = """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(regexp_replace(text,
+                   '([^\\s\\w]|_)+', ' ', 'g')), '\\s+'), t -> t <> '') AS t
+        FROM documents
+    ), bg AS (
+        SELECT doc_id,
+               unnest([t[i] for i in range(1, len(t))]) AS w1,
+               unnest([t[i + 1] for i in range(1, len(t))]) AS w2
+        FROM toks WHERE len(t) >= 2
+    ), c12 AS (
+        SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2
+    ), c1 AS (
+        SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1
+    ), scored AS (
+        SELECT bg.doc_id,
+               CAST(ROUND(1e6 * (c12.c12 + 1)
+                    / (c1.c1 + (SELECT COUNT(DISTINCT w2) FROM bg)))
+                    AS BIGINT) AS micro
+        FROM bg
+        JOIN c12 ON c12.w1 = bg.w1 AND c12.w2 = bg.w2
+        JOIN c1 ON c1.w1 = bg.w1
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(SUM(micro) AS DOUBLE) / COUNT(*), 6) AS avg_prob_micro
+    FROM scored
+    GROUP BY doc_id
+"""
+
+
+@register(
+    "quality_lm_score",
+    tags=("llm", "text", "quality"),
+    description=(
+        "CCNet-style language-model quality score, in-engine: a bigram "
+        "LM trained on the corpus itself scores each document by its "
+        "mean add-1-smoothed bigram probability (micro-units). Boiler-"
+        "plate and fluent text score high; gibberish scores low. Exact "
+        "integer discipline — counts and one ROUND per bigram, no "
+        "floating-point logarithms to disagree on (same choice as "
+        "tfidf_top_terms); real CCNet ranks by log-perplexity, which "
+        "orders nearly identically at these magnitudes."
+    ),
+    oracle=_LM_SCORE_SQL,
+)
+def quality_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the LM 'training' is two aggregates over the bigram
+    stream (map-side combined), the scoring re-joins them on bigram/
+    prefix keys — all equi-joins on token keys, text never shuffles
+    whole. The continuation-vocabulary scalar broadcasts. This is the
+    perplexity-filter stage of a corpus pipeline with the model pass
+    and scoring pass fused into one lineage."""
+    from hadoop_map_reduce_spark.functions.text import sanitize, tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", tokenize(sanitize(F.col("text"))).alias("t")
+    ).filter(F.size("t") >= 2)
+    n = F.size("t")
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, n - 1).alias("w1"),
+                F.slice("t", 2, n - 1).alias("w2"),
+            )
+        ).alias("_p"),
+    ).select("doc_id", F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = bg.agg(F.countDistinct("w2").alias("_v"))
+    scored = (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.round(
+                F.lit(1e6) * (F.col("c12") + 1) / (F.col("c1") + F.col("_v"))
+            )
+            .cast("long")
+            .alias("micro"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.sum("micro").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_prob_micro"),
+    )

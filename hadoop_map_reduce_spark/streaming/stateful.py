@@ -6,6 +6,14 @@ cross-batch running state with arbitrary Python update logic — Spark's
 code. State lives in the state store partitioned by key (RocksDB-backed in
 production), so this scales with keys across executors like any keyed
 aggregation; the Python hop is per key-batch, not per row.
+
+Spark 4's successor API (``transformWithStateInPandas``: typed
+ValueState/ListState/MapState + timers) was evaluated and is
+environment-blocked here: its driver-side state server requires the
+``google.protobuf`` Python package, absent from this container
+(verified: STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE). The
+operators below express the same cross-batch semantics on the stable
+API; porting to transformWithState is mechanical once protobuf exists.
 """
 
 from __future__ import annotations

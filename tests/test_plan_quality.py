@@ -419,3 +419,14 @@ def test_join_strategy_hints_honored(spark, sf_dir):
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert node in plan, (hint, node)
+
+
+def test_quality_lm_score_text_never_shuffles(spark, sf_dir):
+    """The LM quality filter must shuffle token keys and doc ids only —
+    never whole text; the single nested-loop node is the 1-row
+    continuation-vocabulary scalar broadcast, nothing data-sized."""
+    plan = plan_of(spark, sf_dir, "quality_lm_score")
+    assert "hashpartitioning(text" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
