@@ -159,3 +159,29 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PushedFilters: [IsNotNull(quality), GreaterThan(quality,50)]" in plan
+
+
+def test_ignore_corrupt_files_skips_bad_shard(spark, tmp_path):
+    """Resilient scan: with ignoreCorruptFiles a truncated/garbage shard
+    is skipped and the healthy shards still read — at 100 TB a handful
+    of corrupt files must not fail the whole job. Default behavior
+    (fail loudly) is also pinned, so silent data loss stays opt-in."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "shards"
+    spark.range(0, 100).select(F.col("id").alias("k")).coalesce(1).write.parquet(
+        str(src)
+    )
+    (src / "part-corrupt.parquet").write_bytes(b"PAR1 this is not parquet")
+
+    # default: the corrupt shard fails the read
+    with pytest.raises(Exception):
+        spark.read.parquet(str(src)).count()
+
+    got = (
+        spark.read.option("ignoreCorruptFiles", True)
+        .parquet(str(src))
+        .count()
+    )
+    assert got == 100

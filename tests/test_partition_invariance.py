@@ -37,6 +37,10 @@ QUERIES = [
     "sample_stratified_quota",
     "subq_large_orders",
     "curation_quality_funnel",
+    "topk_per_group",
+    "quality_lm_score",
+    "merge_apply_cdc_deletes",
+    "recursive_nation_chain",
 ]
 
 
