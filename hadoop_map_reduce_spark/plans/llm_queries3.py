@@ -239,3 +239,63 @@ def quality_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("micro").cast("double") / F.count(F.lit(1)), 6
         ).alias("avg_prob_micro"),
     )
+
+
+_CHUNKS_SQL = """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(regexp_replace(text,
+                   '([^\\s\\w]|_)+', ' ', 'g')), '\\s+'), t -> t <> '') AS t
+        FROM documents
+    ), starts AS (
+        SELECT doc_id, t, unnest(range(1, len(t) + 1, 96)) AS s
+        FROM toks WHERE len(t) >= 1
+    )
+    SELECT doc_id,
+           CAST((s - 1) / 96 AS BIGINT) AS chunk_idx,
+           CAST(len(t[s:s+127]) AS BIGINT) AS chunk_len,
+           md5(array_to_string(t[s:s+127], ' ')) AS chunk_hash
+    FROM starts
+"""
+
+
+@register(
+    "doc_chunks_overlap",
+    tags=("llm", "text"),
+    description=(
+        "Training-window chunking: each document split into 128-token "
+        "chunks on a 96-token stride (32-token overlap, so no context is "
+        "lost at chunk boundaries). Emits (doc_id, chunk_idx, length, "
+        "md5-of-chunk) — the manifest a tokenizer shard consumes; the "
+        "md5 makes the chunk CONTENT oracle-checkable without hauling "
+        "chunk text through the comparison."
+    ),
+    oracle=_CHUNKS_SQL,
+)
+def doc_chunks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure per-row expansion — tokenize once, explode the stride grid,
+    slice per start: no shuffle at all until a downstream consumer
+    groups the manifest. Expansion factor is bounded by ~n/96 chunks
+    per doc, proportional to input size (the 100-TB-safe property);
+    contrast pack_token_chunks, which PACKS docs into fixed windows
+    and needs a per-shard cumsum window."""
+    from hadoop_map_reduce_spark.functions.text import sanitize, tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", tokenize(sanitize(F.col("text"))).alias("t")
+    ).filter(F.size("t") >= 1)
+    starts = toks.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(F.lit(1), F.size("t"), F.lit(96))
+        ).alias("s"),
+    )
+    chunk = F.slice("t", F.col("s"), 128)
+    return starts.select(
+        "doc_id",
+        ((F.col("s") - 1) / 96).cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("chunk_len"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
