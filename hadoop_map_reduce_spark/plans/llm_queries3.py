@@ -21,6 +21,7 @@ from hadoop_map_reduce_spark.plans.llm_queries2 import (
     _md5_bucket_spark,
     _md5_bucket_sql,
 )
+from hadoop_map_reduce_spark.plans.llm_queries import _TOKS
 from hadoop_map_reduce_spark.plans.registry import register
 from hadoop_map_reduce_spark.session import load_table
 
@@ -147,12 +148,9 @@ def mix_sources_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LM_SCORE_SQL = """
+_LM_SCORE_SQL = f"""
     WITH toks AS (
-        SELECT doc_id,
-               list_filter(string_split_regex(lower(regexp_replace(text,
-                   '([^\\s\\w]|_)+', ' ', 'g')), '\\s+'), t -> t <> '') AS t
-        FROM documents
+        SELECT doc_id, {_TOKS} AS t FROM documents
     ), bg AS (
         SELECT doc_id,
                unnest([t[i] for i in range(1, len(t))]) AS w1,
@@ -195,12 +193,13 @@ _LM_SCORE_SQL = """
     oracle=_LM_SCORE_SQL,
 )
 def quality_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale shape: the LM 'training' is two aggregates over the bigram
-    stream (map-side combined), the scoring re-joins them on bigram/
-    prefix keys — all equi-joins on token keys, text never shuffles
-    whole. The continuation-vocabulary scalar broadcasts. This is the
-    perplexity-filter stage of a corpus pipeline with the model pass
-    and scoring pass fused into one lineage."""
+    """Scale shape: the LM 'training' is ONE aggregate over the bigram
+    stream (map-side combined) — prefix counts and the continuation
+    vocabulary both derive from the tiny c12 table, not from re-reading
+    the corpus — and the scoring pass re-joins it on bigram/prefix
+    keys, all equi-joins on token keys; text never shuffles whole. The
+    vocabulary scalar broadcasts. This is the perplexity-filter stage
+    of a corpus pipeline with model and scoring fused in one lineage."""
     from hadoop_map_reduce_spark.functions.text import sanitize, tokenize
 
     docs = load_table(spark, sf_dir, "documents")
@@ -217,9 +216,20 @@ def quality_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("_p"),
     ).select("doc_id", F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
-    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    vocab = bg.agg(F.countDistinct("w2").alias("_v"))
+    from hadoop_map_reduce_spark.operators.caching import cache_one_slot
+
+    # The LM itself (c12) is vocabulary-sized, not corpus-sized: persist
+    # it in a bounded slot so the tokenize+explode corpus pass behind it
+    # runs ONCE, and derive prefix counts and the continuation
+    # vocabulary from it — they are exact functions of c12. Only the
+    # scoring join re-reads the bigram stream (2 corpus passes total;
+    # the naive formulation re-aggregated bg three times for 4).
+    c12 = cache_one_slot(
+        bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")),
+        "lm-bigram-counts",
+    )
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = c12.agg(F.countDistinct("w2").alias("_v"))
     scored = (
         bg.join(c12, ["w1", "w2"])
         .join(c1, ["w1"])
@@ -241,18 +251,15 @@ def quality_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CHUNKS_SQL = """
+_CHUNKS_SQL = f"""
     WITH toks AS (
-        SELECT doc_id,
-               list_filter(string_split_regex(lower(regexp_replace(text,
-                   '([^\\s\\w]|_)+', ' ', 'g')), '\\s+'), t -> t <> '') AS t
-        FROM documents
+        SELECT doc_id, {_TOKS} AS t FROM documents
     ), starts AS (
         SELECT doc_id, t, unnest(range(1, len(t) + 1, 96)) AS s
         FROM toks WHERE len(t) >= 1
     )
     SELECT doc_id,
-           CAST((s - 1) / 96 AS BIGINT) AS chunk_idx,
+           CAST(FLOOR((s - 1) / 96) AS BIGINT) AS chunk_idx,
            CAST(len(t[s:s+127]) AS BIGINT) AS chunk_len,
            md5(array_to_string(t[s:s+127], ' ')) AS chunk_hash
     FROM starts
@@ -295,7 +302,7 @@ def doc_chunks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk = F.slice("t", F.col("s"), 128)
     return starts.select(
         "doc_id",
-        ((F.col("s") - 1) / 96).cast("long").alias("chunk_idx"),
+        F.floor((F.col("s") - 1) / 96).cast("long").alias("chunk_idx"),
         F.size(chunk).cast("long").alias("chunk_len"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
     )

@@ -207,3 +207,49 @@ def test_real_decoder_gated(spark):
         extract_media_features(
             with_binary_content(docs), use_real_decoder=True
         )
+
+
+def test_doc_chunks_overlap_long_document_regime(spark, tmp_path):
+    """The sf fixtures max out below 128 tokens, so the oracle rows never
+    exercise a full window or chunk_idx >= 2 — this pins the regime the
+    query exists for: a 300-token document must yield ceil(300/96) = 4
+    chunks on the 96 grid with lengths 128/128/108/12 (starts 0/96/192/
+    288 over 300 tokens), indexes 0..3, and hashes matching a
+    pure-Python recomputation."""
+    import hashlib
+    import re
+
+    from pyspark.sql import functions as F
+
+    from hadoop_map_reduce_spark.plans import REGISTRY
+
+    words = [f"tok{i}" for i in range(300)]
+    text = " ".join(words)
+    spark.createDataFrame(
+        [(1, text, "en", "syn", len(text))],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    rows = sorted(
+        tuple(r)
+        for r in REGISTRY["doc_chunks_overlap"].fn(spark, str(tmp_path)).collect()
+    )
+
+    toks = [
+        t
+        for t in re.sub(r"([^\s\w]|_)+", " ", text.lower()).split()
+        if t
+    ]
+    want = []
+    for idx, s in enumerate(range(0, len(toks), 96)):
+        chunk = toks[s : s + 128]
+        want.append(
+            (
+                1,
+                idx,
+                len(chunk),
+                hashlib.md5(" ".join(chunk).encode()).hexdigest(),
+            )
+        )
+    assert rows == sorted(want)
+    assert [r[2] for r in rows] == [128, 128, 108, 12]
