@@ -301,3 +301,84 @@ def merge_apply_cdc_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return apply_cdc(base, batch, on=["o_orderkey"])
+
+
+_AGG_FILTER_SQL = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+               AS n_finished,
+           CAST(COUNT(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT)
+               AS n_large,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+               AS finished_cents
+    FROM orders
+    GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "agg_filter_clause",
+    tags=("relational", "aggregation"),
+    description=(
+        "FILTER (WHERE ...) aggregate clauses — several differently-"
+        "filtered aggregates in ONE scan+shuffle pass (the idiom that "
+        "replaces N self-joined subqueries); one SQL string runs "
+        "verbatim on both engines."
+    ),
+    oracle=_AGG_FILTER_SQL,
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four aggregates ride the same partial/final HashAggregate —
+    adding a filtered aggregate costs one counter per group, never a
+    second pass. Money stays integer cents (repo-wide discipline)."""
+    from hadoop_map_reduce_spark.session import register_views
+
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(_AGG_FILTER_SQL)
+
+
+@register(
+    "window_first_last",
+    tags=("relational", "window"),
+    description=(
+        "first_value / last_value / nth_value over a full-partition "
+        "frame: each order annotated with its customer's cheapest, "
+        "most expensive, and third-cheapest order (deterministic "
+        "tie-break on o_orderkey; NULL third where the customer has "
+        "fewer than three orders)."
+    ),
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               FIRST_VALUE(o_orderkey) OVER w AS cheapest_key,
+               LAST_VALUE(o_orderkey) OVER w AS priciest_key,
+               NTH_VALUE(o_orderkey, 3) OVER w AS third_key
+        FROM orders
+        WINDOW w AS (
+            PARTITION BY o_custkey
+            ORDER BY o_totalprice ASC, o_orderkey ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        )
+    """,
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exchange on the customer key serves all three positional
+    window functions (identical window spec -> one Window operator).
+    The unbounded frame is what makes last/nth well-defined; the
+    ordering tie-break makes every position deterministic."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("cheapest_key"),
+        F.last("o_orderkey").over(w).alias("priciest_key"),
+        F.nth_value("o_orderkey", 3).over(w).alias("third_key"),
+    )
