@@ -382,3 +382,50 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(w).alias("priciest_key"),
         F.nth_value("o_orderkey", 3).over(w).alias("third_key"),
     )
+
+
+@register(
+    "scalar_url_funcs",
+    tags=("relational", "scalar"),
+    description=(
+        "URL parsing (parse_url): host / path / query / single query "
+        "parameter extracted from a URL built over the documents table "
+        "— the web-corpus provenance columns a crawl pipeline carries. "
+        "The oracle extracts the same parts with regexes (DuckDB has no "
+        "parse_url), which also pins parse_url's semantics on these "
+        "shapes to the plain-regex reading."
+    ),
+    oracle="""
+        SELECT doc_id,
+               regexp_extract(url, '^https://([^/]+)', 1) AS host,
+               regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+               regexp_extract(url, '\\?(.*)$', 1) AS query,
+               regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param
+        FROM (
+            SELECT doc_id,
+                   'https://' || source || '.example.com/docs/'
+                       || doc_id || '?lang=' || lang AS url
+            FROM documents
+        )
+    """,
+)
+def scalar_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_url is a JVM-side expression (java.net.URI under the hood)
+    — stays in codegen, no Python. Per-row, embarrassingly parallel."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    with_url = docs.select("doc_id", url.alias("url"))
+    return with_url.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )

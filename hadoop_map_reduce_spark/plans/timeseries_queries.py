@@ -394,3 +394,46 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         w.filter((F.col("n") >= 20) & (var > 0))
         .select("event_id", "event_type", F.round(z, 6).alias("zscore"))
     )
+
+
+@register(
+    "events_ohlc",
+    tags=("timeseries", "aggregation"),
+    description=(
+        "Hourly OHLC candles over the event stream: open/close via "
+        "min_by/max_by (argmin/argmax aggregates) keyed on the unique "
+        "event_id arrival order, high/low/volume as plain extremes — "
+        "the financial-rollup shape, one scan + one agg shuffle."
+    ),
+    oracle="""
+        SELECT CAST(epoch(DATE_TRUNC('hour', ts)) AS BIGINT) AS hour_epoch,
+               arg_min(value, event_id) AS open,
+               MAX(value) AS high,
+               MIN(value) AS low,
+               arg_max(value, event_id) AS close,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events
+        GROUP BY 1
+    """,
+)
+def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by fold inside the same partial/final HashAggregate as
+    the plain extremes — argmin carries one (value, key) pair per group
+    through the map-side combine, so OHLC costs the same one shuffle as
+    a count. Keyed on event_id (unique, arrival-ordered) so open/close
+    are deterministic; the hour is emitted as epoch seconds to keep the
+    compare timezone-representation-free."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "value"
+    )
+    hour = F.date_trunc("hour", F.col("ts"))
+    return (
+        events.groupBy(hour.cast("long").alias("hour_epoch"))
+        .agg(
+            F.min_by("value", "event_id").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "event_id").alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
