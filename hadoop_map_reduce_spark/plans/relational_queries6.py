@@ -429,3 +429,92 @@ def scalar_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("QUERY")).alias("query"),
         F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    tags=("relational", "aggregation", "sketch"),
+    description=(
+        "EXACT distinct counting via bitmap aggregates: customers per "
+        "order priority counted by setting bits in fixed 4 KB bucket "
+        "bitmaps (bitmap_bucket_number / bitmap_bit_position / "
+        "bitmap_construct_agg), then summing bitmap_count per group. "
+        "The oracle is plain COUNT(DISTINCT) — same numbers, but the "
+        "bitmap plan's state per (group, bucket) is bounded and "
+        "mergeable, where COUNT DISTINCT shuffles every distinct key."
+    ),
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two narrow shuffles: (priority, bucket) carrying 4 KB bitmaps
+    with map-side bitmap OR-merge, then (priority) summing bucket
+    cardinalities. At 100 TB this is the exact-distinct shape that
+    doesn't move one row per distinct key — the deterministic
+    counterpart of the HLL sketch rollup (sketch_hll_rollup)."""
+    from hadoop_map_reduce_spark.session import register_views
+
+    register_views(spark, sf_dir, "orders")
+    return spark.sql("""
+        SELECT o_orderpriority,
+               CAST(SUM(bitmap_count(bm)) AS BIGINT) AS n_distinct
+        FROM (
+            SELECT o_orderpriority,
+                   bitmap_bucket_number(o_custkey) AS bucket,
+                   bitmap_construct_agg(bitmap_bit_position(o_custkey)) AS bm
+            FROM orders
+            GROUP BY o_orderpriority, bitmap_bucket_number(o_custkey)
+        )
+        GROUP BY o_orderpriority
+    """)
+
+
+@register(
+    "scalar_collation_funcs",
+    tags=("relational", "scalar"),
+    description=(
+        "Collation-aware semantics (Spark >= 4.0): grouping and equality "
+        "under UTF8_LCASE over a deliberately case-mixed source column — "
+        "case-insensitive GROUP BY and '=' without wrapping every "
+        "reference in lower(). The oracle lowers explicitly; the output "
+        "key is canonicalized to lower so the representative-case "
+        "nondeterminism of collated grouping never reaches the compare."
+    ),
+    oracle="""
+        SELECT lower(mixed) AS source_ci,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) FILTER (WHERE lower(mixed) = 'web')
+                    AS BIGINT) AS n_web
+        FROM (
+            SELECT CASE WHEN doc_id % 2 = 0 THEN upper(source)
+                        ELSE source END AS mixed
+            FROM documents
+        )
+        GROUP BY lower(mixed)
+    """,
+)
+def scalar_collation_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = F.when(
+        F.col("doc_id") % 2 == 0, F.upper("source")
+    ).otherwise(F.col("source"))
+    ci = F.collate(mixed, "UTF8_LCASE")
+    return (
+        docs.select(ci.alias("_ci"))
+        .groupBy("_ci")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("_ci") == F.lit("web"), 1).otherwise(0)
+            ).alias("n_web"),
+        )
+        .select(
+            F.lower(F.col("_ci")).cast("string").alias("source_ci"),
+            "n_docs",
+            "n_web",
+        )
+    )
