@@ -430,3 +430,14 @@ def test_quality_lm_score_text_never_shuffles(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bitmap_distinct_two_narrow_shuffles(spark, sf_dir):
+    """The bitmap exact-distinct plan: partial bitmap construction
+    before the first exchange (map-side OR-merge of 4 KB bitmaps), two
+    exchanges total, and no Expand node — the operator exists to avoid
+    COUNT DISTINCT's shuffle of every distinct key."""
+    plan = plan_of(spark, sf_dir, "agg_bitmap_distinct")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "partial_bitmap_construct_agg" in plan
+    assert "Expand" not in plan
