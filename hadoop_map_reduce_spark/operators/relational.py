@@ -104,6 +104,168 @@ def asof_join_backward(
     return out
 
 
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    payload_cols: list[str],
+    right_on: str | None = None,
+    tolerance: str | None = None,
+) -> DataFrame:
+    """Forward as-of join: for each left row, the EARLIEST right row with
+    ``right_time >= left_time`` for the same key (pandas ``merge_asof``
+    ``direction='forward'``).
+
+    Mirror of :func:`asof_join_backward`'s merge formulation — union the
+    tagged streams, sort within key by time DESCENDING, and carry the
+    last-seen right payload, which at any left row is the right row with
+    the smallest time >= the left time. One shuffle, linear, no row
+    explosion. ``tolerance`` bounds the match to
+    ``right_time <= left_time + tolerance``.
+
+    Ties: a right row at exactly ``left_time`` matches; among right rows
+    with equal time the SMALLEST payload tuple wins (deterministic, the
+    mirror of backward's greatest-wins).
+    """
+    lcols = left.columns
+    rtypes = dict(right.dtypes)
+    payload_type = (
+        "struct<"
+        + ",".join(
+            [f"__rt:{rtypes[right_time]}"]
+            + [f"{c}:{rtypes[c]}" for c in payload_cols]
+        )
+        + ">"
+    )
+    tagged_r = right.select(
+        F.col(right_on or on).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_tag"),
+        F.struct(
+            F.col(right_time).alias("__rt"),
+            *[F.col(c) for c in payload_cols],
+        ).alias("_p"),
+        *[F.lit(None).alias(f"_l_{c}") for c in lcols],
+    )
+    tagged_l = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_tag"),
+        F.lit(None).cast(payload_type).alias("_p"),
+        *[F.col(c).alias(f"_l_{c}") for c in lcols],
+    )
+    # Scanning time-descending: right rows at the same instant must land
+    # before left rows (>= matches), and among equal-time right rows the
+    # payload sorts DESCENDING so the last one carried is the smallest.
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(
+            F.col("_t").desc(), F.col("_tag").asc(), F.col("_p").desc_nulls_first()
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = tagged_r.unionByName(tagged_l).select(
+        "*", F.last(F.col("_p"), ignorenulls=True).over(w).alias("_asof")
+    )
+    if tolerance is None:
+        in_window = F.lit(True)
+    else:
+        in_window = F.col("_asof.__rt") <= F.col("_t") + F.expr(tolerance)
+    return merged.filter(F.col("_tag") == 1).select(
+        *[F.col(f"_l_{c}").alias(c) for c in lcols],
+        *[
+            F.when(in_window, F.col(f"_asof.{c}")).alias(c)
+            for c in payload_cols
+        ],
+    )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    payload_cols: list[str],
+    right_on: str | None = None,
+) -> DataFrame:
+    """Nearest as-of join: for each left row, the right row whose time is
+    closest in absolute distance (pandas ``merge_asof``
+    ``direction='nearest'``); equidistant candidates resolve to the
+    BACKWARD match, matching pandas.
+
+    Both directional carries ride ONE hash exchange on the key: the two
+    window passes share the same ``partitionBy``, so Spark plans a single
+    shuffle with two in-partition sorts (ascending then descending) —
+    still linear, no row explosion.
+    """
+    lcols = left.columns
+    rtypes = dict(right.dtypes)
+    payload_type = (
+        "struct<"
+        + ",".join(
+            [f"__rt:{rtypes[right_time]}"]
+            + [f"{c}:{rtypes[c]}" for c in payload_cols]
+        )
+        + ">"
+    )
+    tagged_r = right.select(
+        F.col(right_on or on).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_tag"),
+        F.struct(
+            F.col(right_time).alias("__rt"),
+            *[F.col(c) for c in payload_cols],
+        ).alias("_p"),
+        *[F.lit(None).alias(f"_l_{c}") for c in lcols],
+    )
+    tagged_l = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_tag"),
+        F.lit(None).cast(payload_type).alias("_p"),
+        *[F.col(c).alias(f"_l_{c}") for c in lcols],
+    )
+    merged = tagged_r.unionByName(tagged_l)
+    w_back = (
+        Window.partitionBy("_k")
+        .orderBy(
+            F.col("_t").asc(), F.col("_tag").asc(), F.col("_p").asc_nulls_first()
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("_k")
+        .orderBy(
+            F.col("_t").desc(), F.col("_tag").asc(), F.col("_p").desc_nulls_first()
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    both = merged.select(
+        "*",
+        F.last(F.col("_p"), ignorenulls=True).over(w_back).alias("_back"),
+        F.last(F.col("_p"), ignorenulls=True).over(w_fwd).alias("_fwd"),
+    )
+    # Distances in whole seconds of the original (un-truncated) times;
+    # NULL distance (no candidate on that side) loses to any real one.
+    d_back = F.unix_timestamp(F.col("_t")) - F.unix_timestamp(
+        F.col("_back.__rt")
+    )
+    d_fwd = F.unix_timestamp(F.col("_fwd.__rt")) - F.unix_timestamp(
+        F.col("_t")
+    )
+    use_back = F.when(F.col("_fwd").isNull(), F.lit(True)).otherwise(
+        F.col("_back").isNotNull() & (d_back <= d_fwd)
+    )
+    chosen = F.when(use_back, F.col("_back")).otherwise(F.col("_fwd"))
+    return both.filter(F.col("_tag") == 1).select(
+        *[F.col(f"_l_{c}").alias(c) for c in lcols],
+        *[chosen.getField(c).alias(c) for c in payload_cols],
+    )
+
+
 def sessionize(
     events: DataFrame,
     key: str,

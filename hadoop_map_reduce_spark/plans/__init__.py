@@ -17,6 +17,7 @@ from hadoop_map_reduce_spark.plans import relational_queries3  # noqa: F401
 from hadoop_map_reduce_spark.plans import relational_queries4  # noqa: F401
 from hadoop_map_reduce_spark.plans import relational_queries5  # noqa: F401
 from hadoop_map_reduce_spark.plans import relational_queries6  # noqa: F401
+from hadoop_map_reduce_spark.plans import relational_queries7  # noqa: F401
 from hadoop_map_reduce_spark.plans import llm_queries2  # noqa: F401
 from hadoop_map_reduce_spark.plans import streaming_queries  # noqa: F401
 from hadoop_map_reduce_spark.plans import llm_queries3  # noqa: F401
