@@ -53,6 +53,44 @@ def map_reduce(
     return rdd.reduceByKey(reducer, numPartitions=num_partitions)
 
 
+def map_reduce_sorted(
+    df: DataFrame,
+    mapper: Callable[[Any], Iterable[tuple[K, V]]],
+    reducer: Callable[[K, Iterator[V]], Any],
+    num_partitions: int = 32,
+):
+    """Hadoop secondary sort: values arrive at the reducer SORTED within
+    each key group.
+
+    The classic MapReduce pattern (composite key + grouping comparator —
+    the capability the reference's framework exposes through
+    ``setSortComparatorClass``/``setGroupingComparatorClass``, unused in
+    WordCountV2 but part of the Reducer contract's sorted-shuffle
+    guarantee, SURVEY.md §2 O10). Spark equivalent:
+    ``repartitionAndSortWithinPartitions`` on the composite (key, value)
+    with partitioning by key only, then a STREAMING per-key group walk in
+    ``mapPartitions`` — values are never materialized per key (unlike
+    ``groupByKey``), so a hot key spills to disk in the sort, not to a
+    reducer-side list. ``reducer`` takes (key, sorted-value-iterator) and
+    returns one result per key.
+    """
+    from pyspark.rdd import portable_hash
+
+    composite = df.rdd.flatMap(mapper).map(lambda kv: (kv, None))
+    part = composite.repartitionAndSortWithinPartitions(
+        numPartitions=num_partitions,
+        partitionFunc=lambda ck: portable_hash(ck[0]),
+    )
+
+    def stream(rows: Iterator[tuple[tuple[K, V], None]]):
+        from itertools import groupby
+
+        for key, grp in groupby(rows, key=lambda r: r[0][0]):
+            yield key, reducer(key, (r[0][1] for r in grp))
+
+    return part.mapPartitions(stream, preservesPartitioning=False)
+
+
 def run_bigram_job(
     spark: SparkSession,
     input_path: str,

@@ -305,12 +305,16 @@ def ivf_topk(
 
 
 def _with_self_dot(df: DataFrame, id_alias: str, vec_alias: str, n2_alias: str,
-                   id_col: str, vec_col: str) -> DataFrame:
-    """(id, vec_double, self-dot) with the self-dot materialized ONCE per
-    vector — inlining the norm into a pairwise expression would recompute
-    it |pairs|/|vectors| times (measured 3x+ on the near-dup scan)."""
+                   id_col: str, vec_col: str,
+                   extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(id, vec_double, self-dot[, extras]) with the self-dot materialized
+    ONCE per vector — inlining the norm into a pairwise expression would
+    recompute it |pairs|/|vectors| times (measured 3x+ on the near-dup
+    scan)."""
     v = F.col(vec_col).cast("array<double>")
-    return df.select(F.col(id_col).alias(id_alias), v.alias(vec_alias)).select(
+    return df.select(
+        F.col(id_col).alias(id_alias), v.alias(vec_alias), *extra_cols
+    ).select(
         id_alias,
         vec_alias,
         F.aggregate(
@@ -318,6 +322,7 @@ def _with_self_dot(df: DataFrame, id_alias: str, vec_alias: str, n2_alias: str,
             F.lit(0.0),
             lambda acc, x: acc + x,
         ).alias(n2_alias),
+        *extra_cols,
     )
 
 
@@ -409,6 +414,56 @@ def cosine_neardup_blocked(
             F.least("id_a", "id_b").alias("id_a"),
             F.greatest("id_a", "id_b").alias("id_b"),
             _pair_sim().alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    threshold: float,
+    k: int = 8,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: cluster the corpus with the
+    deterministic k-means (``operators.ml.kmeans_lloyd``), then report
+    exact cosine pairs >= ``threshold`` WITHIN each cluster via a
+    cluster-key equi-join. Returns (cluster, id_a, id_b, sim), id_a < id_b.
+
+    The published SemDeDup recipe (Abbas et al., 2023, arXiv:2303.09540):
+    duplicates in embedding space are near-identical points, so k-means
+    blocking finds virtually all of them while cutting candidate
+    generation from n² to Σ cluster_i² — with k sized so n/k stays
+    constant, that is n²/k, linear in n per cluster count. Cross-cluster
+    near-dups at the decision boundary are the (documented) recall loss
+    that makes this approximate; the exact operators
+    (:func:`cosine_neardup_blocked` / grid BLAS) remain the verify path.
+
+    Plan shape: the per-iteration k-means passes are pure Column distance
+    folds (no shuffle beyond the (cluster, dim) centroid agg); the pair
+    stage shuffles each side once on the cluster key. Everything is
+    deterministic — seeds, iteration count, fold order — so the output
+    is a pure function of the input (pinned by the pure-Python
+    recomputation test, same standing as ``kmeans_embeddings``).
+    """
+    from hadoop_map_reduce_spark.operators.ml import kmeans_lloyd
+
+    assigned, _ = kmeans_lloyd(
+        df, vec_col=vec_col, id_col=id_col, k=k, n_iter=n_iter
+    )
+    a = _with_self_dot(
+        assigned, "id_a", "_va", "_na2", id_col, vec_col, extra_cols=("cluster",)
+    )
+    b = _with_self_dot(
+        assigned, "id_b", "_vb", "_nb2", id_col, vec_col, extra_cols=("cluster",)
+    )
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "cluster", "id_a", "id_b", _pair_sim().alias("sim")
         )
         .filter(F.col("sim") >= threshold)
     )

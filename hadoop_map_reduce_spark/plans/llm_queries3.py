@@ -306,3 +306,29 @@ def doc_chunks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("long").alias("chunk_len"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
     )
+
+
+@register(
+    "dedup_semantic",
+    tags=("llm", "dedup", "similarity"),
+    description=(
+        "SemDeDup-style semantic dedup: deterministic k-means blocking, "
+        "then exact within-cluster cosine pairs >= 0.4 (rows-only: the "
+        "iterative clustering has no SQL oracle; exactness is pinned by "
+        "the pure-Python k-means recomputation test plus the "
+        "Spark-exact pair subset check)."
+    ),
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate generation is n²/k instead of n² (SemDeDup,
+    arXiv:2303.09540): the within-cluster self-join is an equi-join on
+    the cluster key, so cost is Σ cluster_i² and the cross-cluster
+    boundary pairs are the documented recall loss. At 100 TB, k grows
+    with the corpus (n/k held constant) and the kmeans assignment stage
+    stays a shuffle-free Column fold per row."""
+    from hadoop_map_reduce_spark.operators.similarity import (
+        semantic_dedup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(emb, threshold=0.4, k=8, n_iter=5)

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from hadoop_map_reduce_spark.plans.registry import register
 from hadoop_map_reduce_spark.session import load_table
@@ -436,4 +437,131 @@ def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by("value", "event_id").alias("close"),
             F.count(F.lit(1)).alias("n_events"),
         )
+    )
+
+
+_LOCF_ORACLE = """
+    WITH p AS (
+        SELECT ts, value FROM events WHERE event_type = 'purchase'
+    ), b AS (
+        SELECT date_trunc('hour', MIN(ts)) AS t0,
+               date_trunc('hour', MAX(ts)) AS t1
+        FROM p
+    ), hours AS (
+        SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS hour
+        FROM b
+    ), hourly AS (
+        SELECT date_trunc('hour', ts) AS hour,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT) AS v_e4
+        FROM p GROUP BY 1
+    ), j AS (
+        SELECT h.hour,
+               COALESCE(y.n, 0) AS n_events,
+               y.v_e4 / y.n / 10000.0 AS mean_v,
+               CASE WHEN y.n IS NOT NULL
+                    THEN CAST(epoch(h.hour) AS BIGINT) END AS known_h
+        FROM hours h LEFT JOIN hourly y ON y.hour = h.hour
+    ), w AS (
+        SELECT hour, n_events, mean_v,
+               LAST_VALUE(mean_v IGNORE NULLS) OVER
+                   (ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS prev_v,
+               LAST_VALUE(known_h IGNORE NULLS) OVER
+                   (ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS prev_h,
+               FIRST_VALUE(mean_v IGNORE NULLS) OVER
+                   (ORDER BY hour ROWS BETWEEN CURRENT ROW
+                    AND UNBOUNDED FOLLOWING) AS next_v,
+               FIRST_VALUE(known_h IGNORE NULLS) OVER
+                   (ORDER BY hour ROWS BETWEEN CURRENT ROW
+                    AND UNBOUNDED FOLLOWING) AS next_h
+        FROM j
+    )
+    SELECT hour, n_events,
+           prev_v AS locf_value,
+           CASE WHEN mean_v IS NOT NULL THEN mean_v
+                WHEN prev_v IS NULL OR next_v IS NULL THEN NULL
+                ELSE prev_v + (next_v - prev_v)
+                     * (CAST(epoch(hour) AS BIGINT) - prev_h)
+                     / (next_h - prev_h) END AS interp_value
+    FROM w
+"""
+
+
+@register(
+    "events_locf",
+    tags=("timeseries", "window"),
+    description=(
+        "Gap-filled hourly series with LOCF (last observation carried "
+        "forward) and linear interpolation across silent hours — the "
+        "timescale locf()/interpolate() pair over the sparse purchase "
+        "stream."
+    ),
+    oracle=_LOCF_ORACLE,
+)
+def events_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events scan aggregates down to one row per hour BEFORE any
+    window runs (partial-agg'd single shuffle); the carry/interpolate
+    windows then operate on the spine only — bounded by hours in range,
+    not event rows, so the unpartitioned window is broadcast-sized by
+    construction at any corpus scale. prev/next carries use separate
+    last/first(ignorenulls) columns over the same sort: the carried
+    (hour, value) fields go null together row-wise, so no struct
+    atomicity is needed (cf. asof_join_backward)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 10000).cast("long")).alias("v_e4"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("t0"), F.col("t1"), F.expr("interval 1 hour"))
+        ).alias("hour")
+    )
+    mean_v = F.col("v_e4") / F.col("n") / F.lit(10000.0)
+    j = spine.join(hourly, "hour", "left").select(
+        "hour",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        mean_v.alias("mean_v"),
+        F.when(
+            F.col("n").isNotNull(), F.unix_timestamp(F.col("hour"))
+        ).alias("known_h"),
+    )
+    w_back = Window.orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_fwd = Window.orderBy("hour").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    carried = j.select(
+        "hour",
+        "n_events",
+        "mean_v",
+        F.last("mean_v", ignorenulls=True).over(w_back).alias("prev_v"),
+        F.last("known_h", ignorenulls=True).over(w_back).alias("prev_h"),
+        F.first("mean_v", ignorenulls=True).over(w_fwd).alias("next_v"),
+        F.first("known_h", ignorenulls=True).over(w_fwd).alias("next_h"),
+    )
+    interp = (
+        F.when(F.col("mean_v").isNotNull(), F.col("mean_v"))
+        .when(F.col("prev_v").isNull() | F.col("next_v").isNull(), F.lit(None))
+        .otherwise(
+            F.col("prev_v")
+            + (F.col("next_v") - F.col("prev_v"))
+            * (F.unix_timestamp(F.col("hour")) - F.col("prev_h"))
+            / (F.col("next_h") - F.col("prev_h"))
+        )
+    )
+    return carried.select(
+        "hour",
+        "n_events",
+        F.col("prev_v").alias("locf_value"),
+        interp.alias("interp_value"),
     )

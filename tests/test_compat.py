@@ -28,6 +28,40 @@ def test_map_reduce_shim_wordcount(spark):
     assert got == {"a": 2, "b": 2, "c": 1}
 
 
+def test_map_reduce_sorted_secondary_sort(spark, sf_dir):
+    """Hadoop secondary sort: the reducer's value iterator is sorted per
+    key, streamed (never a per-key list), and matches a pure-Python
+    recomputation over the same rows."""
+    from hadoop_map_reduce_spark.compat import map_reduce_sorted
+    from hadoop_map_reduce_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+
+    def mapper(row):
+        yield row["user_id"], row["event_id"]
+
+    def reducer(key, values):
+        head = []
+        n = 0
+        prev = None
+        for v in values:
+            assert prev is None or v >= prev  # sorted contract
+            prev = v
+            if n < 3:
+                head.append(v)
+            n += 1
+        return (tuple(head), n)
+
+    got = dict(map_reduce_sorted(ev, mapper, reducer, num_partitions=8).collect())
+
+    want: dict[int, list[int]] = {}
+    for r in ev.collect():
+        want.setdefault(r["user_id"], []).append(r["event_id"])
+    assert got == {
+        k: (tuple(sorted(v)[:3]), len(v)) for k, v in want.items()
+    }
+
+
 @pytest.mark.skipif(not ZUNI.exists(), reason="reference fixture missing")
 def test_bigram_job_output_contract(spark, tmp_path):
     """Same CLI contract as `hadoop jar bigram.jar WordCountV2 <in> <out>`:
