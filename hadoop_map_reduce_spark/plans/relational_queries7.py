@@ -1,8 +1,10 @@
 """Round-2 additions, batch 7: the remaining as-of directions
 (forward / nearest, completing the pandas ``merge_asof`` direction
 matrix), exact algebraic linear-regression aggregates (the ``regr_*``
-family), deterministic mode + exact median, and the ANSI ``try_*``
-error-safe scalar family.
+family), deterministic mode + exact median, the ANSI ``try_*``
+error-safe scalar family, the banded unkeyed interval-overlap join,
+exact skewness/kurtosis, boolean aggregates, and ordered string
+aggregation.
 
 Reference scope note: the reference engine (a 3-file Hadoop MapReduce
 job, SURVEY.md §0) has none of these; they belong to the generalized
@@ -292,4 +294,245 @@ def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .try_cast("long")
         .alias("prio_word_num"),
         F.try_element_at(parts, F.lit(3)).alias("third_part"),
+    )
+
+
+@register(
+    "join_interval_overlap",
+    tags=("relational", "join", "timeseries"),
+    description=(
+        "Unkeyed interval-overlap join via time-bucket banding: pairs of "
+        "concurrent sessions from different users, candidates generated "
+        "by an equi-join on shared 30-minute buckets (any two overlapping "
+        "intervals share the bucket of any common instant), then exact "
+        "overlap verify."
+    ),
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ), sess AS (
+            SELECT user_id,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - 1 AS session_id,
+                   ts
+            FROM flagged
+        ), s AS (
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   MIN(ts) AS t0, MAX(ts) AS t1
+            FROM sess GROUP BY 1, 2
+        )
+        SELECT a.user_id AS user_a, a.session_id AS session_a,
+               b.user_id AS user_b, b.session_id AS session_b,
+               GREATEST(a.t0, b.t0) AS overlap_start,
+               LEAST(a.t1, b.t1) AS overlap_end
+        FROM s a JOIN s b
+          ON a.user_id < b.user_id AND a.t0 <= b.t1 AND b.t0 <= a.t1
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The θ-join a naive plan would use explodes to |sessions|² under
+    BroadcastNestedLoopJoin; banding replaces it with an equi-join whose
+    cost is Σ per-bucket-count² — bounded by true concurrency, the same
+    blocking idea as LSH dedup. Each interval explodes into the 30-min
+    buckets it touches (short sessions → ~1-2 rows), candidates meet on
+    the bucket key, exact overlap + user_a < user_b filter, then one
+    distinct de-dups pairs that share several buckets. Three narrow
+    shuffles (session agg, bucket join, distinct), no nested loop."""
+    from hadoop_map_reduce_spark.operators.relational import sessionize
+
+    events = load_table(spark, sf_dir, "events")
+    sess = (
+        sessionize(
+            events, key="user_id", time_col="ts", gap_seconds=1800,
+            order_tiebreak="event_id",
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    )
+    bucketed = sess.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp("t0") / 1800),
+                F.floor(F.unix_timestamp("t1") / 1800),
+            )
+        ),
+    )
+    a = bucketed.select(
+        "bucket",
+        F.col("user_id").alias("user_a"),
+        F.col("session_id").alias("session_a"),
+        F.col("t0").alias("a0"),
+        F.col("t1").alias("a1"),
+    )
+    b = bucketed.select(
+        "bucket",
+        F.col("user_id").alias("user_b"),
+        F.col("session_id").alias("session_b"),
+        F.col("t0").alias("b0"),
+        F.col("t1").alias("b1"),
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(
+            (F.col("user_a") < F.col("user_b"))
+            & (F.col("a0") <= F.col("b1"))
+            & (F.col("b0") <= F.col("a1"))
+        )
+        .select(
+            "user_a",
+            "session_a",
+            "user_b",
+            "session_b",
+            F.greatest("a0", "b0").alias("overlap_start"),
+            F.least("a1", "b1").alias("overlap_end"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "agg_skew_kurtosis",
+    tags=("relational", "aggregation", "stats"),
+    description=(
+        "Population skewness and excess kurtosis from exact integer "
+        "raw-moment sums (algebraic central-moment forms) — the "
+        "engine-independent formulation; streaming built-ins can never "
+        "hash-match across engines."
+    ),
+    oracle="""
+        WITH s AS (
+            SELECT l_returnflag,
+                   COUNT(*) AS n,
+                   SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS s1,
+                   SUM(CAST(ROUND(l_discount * 100) AS BIGINT)
+                       * CAST(ROUND(l_discount * 100) AS BIGINT)) AS s2,
+                   SUM(CAST(ROUND(l_discount * 100) AS BIGINT)
+                       * CAST(ROUND(l_discount * 100) AS BIGINT)
+                       * CAST(ROUND(l_discount * 100) AS BIGINT)) AS s3,
+                   SUM(CAST(ROUND(l_discount * 100) AS BIGINT)
+                       * CAST(ROUND(l_discount * 100) AS BIGINT)
+                       * CAST(ROUND(l_discount * 100) AS BIGINT)
+                       * CAST(ROUND(l_discount * 100) AS BIGINT)) AS s4
+            FROM lineitem GROUP BY 1
+        )
+        SELECT l_returnflag,
+               CAST(n AS BIGINT) AS n,
+               ((CAST(s3 AS DOUBLE) / n)
+                - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+                + 2 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                    * (CAST(s1 AS DOUBLE) / n))
+               / (SQRT((CAST(s2 AS DOUBLE) / n)
+                       - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                  * ((CAST(s2 AS DOUBLE) / n)
+                     - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))
+                   AS disc_skewness,
+               ((CAST(s4 AS DOUBLE) / n)
+                - 4 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+                + 6 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                    * (CAST(s2 AS DOUBLE) / n)
+                - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                    * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+               / (((CAST(s2 AS DOUBLE) / n)
+                   - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                  * ((CAST(s2 AS DOUBLE) / n)
+                     - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))
+               - 3 AS disc_kurtosis
+        FROM s
+    """,
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same one-shuffle shape as agg_regr_exact: four int64 power sums
+    per group are the entire shuffle payload. Raw sums stay inside 2^53
+    (cents <= 100 -> cents^4 <= 1e8; exact to ~1e7 rows/group at 4th
+    power, far past any per-group row count after partial agg). m2^1.5
+    is written sqrt(m2)*m2 — sqrt is IEEE correctly-rounded where pow()
+    is implementation-defined and may differ between JVM and C++."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y = F.round(F.col("l_discount") * 100, 0).cast("long")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(y).alias("s1"),
+        F.sum(y * y).alias("s2"),
+        F.sum(y * y * y).alias("s3"),
+        F.sum(y * y * y * y).alias("s4"),
+    )
+    n = F.col("n")
+    m1 = F.col("s1").cast("double") / n
+    r2 = F.col("s2").cast("double") / n
+    r3 = F.col("s3").cast("double") / n
+    r4 = F.col("s4").cast("double") / n
+    m2 = r2 - m1 * m1
+    m3 = r3 - F.lit(3) * m1 * r2 + F.lit(2) * m1 * m1 * m1
+    m4 = (
+        r4
+        - F.lit(4) * m1 * r3
+        + F.lit(6) * m1 * m1 * r2
+        - F.lit(3) * m1 * m1 * m1 * m1
+    )
+    return s.select(
+        "l_returnflag",
+        n.cast("long").alias("n"),
+        (m3 / (F.sqrt(m2) * m2)).alias("disc_skewness"),
+        (m4 / (m2 * m2) - F.lit(3)).alias("disc_kurtosis"),
+    )
+
+
+@register(
+    "agg_bool_funcs",
+    tags=("relational", "aggregation"),
+    description=(
+        "Boolean aggregate family: bool_and / bool_or / count_if and the "
+        "deterministic any_value stand-in (MIN)."
+    ),
+    oracle="""
+        SELECT l_returnflag,
+               BOOL_AND(l_discount < 0.1) AS all_low_disc,
+               BOOL_OR(l_quantity > 45) AS some_big_qty,
+               CAST(COUNT(*) FILTER (WHERE l_tax > 0.05) AS BIGINT)
+                   AS n_high_tax,
+               MIN(l_linestatus) AS any_status
+        FROM lineitem GROUP BY 1
+    """,
+)
+def agg_bool_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_discount") < 0.1).alias("all_low_disc"),
+        F.bool_or(F.col("l_quantity") > 45).alias("some_big_qty"),
+        F.count_if(F.col("l_tax") > 0.05).alias("n_high_tax"),
+        F.min("l_linestatus").alias("any_status"),
+    )
+
+
+@register(
+    "agg_string_concat",
+    tags=("relational", "aggregation"),
+    description=(
+        "Ordered string aggregation (LISTAGG/STRING_AGG semantics): "
+        "deterministic by sorting the distinct elements before joining — "
+        "unordered string_agg is partition-order-nondeterministic."
+    ),
+    oracle="""
+        SELECT o_orderstatus,
+               STRING_AGG(DISTINCT o_orderpriority, ','
+                          ORDER BY o_orderpriority) AS priorities,
+               CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_prios
+        FROM orders GROUP BY 1
+    """,
+)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.concat_ws(
+            ",", F.sort_array(F.collect_set("o_orderpriority"))
+        ).alias("priorities"),
+        F.count_distinct("o_orderpriority").cast("long").alias("n_prios"),
     )

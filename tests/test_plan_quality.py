@@ -441,3 +441,11 @@ def test_bitmap_distinct_two_narrow_shuffles(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 2
     assert "partial_bitmap_construct_agg" in plan
     assert "Expand" not in plan
+
+
+def test_interval_overlap_is_banded_equi_join(spark, sf_dir):
+    """Unkeyed interval overlap must candidate-generate via the bucket
+    equi-join, never a nested-loop θ-join."""
+    plan = plan_of(spark, sf_dir, "join_interval_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
