@@ -1,0 +1,133 @@
+"""Byte-pair-encoding vocabulary training, distributed and deterministic.
+
+The real tokenizer-training operator an LLM data pipeline runs over its
+corpus (Sennrich et al., 2016, arXiv:1508.07909). The standard efficient
+formulation: ONE corpus-sized pass builds the (distinct word, count)
+table; every merge iteration then runs over that vocabulary-sized table
+only — pair statistics are weighted by word counts, so the result is
+identical to training on the raw corpus. At 100 TB the corpus pass is a
+plain groupBy(word).count() (partial-agg'd single shuffle) and the
+iteration working set is bounded by Heaps' law (~10-100 M distinct
+words), cluster-trivial.
+
+Everything is deterministic: ties on pair frequency break to the
+lexicographically smallest pair, and the in-word merge is the standard
+greedy leftmost non-overlapping rewrite — expressed as a pure Column
+``aggregate`` fold (no Python in the per-word path). Reference scope:
+the reference engine tokenizes with ``StringTokenizer``
+(WordCountV2.java:83); BPE training belongs to the LLM-pipeline
+extension surface (north star, SURVEY.md §7.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+END_OF_WORD = "</w>"
+
+
+def _word_counts(docs: DataFrame, text_col: str) -> DataFrame:
+    from hadoop_map_reduce_spark.functions.text import sanitize, tokenize
+
+    return (
+        docs.select(
+            F.explode(tokenize(sanitize(F.col(text_col)))).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _merge_pair(symbols, lhs: str, rhs: str):
+    """Greedy leftmost non-overlapping merge of (lhs, rhs) -> lhs||rhs
+    inside a symbol array, as one Column fold. The accumulator carries
+    the rewritten array; a step merges into the tail only when the tail
+    element is STILL a lone ``lhs`` (an element just produced by a merge
+    is ``lhs||rhs`` and never re-matches), which is exactly the
+    non-overlapping leftmost-first rule."""
+    return F.aggregate(
+        symbols,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(lhs))
+            & (x == F.lit(rhs)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.lit(lhs + rhs)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+) -> list[tuple[int, str, str, int]]:
+    """Learn ``n_merges`` BPE merges from a document corpus.
+
+    Returns ``[(rank, lhs, rhs, pair_count), ...]`` in merge order —
+    the merge table IS the tokenizer model. Stops early when no pair
+    reaches ``min_pair_count`` (merging singleton pairs is noise).
+
+    Plan shape per iteration: explode adjacent pairs over the distinct
+    word table (weights ride along, no corpus re-scan), one
+    partial-agg'd shuffle on the pair key, a 1-row TakeOrdered to the
+    driver, then a shuffle-free fold rewrite of the symbol arrays.
+    Lineage is truncated with an eager ``localCheckpoint`` every
+    iteration (the dedup_clusters discipline) so the plan does not grow
+    with the merge count.
+    """
+    words = _word_counts(docs, text_col)
+    state = words.select(
+        "cnt",
+        F.concat(
+            F.split("word", ""), F.array(F.lit(END_OF_WORD))
+        ).alias("syms"),
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        pairs = state.select(
+            "cnt",
+            F.explode(
+                F.zip_with(
+                    F.slice("syms", 1, F.size("syms") - 1),
+                    F.slice("syms", 2, F.size("syms") - 1),
+                    lambda a, b: F.struct(a.alias("lhs"), b.alias("rhs")),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("p").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] < min_pair_count:
+            break
+        lhs, rhs, n = top[0]["p"]["lhs"], top[0]["p"]["rhs"], int(top[0]["n"])
+        merges.append((rank, lhs, rhs, n))
+        state = state.select(
+            "cnt", _merge_pair(F.col("syms"), lhs, rhs).alias("syms")
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_segment(tokens, merges: list[tuple[int, str, str, int]]):
+    """Apply a learned merge table to a token array Column: each token
+    becomes its BPE symbol sequence. Pure Column expression — the merge
+    list is baked into the plan as ``n_merges`` chained folds (cheap:
+    merge tables are small constants, the per-row work is linear in
+    token length per merge)."""
+    def segment_one(tok):
+        syms = F.concat(F.split(tok, ""), F.array(F.lit(END_OF_WORD)))
+        for _, lhs, rhs, _n in merges:
+            syms = _merge_pair(syms, lhs, rhs)
+        return syms
+
+    return F.flatten(F.transform(tokens, segment_one))

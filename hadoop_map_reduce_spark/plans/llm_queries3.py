@@ -332,3 +332,27 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup_pairs(emb, threshold=0.4, k=8, n_iter=5)
+
+
+@register(
+    "bpe_train_merges",
+    tags=("llm", "text", "tokenizer"),
+    description=(
+        "BPE tokenizer-vocabulary training over the corpus: 24 merge "
+        "rounds on the word-frequency table, deterministic tie-breaks "
+        "(rows-only: iterative training has no SQL oracle; the full "
+        "merge table is pinned bit-for-bit by a pure-Python BPE "
+        "recomputation test)."
+    ),
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One corpus-sized pass (groupBy word), then vocabulary-sized merge
+    iterations — the standard efficient BPE formulation; see
+    operators/bpe.py for the 100-TB scale analysis."""
+    from hadoop_map_reduce_spark.operators.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=24)
+    return spark.createDataFrame(
+        merges, "rank BIGINT, lhs STRING, rhs STRING, pair_count BIGINT"
+    )

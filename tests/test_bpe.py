@@ -1,0 +1,98 @@
+"""BPE training: pure-Python recomputation oracle (the merge table is a
+deterministic function of the corpus), greedy-merge semantics pins, and
+segmentation round-trip."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from hadoop_map_reduce_spark.operators.bpe import (
+    END_OF_WORD,
+    bpe_segment,
+    bpe_train,
+)
+from hadoop_map_reduce_spark.plans import REGISTRY
+from hadoop_map_reduce_spark.session import load_table
+
+
+def _py_tokens(text: str) -> list[str]:
+    return re.sub(r"([^\s\w]|_)+", " ", text, flags=re.ASCII).lower().split()
+
+
+def _py_bpe(word_counts: dict[str, int], n_merges: int, min_pair_count=2):
+    """Reference BPE (Sennrich et al. 2016): pair stats over the word
+    table, greedy leftmost merge, ties to the smallest pair."""
+    vocab = {
+        tuple(list(w) + [END_OF_WORD]): c for w, c in word_counts.items()
+    }
+    merges = []
+    for rank in range(n_merges):
+        stats: Counter = Counter()
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                stats[(a, b)] += c
+        if not stats:
+            break
+        best = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        (lhs, rhs), n = best
+        if n < min_pair_count:
+            break
+        merges.append((rank, lhs, rhs, n))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == lhs and x == rhs:
+                    out[-1] = lhs + rhs
+                else:
+                    out.append(x)
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def test_merge_table_matches_pure_python(spark, sf_dir):
+    got = [
+        (r.rank, r.lhs, r.rhs, r.pair_count)
+        for r in REGISTRY["bpe_train_merges"].fn(spark, sf_dir).collect()
+    ]
+    docs = load_table(spark, sf_dir, "documents")
+    counts: Counter = Counter()
+    for row in docs.select("text").collect():
+        counts.update(_py_tokens(row["text"]))
+    want = _py_bpe(dict(counts), n_merges=24)
+    assert got == want
+    assert len(got) == 24  # corpus is rich enough to reach the cap
+
+
+def test_greedy_merge_is_leftmost_nonoverlapping(spark):
+    """'aaa' under merge (a,a) must become (aa, a), not (a, aa)."""
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(["a", "a", "a"],)], ["toks"])
+    # one word "aaa": segment with the single merge (a, a)
+    out = df.select(
+        bpe_segment(
+            F.array(F.concat_ws("", "toks")), [(0, "a", "a", 99)]
+        ).alias("s")
+    ).collect()
+    assert out[0]["s"] == ["aa", "a", END_OF_WORD]
+
+
+def test_segment_reconstructs_words(spark, sf_dir):
+    """Concatenating a token's BPE symbols (minus the end marker) must
+    reproduce the token, for every document."""
+    import pyspark.sql.functions as F
+
+    from hadoop_map_reduce_spark.functions.text import sanitize, tokenize
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    merges = bpe_train(docs, n_merges=8)
+    toks = docs.select(tokenize(sanitize(F.col("text"))).alias("t"))
+    check = toks.select(
+        F.concat_ws("", F.col("t")).alias("joined"),
+        F.concat_ws("", bpe_segment(F.col("t"), merges)).alias("seg"),
+    ).collect()
+    for r in check:
+        assert r["seg"].replace(END_OF_WORD, "") == r["joined"]
