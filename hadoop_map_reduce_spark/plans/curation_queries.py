@@ -552,3 +552,90 @@ def pipeline_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("split"),
         F.col("n_tok").cast("long").alias("n_tok"),
     )
+
+
+_HEX = "0123456789abcdef"
+
+
+def _md5_bucket16_spark(col, buckets: int):
+    """Deterministic bucket in [0, buckets) from the first FOUR hex chars
+    of md5 (16 bits — llm_queries2's 2-char variant only spans 0-255,
+    useless against a 10k-grain threshold). Pure string ops, identical
+    in Spark and DuckDB."""
+    digest = F.md5(col.cast("string").cast("binary"))
+    v = F.lit(0)
+    for i in range(1, 5):
+        v = v * 16 + (F.instr(F.lit(_HEX), F.substring(digest, i, 1)) - 1)
+    return v % buckets
+
+
+def _md5_bucket16_sql(expr: str, buckets: int) -> str:
+    d = f"md5(CAST({expr} AS VARCHAR))"
+    v = "0"
+    for i in range(1, 5):
+        v = f"({v} * 16 + instr('{_HEX}', substr({d}, {i}, 1)) - 1)"
+    return f"{v} % {buckets}"
+
+
+def _quality_sampling_oracle() -> str:
+    from hadoop_map_reduce_spark.plans.llm_queries import (
+        _TOKS,
+        _sql_stop_hits,
+    )
+
+    bucket = _md5_bucket16_sql("doc_id", 10000)
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, text, source, {_TOKS} AS t FROM documents
+        ), q AS (
+            SELECT doc_id, source,
+                   0.3 * LEAST(len(t) / 100.0, 1.0)
+                     + 0.4 * ({_sql_stop_hits('en')} / len(t))
+                     + 0.3 * (LENGTH(regexp_replace(text, '[^A-Za-z]+', '', 'g'))
+                              / LENGTH(text)) AS quality
+            FROM toks
+        )
+        SELECT doc_id, source, quality,
+               10000.0 / FLOOR(quality * 10000) AS weight
+        FROM q
+        WHERE {bucket} < FLOOR(quality * 10000)
+    """
+
+
+@register(
+    "mix_quality_weighted",
+    tags=("llm", "curation", "pipeline"),
+    description=(
+        "Quality-weighted importance sampling (DCLM/FineWeb-style data "
+        "mixing): each doc's admission probability IS its quality score, "
+        "decided by a deterministic md5 bucket — no RNG — with the "
+        "1/p importance weight carried for loss reweighting."
+    ),
+    oracle=_quality_sampling_oracle(),
+)
+def mix_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admission is a pure per-row filter at the scan (no shuffle, no
+    sample() RNG whose stream depends on partitioning): doc admitted iff
+    md5_bucket(doc_id, 10000) < floor(quality * 10000). The quality
+    double is the bit-identical composite from text_quality, so the
+    floor-of-scaled comparison agrees across engines exactly. The
+    carried weight (1/p) is what makes the sample unbiased for loss
+    averaging downstream."""
+    from hadoop_map_reduce_spark.functions.text import sanitize, tokenize
+    from hadoop_map_reduce_spark.functions.text_analysis import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(sanitize(F.col("text")))
+    q = docs.select(
+        "doc_id",
+        "source",
+        quality_score(F.col("text"), toks).alias("quality"),
+    )
+    p_e4 = F.floor(F.col("quality") * 10000)
+    bucket = _md5_bucket16_spark(F.col("doc_id"), 10000)
+    return q.filter(bucket < p_e4).select(
+        "doc_id",
+        "source",
+        "quality",
+        (F.lit(10000.0) / p_e4).alias("weight"),
+    )

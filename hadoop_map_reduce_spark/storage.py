@@ -42,6 +42,33 @@ def write_partitioned(
     df.write.mode(mode).partitionBy(*partition_cols).format(fmt).save(path)
 
 
+def overwrite_partitions_dynamic(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    fmt: str = "parquet",
+) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions present
+    in ``df``, leave every other partition untouched — the idempotent
+    daily-backfill write (re-running a day's job rewrites that day, not
+    the table). Static ``mode("overwrite")`` would truncate the whole
+    root path first.
+
+    Scoped via the session conf around this one write; restored after,
+    so other writers keep the static default.
+    """
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).format(
+            fmt
+        ).save(path)
+    finally:
+        spark.conf.set(key, prev)
+
+
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 

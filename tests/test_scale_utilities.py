@@ -316,3 +316,34 @@ def test_aqe_skew_join_splits_hot_partition(spark):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert "SortMergeJoin(skew=true)" in plan
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    """Only the partitions present in the incoming batch are replaced;
+    untouched partitions survive — the idempotent daily-backfill
+    contract (static overwrite would truncate the whole path)."""
+    from hadoop_map_reduce_spark.storage import (
+        overwrite_partitions_dynamic,
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "days")
+    base = spark.createDataFrame(
+        [("2024-01-01", 1), ("2024-01-01", 2), ("2024-01-02", 3)],
+        ["day", "v"],
+    )
+    write_partitioned(base, path, ["day"])
+
+    fix = spark.createDataFrame([("2024-01-02", 99)], ["day", "v"])
+    overwrite_partitions_dynamic(fix, path, ["day"])
+
+    # partition-column values come back type-inferred (DATE here)
+    got = sorted(
+        (str(r.day), r.v) for r in spark.read.parquet(path).collect()
+    )
+    assert got == [("2024-01-01", 1), ("2024-01-01", 2), ("2024-01-02", 99)]
+    # conf restored to its previous value after the scoped write
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        != "dynamic"
+    )
