@@ -112,6 +112,62 @@ def extract_media_features(
     return media.mapInPandas(batches, MEDIA_FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("target_px", LongType()),
+        StructField("resized", BinaryType()),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame, target_px: int = 256, use_real_decoder: bool = False
+) -> DataFrame:
+    """'Resize' stage: downsample each payload to exactly ``target_px``
+    bytes by deterministic stride sampling (stands in for
+    decode→resize→re-encode; with PIL present, swap the per-batch body
+    for ``Image.resize`` — the Arrow batch flow, schema, and typed
+    target metadata stay identical).
+
+    Payloads shorter than the target pass through unchanged — a real
+    resizer would upsample, which the byte stub cannot fake honestly.
+    Per-row output is capped at ``target_px`` bytes, so the stage
+    CONTRACTS data volume — the property that makes running it early in
+    a 100-TB media pipeline worthwhile.
+    """
+    if use_real_decoder and not _HAS_PIL:
+        raise NotImplementedError(
+            "real media resizing requires PIL, not present in this "
+            "environment; use the deterministic stub (use_real_decoder=False)"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def shrink(b) -> bytes:
+            payload = bytes(b)
+            if len(payload) <= target_px:
+                return payload
+            stride = len(payload) / target_px
+            return bytes(
+                payload[int(i * stride)] for i in range(target_px)
+            )
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "target_px": pd.Series(
+                        [target_px] * len(pdf), dtype="int64"
+                    ),
+                    "resized": pdf["content"].map(shrink),
+                }
+            )
+
+    return media.mapInPandas(batches, RESIZED_SCHEMA)
+
+
 def frame_sample(
     media: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8
 ) -> DataFrame:

@@ -400,3 +400,37 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("features", 1), 6).alias("f0"),
         F.round(F.element_at("features", 2), 6).alias("f1"),
     )
+
+
+@register(
+    "multimodal_frames",
+    tags=("llm", "multimodal"),
+    description=(
+        "Frame-sampling fan-out over binary payloads (1 media row -> M "
+        "frame rows) rolled back up per media — the exploded plumbing is "
+        "cross-checked against the closed-form byte arithmetic the slices "
+        "must satisfy."
+    ),
+    oracle="""
+        SELECT doc_id AS media_id,
+               CAST(GREATEST(LEAST(
+                   CEIL(octet_length(encode(text)) / 1024.0) - 1, 7), 0)
+                   + 1 AS BIGINT) AS n_frames,
+               CAST(LEAST(octet_length(encode(text)), 8 * 1024) AS BIGINT)
+                   AS total_frame_bytes
+        FROM documents
+    """,
+)
+def multimodal_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the real explode/substr frame stage, then aggregates back to
+    one row per media; the oracle states the invariant algebraically
+    (k frames cover min(len, k*N) bytes), so a slicing bug — overlap,
+    gap, off-by-one — breaks the hash match."""
+    from hadoop_map_reduce_spark.operators.multimodal import frame_sample
+
+    media = with_binary_content(load_table(spark, sf_dir, "documents"))
+    frames = frame_sample(media, every_n_bytes=1024, max_frames=8)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(F.length("frame")).alias("total_frame_bytes"),
+    )

@@ -193,6 +193,28 @@ def test_multimodal_feature_batches(spark):
     assert f2 == [(0, 3)]
 
 
+def test_multimodal_resize_contract(spark):
+    from hadoop_map_reduce_spark.operators.multimodal import (
+        resize_media,
+        with_binary_content,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abcdef" * 100), (2, "xyz")], ["doc_id", "text"]
+    )
+    out = {
+        r.media_id: r
+        for r in resize_media(
+            with_binary_content(docs), target_px=64
+        ).collect()
+    }
+    assert len(out[1].resized) == 64  # long payload downsampled exactly
+    assert bytes(out[2].resized) == b"xyz"  # short payload passes through
+    assert out[1].target_px == 64
+    # deterministic: stride sampling of a periodic payload starts at byte 0
+    assert bytes(out[1].resized)[0] == ord("a")
+
+
 def test_real_decoder_gated(spark):
     from hadoop_map_reduce_spark.operators.multimodal import (
         _HAS_PIL,
