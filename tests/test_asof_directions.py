@@ -122,3 +122,87 @@ def test_single_exchange_no_nested_loop(spark, sf_dir, name):
         # both directional carries share the one exchange: two Window
         # operators, two in-partition sorts, zero extra shuffles.
         assert plan.count("Window") == 2
+
+
+def test_bulk_random_matches_pandas_all_directions(spark):
+    """Seeded adversarial bulk check: 200 keys, duplicate timestamps,
+    keys missing from either side, single-row groups — every direction
+    must agree with pandas merge_asof row-for-row in one pass."""
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    left_rows = [
+        (int(k), int(t), i)
+        for i, (k, t) in enumerate(
+            zip(rng.randint(0, 200, 1500), rng.randint(0, 5000, 1500))
+        )
+    ]
+    right_rows = [
+        (int(k), int(t), j)
+        for j, (k, t) in enumerate(
+            zip(rng.randint(0, 220, 1200), rng.randint(0, 5000, 1200))
+        )
+    ]
+    left = spark.createDataFrame(left_rows, ["k", "t", "lid"]).selectExpr(
+        "k", "timestamp_seconds(t) as t", "lid"
+    )
+    right = spark.createDataFrame(
+        right_rows, ["k", "rt", "payload"]
+    ).selectExpr("k", "timestamp_seconds(rt) as rt", "payload")
+
+    lp = left.toPandas().sort_values(["t", "lid"]).reset_index(drop=True)
+    rp = right.toPandas().sort_values(["rt", "payload"]).reset_index(drop=True)
+
+    for direction, op in [
+        ("backward", asof_join_backward),
+        ("forward", asof_join_forward),
+        ("nearest", asof_join_nearest),
+    ]:
+        got = {
+            r.lid: r.payload
+            for r in op(
+                left, right, on="k", left_time="t", right_time="rt",
+                payload_cols=["payload"],
+            ).collect()
+        }
+        # pandas tie-break among equal-time right rows is positional, so
+        # pre-collapse each (k, rt) group to the row the engine's
+        # deterministic rule picks: greatest payload for backward,
+        # smallest for forward; nearest inherits per side.
+        rp_back = (
+            rp.groupby(["k", "rt"], as_index=False).last()
+        )  # sorted by payload asc -> last = greatest
+        rp_fwd = rp.groupby(["k", "rt"], as_index=False).first()
+        ref = pd.merge_asof(
+            lp,
+            (rp_back if direction == "backward" else rp_fwd).rename(
+                columns={"rt": "t"}
+            ).sort_values("t"),
+            on="t",
+            by="k",
+            direction=direction,
+        )
+        want = {
+            r.lid: (None if pd.isna(r.payload) else int(r.payload))
+            for r in ref.itertuples()
+        }
+        if direction == "nearest":
+            # nearest with equal-time dup collapse differs per side; only
+            # compare where both collapses agree (non-tied matches).
+            ref2 = pd.merge_asof(
+                lp,
+                rp_back.rename(columns={"rt": "t"}).sort_values("t"),
+                on="t",
+                by="k",
+                direction="nearest",
+            )
+            want2 = {
+                r.lid: (None if pd.isna(r.payload) else int(r.payload))
+                for r in ref2.itertuples()
+            }
+            agreed = {k: v for k, v in want.items() if want2.get(k) == v}
+            assert sum(1 for k, v in agreed.items() if got.get(k) == v) == len(
+                agreed
+            )
+        else:
+            assert got == want
