@@ -565,3 +565,71 @@ def events_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("prev_v").alias("locf_value"),
         interp.alias("interp_value"),
     )
+
+
+@register(
+    "similarity_user_profiles",
+    tags=("timeseries", "llm", "similarity"),
+    description=(
+        "Behavioral similarity: 24-dim hour-of-day activity profile per "
+        "user, then exact cosine pairs >= 0.85 via the block-grid "
+        "equi-join — feature derivation composed with the blocked "
+        "near-dup operator."
+    ),
+    oracle="""
+        WITH p AS (
+            SELECT user_id, hour(ts) AS h, CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2
+        ), n AS (
+            SELECT user_id, SUM(c * c) AS n2 FROM p GROUP BY 1
+        ), dots AS (
+            SELECT a.user_id AS id_a, b.user_id AS id_b,
+                   CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+            FROM p a JOIN p b ON a.h = b.h AND a.user_id < b.user_id
+            GROUP BY 1, 2
+        )
+        SELECT d.id_a, d.id_b,
+               ROUND(CAST(d.dot AS DOUBLE)
+                     / (SQRT(CAST(x.n2 AS DOUBLE))
+                        * SQRT(CAST(y.n2 AS DOUBLE))), 6) AS sim
+        FROM dots d
+        JOIN n x ON x.user_id = d.id_a
+        JOIN n y ON y.user_id = d.id_b
+        WHERE ROUND(CAST(d.dot AS DOUBLE)
+                    / (SQRT(CAST(x.n2 AS DOUBLE))
+                       * SQRT(CAST(y.n2 AS DOUBLE))), 6) >= 0.85
+    """,
+)
+def similarity_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile assembly is one partial-agg'd shuffle on (user, hour) +
+    one on user; the pair stage reuses cosine_neardup_blocked's
+    block-grid (hash-block equi-join, no nested loop, AQE-splittable) —
+    NOT a join on the 24 hour keys, which would funnel the whole corpus
+    through 24 hot partitions at scale. Counts are integers, so the
+    double dot/norm folds are exact on both engines regardless of
+    accumulation order — the oracle's sparse integer formulation meets
+    the engine's dense fold bit-for-bit."""
+    from hadoop_map_reduce_spark.operators.similarity import (
+        cosine_neardup_blocked,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "user_id", F.hour("ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    profiles = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("h", "c"))
+        ).alias("_m")
+    ).select(
+        "user_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(23)),
+            lambda i: F.coalesce(
+                F.element_at("_m", i), F.lit(0)
+            ).cast("double"),
+        ).alias("profile"),
+    )
+    return cosine_neardup_blocked(
+        profiles, threshold=0.85, id_col="user_id", vec_col="profile"
+    )
