@@ -41,6 +41,16 @@ QUERIES = [
     "quality_lm_score",
     "merge_apply_cdc_deletes",
     "recursive_nation_chain",
+    # session-6 additions: directional as-of carries, LOCF spine windows,
+    # k-means-blocked semantic dedup, profile-derived blocked cosine,
+    # banded interval overlap, BPE merge learning (driver-loop + folds).
+    "join_asof_nearest",
+    "events_locf",
+    "dedup_semantic",
+    "similarity_user_profiles",
+    "join_interval_overlap",
+    "bpe_train_merges",
+    "mix_quality_weighted",
 ]
 
 
