@@ -633,3 +633,29 @@ def similarity_user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup_blocked(
         profiles, threshold=0.85, id_col="user_id", vec_col="profile"
     )
+
+
+@register(
+    "timeseries_dtw",
+    tags=("timeseries", "similarity"),
+    description=(
+        "Banded dynamic-time-warping distance between every pair of "
+        "event-type daily-total series (Sakoe-Chiba band 7) — the "
+        "phase-tolerant series similarity measure, run as one exact "
+        "integer DP per pair in Arrow batches (rows-only: a dynamic "
+        "program has no SQL oracle; pinned by the pure-Python DTW "
+        "recomputation test)."
+    ),
+)
+def timeseries_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-sized stage is the per-(type, day) aggregation; the
+    DP then runs over 30-element arrays per pair — bounded by the time
+    range, independent of event count (see operators/dtw.py)."""
+    from hadoop_map_reduce_spark.operators.dtw import dtw_distance_pairs
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("series_id"),
+        F.date_trunc("day", F.col("ts")).alias("t"),
+    ).agg(F.sum(F.round(F.col("value") * 10000).cast("long")).alias("v"))
+    return dtw_distance_pairs(daily, band=7)

@@ -14,16 +14,28 @@ import __spark_entry__ as e
 from pyspark.sql import SparkSession
 import duckdb
 
-spark = (SparkSession.builder.master("local[8]")
-         .config("spark.sql.shuffle.partitions", "8")
-         .config("spark.sql.session.timeZone", "UTC")
-         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-         .config("spark.ui.enabled", "false").getOrCreate())
+# --bare: build the session the way the external driver does — NO engine
+# confs at all. The round-1 regression (nanosAsLong set only by
+# get_spark) is exactly the class of bug this mode catches; load_table
+# must make every query work on such a session.
+args = [a for a in sys.argv[1:] if a != "--bare"]
+BARE = len(args) != len(sys.argv) - 1
+builder = SparkSession.builder.master("local[8]").config(
+    "spark.ui.enabled", "false"
+)
+if not BARE:
+    builder = (
+        builder.config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+spark = builder.getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 
+print("bare session" if BARE else "configured session")
 print("entry rows:", len(e.entry(spark).collect()))
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+SF_DIR = args[0] if args else "/root/testdata/sf0.01"
 
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
