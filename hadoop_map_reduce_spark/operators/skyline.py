@@ -1,0 +1,121 @@
+"""Distributed skyline (Pareto frontier) over arbitrary min/max dimensions.
+
+A row is on the skyline iff no other row *dominates* it: another row that
+is at-least-as-good on every dimension and strictly better on at least
+one. The reference engine (a 3-file Hadoop MapReduce job, SURVEY.md §0)
+has nothing comparable; this belongs to the generalized analytic surface
+(SURVEY.md §7.1).
+
+Scale design — the skyline operator exploits the algebraic property
+``skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B))``:
+
+1. **Local phase**: every input partition computes its own frontier with
+   an Arrow-batched ``mapInPandas`` (vectorized NumPy dominance tests,
+   incremental frontier carried across batches within the partition).
+   This is a full-scan, shuffle-free reduction; output size per
+   partition is the partition's frontier (typically tiny for
+   correlated / independent dimensions).
+2. **Merge phase**: the union of local frontiers — now candidate-sized —
+   is coalesced to one partition and the same kernel runs once more.
+
+At 100 TB the local phase does all the data-sized work in parallel with
+zero shuffle; the single-partition merge sees only
+``num_partitions × |local frontier|`` rows. Caveat (documented, not
+hidden): for adversarially anti-correlated dimensions the frontier
+itself is large and the merge partition becomes the bottleneck — the
+standard fix is a grid-partitioned pre-merge stage, which this operator
+does not need for the registered workloads.
+
+Dominance convention: every dimension is normalized to "lower is
+better" by negating ``max`` dimensions, so ``p`` dominates ``q`` iff
+``all(p <= q) and any(p < q)``. Duplicate points (equal on every
+dimension) never dominate each other — all copies are kept, matching
+the ``NOT EXISTS`` SQL formulation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Literal
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+#: Rows per vectorized dominance block; bounds the m×k×d broadcast temp.
+_CHUNK = 4096
+
+
+def _dominates(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Boolean matrix D[i, j] = row a[i] dominates row b[j] (min-normalized)."""
+    le = (a[:, None, :] <= b[None, :, :]).all(axis=2)
+    lt = (a[:, None, :] < b[None, :, :]).any(axis=2)
+    return le & lt
+
+
+def _frontier_update(
+    kept: pd.DataFrame | None,
+    kept_m: np.ndarray | None,
+    chunk: pd.DataFrame,
+    chunk_m: np.ndarray,
+) -> tuple[pd.DataFrame, np.ndarray]:
+    """Incrementally merge one chunk into the running frontier.
+
+    Three vectorized passes: (1) drop chunk rows dominated by the kept
+    frontier, (2) drop chunk rows dominated within the chunk, (3) drop
+    kept rows dominated by the surviving chunk — a later point may
+    dominate an earlier acceptance, so the kept set must be re-checked.
+    """
+    if kept_m is not None and len(kept_m):
+        alive = ~_dominates(kept_m, chunk_m).any(axis=0)
+        chunk, chunk_m = chunk.iloc[alive], chunk_m[alive]
+    if len(chunk_m) > 1:
+        alive = ~_dominates(chunk_m, chunk_m).any(axis=0)
+        chunk, chunk_m = chunk.iloc[alive], chunk_m[alive]
+    if kept_m is None or not len(kept_m):
+        return chunk.copy(), chunk_m
+    if not len(chunk_m):
+        return kept, kept_m
+    alive_kept = ~_dominates(chunk_m, kept_m).any(axis=0)
+    return (
+        pd.concat([kept.iloc[alive_kept], chunk], ignore_index=True),
+        np.concatenate([kept_m[alive_kept], chunk_m]),
+    )
+
+
+def skyline(
+    df: DataFrame, dims: list[tuple[str, Literal["min", "max"]]]
+) -> DataFrame:
+    """Pareto frontier of ``df`` over ``dims`` (column, 'min'|'max').
+
+    All input columns pass through unchanged; only frontier rows are
+    emitted. Plan shape: mapInPandas (parallel local frontiers) →
+    coalesce(1) → mapInPandas (candidate merge); no join, no shuffle of
+    the full input.
+    """
+    if not dims:
+        raise ValueError("skyline needs at least one dimension")
+    missing = [c for c, _ in dims if c not in df.columns]
+    if missing:
+        raise ValueError(f"skyline dims not in DataFrame: {missing}")
+    signs = np.array(
+        [1.0 if direction == "min" else -1.0 for _, direction in dims]
+    )
+    cols = [c for c, _ in dims]
+
+    def local_frontier(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        kept: pd.DataFrame | None = None
+        kept_m: np.ndarray | None = None
+        for pdf in batches:
+            for lo in range(0, len(pdf), _CHUNK):
+                chunk = pdf.iloc[lo : lo + _CHUNK]
+                chunk_m = chunk[cols].to_numpy(dtype=np.float64) * signs
+                kept, kept_m = _frontier_update(kept, kept_m, chunk, chunk_m)
+        if kept is not None and len(kept):
+            yield kept
+
+    local = df.mapInPandas(local_frontier, schema=df.schema)
+    return local.coalesce(1).mapInPandas(local_frontier, schema=df.schema)

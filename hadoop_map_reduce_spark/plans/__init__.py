@@ -29,5 +29,6 @@ from hadoop_map_reduce_spark.plans import timeseries_queries  # noqa: F401
 from hadoop_map_reduce_spark.plans import ml_queries  # noqa: F401
 from hadoop_map_reduce_spark.plans import dq_queries  # noqa: F401
 from hadoop_map_reduce_spark.plans import layout_queries  # noqa: F401
+from hadoop_map_reduce_spark.plans import relational_queries8  # noqa: F401
 
 __all__ = ["REGISTRY", "Query", "register"]

@@ -51,6 +51,12 @@ QUERIES = [
     "join_interval_overlap",
     "bpe_train_merges",
     "mix_quality_weighted",
+    # session-7 additions: two-phase distributed skyline, gaps-and-islands
+    # SCD2 runs, lag-window Markov transitions, duration-weighted TWAP.
+    "skyline_parts",
+    "scd2_status_history",
+    "events_transition_probs",
+    "timeseries_twap",
 ]
 
 

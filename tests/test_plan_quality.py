@@ -449,3 +449,36 @@ def test_interval_overlap_is_banded_equi_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "join_interval_overlap")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scd2_single_entity_key_exchange(spark, sf_dir):
+    """Gaps-and-islands SCD2: every window and the run aggregation key on
+    o_custkey — one hash exchange of the orders scan, no join."""
+    plan = plan_of(spark, sf_dir, "scd2_status_history")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_transition_probs_partial_agg_before_exchange(spark, sf_dir):
+    """Markov transitions: the pair count aggregates map-side before its
+    shuffle; no join anywhere (row totals via window, not self-join)."""
+    plan = plan_of(spark, sf_dir, "events_transition_probs")
+    assert "Join" not in plan
+    assert "partial_count" in plan
+
+
+def test_twap_single_user_exchange(spark, sf_dir):
+    """TWAP: lead window and final aggregate share the user_id
+    partitioning — the window's exchange is reused, no second shuffle of
+    the spans."""
+    plan = plan_of(spark, sf_dir, "timeseries_twap")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_incremental_refresh_two_partials_one_merge(spark, sf_dir):
+    """Delta maintenance: both branches partial-aggregate before their
+    exchanges; the merge is an aggregation of partials, not a rescan."""
+    plan = plan_of(spark, sf_dir, "incremental_agg_refresh")
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "Join" not in plan

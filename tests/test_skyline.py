@@ -1,0 +1,97 @@
+"""Skyline operator: brute-force differential, partition invariance,
+duplicate semantics, and plan shape (no join, no full-input shuffle)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from hadoop_map_reduce_spark.operators.skyline import skyline
+
+
+def _brute_frontier(M: np.ndarray) -> set[int]:
+    """O(n²) reference dominance check (min-normalized matrix)."""
+    keep = set()
+    n = len(M)
+    for i in range(n):
+        dominated = False
+        for j in range(n):
+            if i != j and np.all(M[j] <= M[i]) and np.any(M[j] < M[i]):
+                dominated = True
+                break
+        if not dominated:
+            keep.add(i)
+    return keep
+
+
+def _make_df(spark, n: int, d: int, seed: int, parts: int):
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(0, 40, size=(n, d))
+    rows = [
+        (int(i), *[float(v) for v in vals[i]]) for i in range(n)
+    ]
+    cols = ["id"] + [f"x{k}" for k in range(d)]
+    return spark.createDataFrame(rows, cols).repartition(parts), vals
+
+
+@pytest.mark.parametrize("n,d,parts,seed", [
+    (300, 2, 7, 0),
+    (300, 3, 4, 1),
+    (500, 2, 1, 2),
+])
+def test_matches_brute_force(spark, n, d, parts, seed):
+    df, vals = _make_df(spark, n, d, seed, parts)
+    dims = [(f"x{k}", "min" if k % 2 == 0 else "max") for k in range(d)]
+    signs = np.array([1.0 if dr == "min" else -1.0 for _, dr in dims])
+    expected = _brute_frontier(vals.astype(np.float64) * signs)
+    got = {r["id"] for r in skyline(df, dims).collect()}
+    assert got == expected
+
+
+def test_partition_invariance(spark):
+    df1, _ = _make_df(spark, 400, 2, 3, 1)
+    df9, _ = _make_df(spark, 400, 2, 3, 9)
+    dims = [("x0", "min"), ("x1", "max")]
+    r1 = sorted(r["id"] for r in skyline(df1, dims).collect())
+    r9 = sorted(r["id"] for r in skyline(df9, dims).collect())
+    assert r1 == r9
+
+
+def test_duplicates_all_kept(spark):
+    # Equal points never dominate each other: every copy survives.
+    df = spark.createDataFrame(
+        [(1, 1.0, 5.0), (2, 1.0, 5.0), (3, 2.0, 6.0)], ["id", "x0", "x1"]
+    ).repartition(3)
+    got = {r["id"] for r in skyline(df, [("x0", "min"), ("x1", "min")]).collect()}
+    assert got == {1, 2}
+
+
+def test_passthrough_columns_preserved(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1.0, 5.0), (2, "b", 3.0, 1.0)], ["id", "tag", "x0", "x1"]
+    )
+    out = skyline(df, [("x0", "min"), ("x1", "min")])
+    assert out.columns == ["id", "tag", "x0", "x1"]
+    rows = {r["id"]: r["tag"] for r in out.collect()}
+    assert rows == {1: "a", 2: "b"}
+
+
+def test_plan_has_no_join_and_no_full_shuffle(spark, sf_dir):
+    from hadoop_map_reduce_spark.plans import REGISTRY
+
+    df = REGISTRY["skyline_parts"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    # The merge phase is a coalesce (no exchange of the full input);
+    # the only repartitioning allowed is the single-partition merge.
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_bad_dims_raise(spark):
+    df = spark.createDataFrame([(1, 1.0)], ["id", "x0"])
+    with pytest.raises(ValueError):
+        skyline(df, [])
+    with pytest.raises(ValueError):
+        skyline(df, [("nope", "min")])
