@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from hadoop_map_reduce_spark.operators.dq import audit
 from hadoop_map_reduce_spark.plans.registry import register
@@ -112,4 +113,95 @@ def dq_documents_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "empty_doc": F.length(F.trim(F.col("text"))) == 0,
         },
         unique_keys={"dup_doc_id": ["doc_id"]},
+    )
+
+
+@register(
+    "dq_value_drift",
+    tags=("relational", "dq", "aggregation"),
+    description=(
+        "Distribution-drift monitor: chi-square statistic per event type "
+        "comparing the second half-month's value histogram (10 fixed "
+        "50.00-wide bins) against the first half's proportions — the "
+        "refuse-drifted-batch gate. Per-bin terms floor-scaled to ppm "
+        "BIGINTs before summing, so the statistic is engine-exact."
+    ),
+    oracle="""
+        WITH binned AS (
+            SELECT event_type,
+                   LEAST(CAST(FLOOR(CAST(ROUND(value * 100) AS BIGINT)
+                                    / 5000) AS BIGINT), 9) AS bin,
+                   CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                   CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+            FROM events GROUP BY 1, 2
+        ), tot AS (
+            SELECT *,
+                   SUM(n_a) OVER (PARTITION BY event_type) AS total_a,
+                   SUM(n_b) OVER (PARTITION BY event_type) AS total_b
+            FROM binned
+        ), terms AS (
+            SELECT event_type, total_a, total_b,
+                   CAST(FLOOR(
+                       1e6 * ((n_b - total_b * (n_a / total_a))
+                              * (n_b - total_b * (n_a / total_a)))
+                           / (total_b * (n_a / total_a))
+                   ) AS BIGINT) AS term_ppm
+            FROM tot WHERE n_a > 0
+        )
+        SELECT event_type,
+               CAST(MAX(total_a) AS BIGINT) AS total_a,
+               CAST(MAX(total_b) AS BIGINT) AS total_b,
+               CAST(SUM(term_ppm) AS BIGINT) AS chi2_ppm,
+               COUNT(*) AS n_bins
+        FROM terms GROUP BY event_type
+    """,
+)
+def dq_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        F.least(
+            F.floor(
+                F.round(F.col("value") * 100).cast("long") / F.lit(5000)
+            ).cast("long"),
+            F.lit(9).cast("long"),
+        ).alias("bin"),
+    )
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    binned = events.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("ts") < cutoff, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("ts") >= cutoff, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+    )
+    by_type = Window.partitionBy("event_type")
+    tot = binned.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.sum("n_a").over(by_type).alias("total_a"),
+        F.sum("n_b").over(by_type).alias("total_b"),
+    )
+    expected = F.col("total_b") * (F.col("n_a") / F.col("total_a"))
+    terms = tot.filter(F.col("n_a") > 0).select(
+        "event_type",
+        "total_a",
+        "total_b",
+        F.floor(
+            F.lit(1e6)
+            * ((F.col("n_b") - expected) * (F.col("n_b") - expected))
+            / expected
+        )
+        .cast("long")
+        .alias("term_ppm"),
+    )
+    return terms.groupBy("event_type").agg(
+        F.max("total_a").cast("long").alias("total_a"),
+        F.max("total_b").cast("long").alias("total_b"),
+        F.sum("term_ppm").cast("long").alias("chi2_ppm"),
+        F.count(F.lit(1)).alias("n_bins"),
     )

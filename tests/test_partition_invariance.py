@@ -57,6 +57,7 @@ QUERIES = [
     "scd2_status_history",
     "events_transition_probs",
     "timeseries_twap",
+    "dq_value_drift",
 ]
 
 

@@ -482,3 +482,49 @@ def test_incremental_refresh_two_partials_one_merge(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "incremental_agg_refresh")
     assert "partial_count" in plan or "partial_sum" in plan
     assert "Join" not in plan
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
+    """At 100 TB a selective dim filter should semi-join-reduce the fact
+    scan before the shuffle. Spark 4 injects a runtime Bloom filter
+    (bloom_filter_agg on the filtered side, might_contain on the fact
+    side) for shuffle joins; pin that the engine's configs don't break
+    the injection. Thresholds are test-scoped: local parquet is far
+    below the 10 GB application-side default."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    old = {}
+    for k in confs:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+        assert "SortMergeJoin" in plan  # the shape the filter exists for
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
