@@ -169,3 +169,120 @@ def complex_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.array_max("v"), 6).alias("max_val"),
         F.round(F.array_min("v"), 6).alias("min_val"),
     )
+
+
+@register(
+    "agg_mad_outliers",
+    tags=("relational", "aggregation", "stats"),
+    description=(
+        "Robust outlier detection per event type: median absolute "
+        "deviation on integer cents (every median a multiple of 0.5, "
+        "every deviation-median a multiple of 0.25 — binary-exact on "
+        "both engines), outliers = |x - median| > 3*MAD. Exact medians "
+        "buffer per-group values, so the 100-TB path is the t-digest "
+        "sketch twin (sketch_quantile_check); this exact formulation is "
+        "the parity/verify stage, same standing as agg_mode_median."
+    ),
+    oracle="""
+        WITH med AS (
+            SELECT event_type,
+                   median(CAST(ROUND(value * 100) AS BIGINT)) AS med_c
+            FROM events GROUP BY 1
+        ), dev AS (
+            SELECT e.event_type, m.med_c,
+                   ABS(CAST(ROUND(e.value * 100) AS BIGINT) - m.med_c)
+                       AS dev_c
+            FROM events e JOIN med m USING (event_type)
+        ), mad AS (
+            SELECT event_type, median(dev_c) AS mad_c
+            FROM dev GROUP BY 1
+        )
+        SELECT d.event_type,
+               MAX(d.med_c) AS med_c,
+               MAX(m.mad_c) AS mad_c,
+               CAST(SUM(CASE WHEN d.dev_c > 3 * m.mad_c THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers,
+               COUNT(*) AS n_events
+        FROM dev d JOIN mad m USING (event_type)
+        GROUP BY 1
+    """,
+)
+def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    med = events.groupBy("event_type").agg(
+        F.median("value_c").alias("med_c")
+    )
+    dev = events.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med_c",
+        F.abs(F.col("value_c") - F.col("med_c")).alias("dev_c"),
+    )
+    mad = dev.groupBy("event_type").agg(F.median("dev_c").alias("mad_c"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("med_c").alias("med_c"),
+            F.max("mad_c").alias("mad_c"),
+            F.sum(
+                F.when(F.col("dev_c") > 3 * F.col("mad_c"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "user_type_gini",
+    tags=("relational", "aggregation", "stats"),
+    description=(
+        "Behavioral diversity per user: Gini impurity of the event-type "
+        "distribution, 1 - sum(p_i^2), kept engine-exact as the integer "
+        "rational floor(1e6 * (n^2 - sum(n_i^2)) / n^2) — no logarithms "
+        "(entropy's libm ln is implementation-defined), same information "
+        "ordering. Two narrow shuffles: (user, type) counts, then per-"
+        "user sums of squares."
+    ),
+    oracle="""
+        WITH counts AS (
+            SELECT user_id, event_type, COUNT(*) AS n_i
+            FROM events GROUP BY 1, 2
+        ), sums AS (
+            SELECT user_id,
+                   CAST(SUM(n_i) AS BIGINT) AS n,
+                   CAST(SUM(n_i * n_i) AS BIGINT) AS ss,
+                   COUNT(*) AS n_types
+            FROM counts GROUP BY 1
+        )
+        SELECT user_id, n, n_types,
+               CAST(FLOOR(1e6 * ((n * n - ss) / (n * n))) AS BIGINT)
+                   AS gini_ppm
+        FROM sums
+    """,
+)
+def user_type_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type"
+    )
+    counts = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_i")
+    )
+    sums = counts.groupBy("user_id").agg(
+        F.sum("n_i").cast("long").alias("n"),
+        F.sum(F.col("n_i") * F.col("n_i")).cast("long").alias("ss"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+    n2 = F.col("n") * F.col("n")
+    return sums.select(
+        "user_id",
+        "n",
+        "n_types",
+        F.floor(F.lit(1e6) * ((n2 - F.col("ss")) / n2))
+        .cast("long")
+        .alias("gini_ppm"),
+    )

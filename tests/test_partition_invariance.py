@@ -58,6 +58,7 @@ QUERIES = [
     "events_transition_probs",
     "timeseries_twap",
     "dq_value_drift",
+    "agg_mad_outliers",
 ]
 
 

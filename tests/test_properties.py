@@ -136,3 +136,60 @@ def test_null_embedding_cosine(spark):
     assert rows[1] == 1.0
     assert rows[2] is None  # null vector -> null, not crash
     assert rows[3] is None  # zero vector -> null (guarded division)
+
+
+# Skyline kernel: the incremental chunked frontier must equal the O(n²)
+# dominance definition for any point multiset, any chunking.
+
+
+def _brute_skyline(pts):
+    import numpy as np
+
+    M = np.array(pts, dtype=float)
+    keep = []
+    for i in range(len(M)):
+        if not any(
+            (M[j] <= M[i]).all() and (M[j] < M[i]).any()
+            for j in range(len(M))
+            if j != i
+        ):
+            keep.append(tuple(M[i]))
+    return sorted(keep)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),
+            st.integers(min_value=0, max_value=8),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=1, max_value=7),
+)
+def test_skyline_kernel_matches_brute_force(pts, chunk):
+    import numpy as np
+    import pandas as pd
+
+    from hadoop_map_reduce_spark.operators import skyline as sk
+
+    kept, kept_m = None, None
+    for lo in range(0, len(pts), chunk):
+        part = pts[lo : lo + chunk]
+        pdf = pd.DataFrame(part, columns=["x0", "x1"])
+        m = pdf.to_numpy(dtype=np.float64)
+        kept, kept_m = sk._frontier_update(kept, kept_m, pdf, m)
+    got = sorted(
+        (float(r.x0), float(r.x1)) for r in kept.itertuples()
+    )
+    # Duplicates: every copy of a frontier point survives, so compare
+    # multisets of frontier members.
+    expected_set = set(_brute_skyline(pts))
+    expected = sorted(
+        (float(a), float(b))
+        for a, b in pts
+        if (float(a), float(b)) in expected_set
+    )
+    assert got == expected
