@@ -205,3 +205,75 @@ def dq_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("term_ppm").cast("long").alias("chi2_ppm"),
         F.count(F.lit(1)).alias("n_bins"),
     )
+
+
+@register(
+    "dq_fd_violations",
+    tags=("relational", "dq", "aggregation"),
+    description=(
+        "Functional-dependency profiling over orders: for each candidate "
+        "FD lhs->rhs, how many lhs keys map to more than one rhs value "
+        "and how many rows sit in those violating groups — the "
+        "dependency-discovery primitive of a data profiler. One scan per "
+        "FD, partial-aggregated."
+    ),
+    oracle="""
+        WITH fd1 AS (
+            SELECT o_custkey AS k, COUNT(DISTINCT o_orderstatus) AS d,
+                   COUNT(*) AS n
+            FROM orders GROUP BY 1
+        ), fd2 AS (
+            SELECT o_orderdate AS k, COUNT(DISTINCT o_orderpriority) AS d,
+                   COUNT(*) AS n
+            FROM orders GROUP BY 1
+        ), fd3 AS (
+            SELECT o_orderkey AS k, COUNT(DISTINCT o_custkey) AS d,
+                   COUNT(*) AS n
+            FROM orders GROUP BY 1
+        )
+        SELECT 'custkey->orderstatus' AS fd,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violating_keys,
+               CAST(SUM(CASE WHEN d > 1 THEN n ELSE 0 END) AS BIGINT)
+                   AS n_violating_rows
+        FROM fd1
+        UNION ALL
+        SELECT 'orderdate->orderpriority',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN d > 1 THEN n ELSE 0 END) AS BIGINT)
+        FROM fd2
+        UNION ALL
+        SELECT 'orderkey->custkey',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN d > 1 THEN n ELSE 0 END) AS BIGINT)
+        FROM fd3
+    """,
+)
+def dq_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+
+    def fd(name: str, lhs: str, rhs: str) -> DataFrame:
+        g = orders.groupBy(F.col(lhs).alias("k")).agg(
+            F.countDistinct(rhs).alias("d"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        return g.agg(
+            F.lit(name).alias("fd"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum(F.when(F.col("d") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violating_keys"),
+            F.sum(F.when(F.col("d") > 1, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("n_violating_rows"),
+        )
+
+    return (
+        fd("custkey->orderstatus", "o_custkey", "o_orderstatus")
+        .unionByName(fd("orderdate->orderpriority", "o_orderdate",
+                        "o_orderpriority"))
+        .unionByName(fd("orderkey->custkey", "o_orderkey", "o_custkey"))
+    )

@@ -434,3 +434,45 @@ def multimodal_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_frames"),
         F.sum(F.length("frame")).alias("total_frame_bytes"),
     )
+
+
+@register(
+    "multimodal_audio_energy",
+    tags=("llm", "multimodal"),
+    description=(
+        "Windowed audio-energy featurization over binary payloads as "
+        "unsigned 8-bit PCM (256-byte frames, integer sum-of-squares): "
+        "real vectorized NumPy DSP in a shuffle-free mapInPandas — the "
+        "oracle recomputes the exact per-byte arithmetic in SQL (corpus "
+        "is pure ASCII, so text codepoints are payload bytes)."
+    ),
+    oracle="""
+        WITH idx AS (
+            SELECT doc_id, text,
+                   unnest(generate_series(1, length(text))) AS i
+            FROM documents
+        ), b AS (
+            SELECT doc_id,
+                   CAST(FLOOR((i - 1) / 256) AS BIGINT) AS w,
+                   (ord(substring(text, CAST(i AS INT), 1)) - 128)
+                   * (ord(substring(text, CAST(i AS INT), 1)) - 128)
+                       AS sq
+            FROM idx
+        ), wins AS (
+            SELECT doc_id, w, CAST(SUM(sq) AS BIGINT) AS energy
+            FROM b GROUP BY 1, 2
+        )
+        SELECT doc_id AS media_id,
+               COUNT(*) AS n_windows,
+               CAST(SUM(energy) AS BIGINT) AS total_energy,
+               CAST(MAX(energy) AS BIGINT) AS peak_energy
+        FROM wins GROUP BY 1
+    """,
+)
+def multimodal_audio_energy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_map_reduce_spark.operators.multimodal import audio_energy
+
+    media = with_binary_content(
+        load_table(spark, sf_dir, "documents"), modality="audio"
+    )
+    return audio_energy(media, window=256)

@@ -1,0 +1,148 @@
+"""Round-2 additions, batch 9 (text statistics): windowed token
+co-occurrence association (lift).
+
+Reference scope note: the reference engine counts adjacent bigrams
+(WordCountV2.java:81-95); this generalizes to a ±2-token co-occurrence
+window with an association strength (lift = p(x,y)/(p(x)p(y))) kept
+engine-exact as an integer-rational-in-double with identical operation
+order on both engines (products stay below 2^53 at these corpus sizes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hadoop_map_reduce_spark.functions.text import sanitize, tokenize
+from hadoop_map_reduce_spark.plans.llm_queries import _TOKS
+from hadoop_map_reduce_spark.plans.registry import register
+from hadoop_map_reduce_spark.session import load_table
+
+
+@register(
+    "token_lift_pairs",
+    tags=("llm", "text", "aggregation"),
+    description=(
+        "Top-100 token associations by lift over a ±2-token window: "
+        "pair slots from two lead windows (no self-join), unordered "
+        "canonical pairs, lift = n_xy·N²/(P·n_x·n_y) floor-scaled to "
+        "ppm; ties broken (lift DESC, tok_a, tok_b). Pairs with "
+        "n_xy >= 5 rank."
+    ),
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(arr) AS tok,
+                   unnest(generate_series(1, len(arr))) AS pos
+            FROM (SELECT doc_id, {_TOKS} AS arr FROM documents)
+        ), led AS (
+            SELECT tok,
+                   LEAD(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS t1,
+                   LEAD(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS t2
+            FROM toks
+        ), slots AS (
+            SELECT LEAST(tok, t1) AS tok_a, GREATEST(tok, t1) AS tok_b
+            FROM led WHERE t1 IS NOT NULL
+            UNION ALL
+            SELECT LEAST(tok, t2), GREATEST(tok, t2)
+            FROM led WHERE t2 IS NOT NULL
+        ), pair_counts AS (
+            SELECT tok_a, tok_b, COUNT(*) AS n_xy
+            FROM slots GROUP BY 1, 2
+        ), uni AS (
+            SELECT tok, COUNT(*) AS n_x FROM toks GROUP BY 1
+        ), scored AS (
+            SELECT p.tok_a, p.tok_b, p.n_xy,
+                   CAST(FLOOR(
+                       1e6 * ((CAST(p.n_xy AS DOUBLE)
+                               * (SELECT COUNT(*) FROM toks)
+                               * (SELECT COUNT(*) FROM toks))
+                              / ((SELECT COUNT(*) FROM slots)
+                                 * ua.n_x * ub.n_x))
+                   ) AS BIGINT) AS lift_ppm
+            FROM pair_counts p
+            JOIN uni ua ON ua.tok = p.tok_a
+            JOIN uni ub ON ub.tok = p.tok_b
+            WHERE p.n_xy >= 5
+        )
+        SELECT tok_a, tok_b, n_xy, lift_ppm,
+               CAST(rk AS BIGINT) AS rk
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                ORDER BY lift_ppm DESC, tok_a, tok_b) AS rk
+            FROM scored
+        ) WHERE rk <= 100
+    """,
+)
+def token_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan shape: posexplode → one doc-keyed window (two leads share
+    it) → pair-slot explode → (pair) count; unigram counts and the two
+    scalar totals ride broadcast joins. The global top-100 rank moves
+    only the >=5-support pair table."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(tokenize(sanitize(F.col("text")))).alias("pos", "tok"),
+    )
+    by_doc = Window.partitionBy("doc_id").orderBy("pos")
+    led = toks.select(
+        "tok",
+        F.lead("tok", 1).over(by_doc).alias("t1"),
+        F.lead("tok", 2).over(by_doc).alias("t2"),
+    )
+    slots = (
+        led.select(
+            F.explode(F.array("t1", "t2")).alias("other"), F.col("tok")
+        )
+        .filter(F.col("other").isNotNull())
+        .select(
+            F.least("tok", "other").alias("tok_a"),
+            F.greatest("tok", "other").alias("tok_b"),
+        )
+    )
+    pair_counts = (
+        slots.groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+        .filter(F.col("n_xy") >= 5)
+    )
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_x"))
+    n_toks = toks.agg(F.count(F.lit(1)).alias("_n"))
+    n_slots = slots.agg(F.count(F.lit(1)).alias("_p"))
+    scored = (
+        pair_counts.join(
+            F.broadcast(uni.select(F.col("tok").alias("tok_a"),
+                                   F.col("n_x").alias("_na"))),
+            "tok_a",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("tok").alias("tok_b"),
+                                   F.col("n_x").alias("_nb"))),
+            "tok_b",
+        )
+        .crossJoin(F.broadcast(n_toks))
+        .crossJoin(F.broadcast(n_slots))
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_xy",
+            F.floor(
+                F.lit(1e6)
+                * (
+                    (F.col("n_xy").cast("double") * F.col("_n") * F.col("_n"))
+                    / (F.col("_p") * F.col("_na") * F.col("_nb"))
+                )
+            )
+            .cast("long")
+            .alias("lift_ppm"),
+        )
+    )
+    rk = Window.orderBy(
+        F.col("lift_ppm").desc(), F.col("tok_a").asc(), F.col("tok_b").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(rk).cast("long"))
+        .filter(F.col("rk") <= 100)
+    )

@@ -286,3 +286,60 @@ def user_type_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("gini_ppm"),
     )
+
+
+@register(
+    "agg_winsorized_mean",
+    tags=("relational", "aggregation", "stats"),
+    description=(
+        "Winsorized (quartile-clipped) mean per event type: values "
+        "clipped to the exact interpolated [Q1, Q3] on integer cents — "
+        "quartiles are multiples of 0.25 (binary-exact cross-engine), "
+        "clipped sums exact, final mean rounded to 6."
+    ),
+    oracle="""
+        WITH q AS (
+            SELECT event_type,
+                   quantile_cont(CAST(ROUND(value * 100) AS BIGINT), 0.25)
+                       AS q1,
+                   quantile_cont(CAST(ROUND(value * 100) AS BIGINT), 0.75)
+                       AS q3
+            FROM events GROUP BY 1
+        )
+        SELECT e.event_type,
+               MAX(q.q1) AS q1_c,
+               MAX(q.q3) AS q3_c,
+               ROUND(AVG(
+                   CASE WHEN CAST(ROUND(e.value * 100) AS BIGINT) < q.q1
+                            THEN q.q1
+                        WHEN CAST(ROUND(e.value * 100) AS BIGINT) > q.q3
+                            THEN q.q3
+                        ELSE CAST(ROUND(e.value * 100) AS BIGINT) END
+               ), 6) AS winsorized_mean_c,
+               COUNT(*) AS n_events
+        FROM events e JOIN q USING (event_type)
+        GROUP BY 1
+    """,
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    q = events.groupBy("event_type").agg(
+        F.expr("percentile(value_c, 0.25)").alias("q1"),
+        F.expr("percentile(value_c, 0.75)").alias("q3"),
+    )
+    clipped = F.when(F.col("value_c") < F.col("q1"), F.col("q1")).when(
+        F.col("value_c") > F.col("q3"), F.col("q3")
+    ).otherwise(F.col("value_c"))
+    return (
+        events.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("q1").alias("q1_c"),
+            F.max("q3").alias("q3_c"),
+            F.round(F.avg(clipped), 6).alias("winsorized_mean_c"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

@@ -275,3 +275,35 @@ def test_doc_chunks_overlap_long_document_regime(spark, tmp_path):
         )
     assert rows == sorted(want)
     assert [r[2] for r in rows] == [128, 128, 108, 12]
+
+
+def test_audio_energy_matches_pure_python_and_handles_empty(spark):
+    from hadoop_map_reduce_spark.operators.multimodal import audio_energy
+
+    payloads = [
+        (1, b"abcdefgh" * 100),   # 800 bytes -> 4 windows of 256/32
+        (2, b"\x00\xff" * 10),    # extreme byte values
+        (3, b""),                 # empty payload -> zero windows
+        (4, b"x"),                # single byte
+    ]
+    df = spark.createDataFrame(
+        [(i, "audio", p) for i, p in payloads],
+        ["media_id", "modality", "content"],
+    )
+    got = {r["media_id"]: r for r in audio_energy(df, window=256).collect()}
+
+    for mid, payload in payloads:
+        sq = [(b - 128) ** 2 for b in payload]
+        wins = [sum(sq[i : i + 256]) for i in range(0, len(sq), 256)]
+        r = got[mid]
+        assert r["n_windows"] == len(wins)
+        assert r["total_energy"] == sum(wins)
+        assert r["peak_energy"] == (max(wins) if wins else 0)
+
+
+def test_audio_energy_plan_is_shuffle_free(spark, sf_dir):
+    from hadoop_map_reduce_spark.plans import REGISTRY
+
+    df = REGISTRY["multimodal_audio_energy"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # straight map over the scan

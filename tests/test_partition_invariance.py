@@ -59,6 +59,8 @@ QUERIES = [
     "timeseries_twap",
     "dq_value_drift",
     "agg_mad_outliers",
+    "token_lift_pairs",
+    "multimodal_audio_energy",
 ]
 
 
