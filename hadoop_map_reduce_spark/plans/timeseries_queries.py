@@ -659,3 +659,74 @@ def timeseries_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("day", F.col("ts")).alias("t"),
     ).agg(F.sum(F.round(F.col("value") * 10000).cast("long")).alias("v"))
     return dtw_distance_pairs(daily, band=7)
+
+
+@register(
+    "timeseries_ewma",
+    tags=("timeseries", "window", "pandas"),
+    description=(
+        "Exponential moving average per user (alpha=1/2, y1=x1): a true "
+        "ordered RECURRENCE (prefix-dependent, non-associative — no "
+        "window function expresses it), run as an Arrow-batched "
+        "applyInPandas recurrence and oracled by a recursive CTE. The "
+        "update is written 0.5*y + 0.5*x on BOTH engines: each halving "
+        "is an exact power-of-two scale, so the single rounding per "
+        "step is the same IEEE operation on both sides, so the emitted "
+        "doubles are BIT-IDENTICAL (no rounding: EWMA values are dyadic "
+        "rationals that land exactly on decimal half-boundaries, where "
+        "round-half-even and round-half-away disagree)."
+    ),
+    oracle="""
+        WITH RECURSIVE seq AS (
+            SELECT user_id, event_id,
+                   CAST(ROUND(value * 100) AS BIGINT) AS value_c,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS BIGINT) AS rn
+            FROM events
+        ), ew AS (
+            SELECT user_id, event_id, rn, CAST(value_c AS DOUBLE) AS y
+            FROM seq WHERE rn = 1
+            UNION ALL
+            SELECT s.user_id, s.event_id, s.rn,
+                   0.5 * e.y + 0.5 * s.value_c
+            FROM ew e JOIN seq s
+              ON s.user_id = e.user_id AND s.rn = e.rn + 1
+        )
+        SELECT user_id, event_id, rn, y AS ewma_c
+        FROM ew
+    """,
+)
+def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan shape: one hash exchange on user_id (the applyInPandas
+    group), per-group NumPy float64 loop over the user's ordered events
+    (O(n) per key, Arrow-batched) — at 100 TB each key's series must fit
+    one task, the same contract every per-key recurrence (and the
+    reference's Reducer, WordCountV2.java:102-111) already has."""
+    import pandas as pd
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        xs = pdf["value_c"].to_numpy(dtype="float64")
+        ys = xs.copy()
+        for i in range(1, len(ys)):
+            ys[i] = 0.5 * ys[i - 1] + 0.5 * xs[i]
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "rn": range(1, len(ys) + 1),
+                "ewma_c": ys,
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandas(
+        ewma, "user_id long, event_id long, rn long, ewma_c double"
+    )

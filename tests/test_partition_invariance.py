@@ -61,6 +61,7 @@ QUERIES = [
     "agg_mad_outliers",
     "token_lift_pairs",
     "multimodal_audio_energy",
+    "timeseries_ewma",
 ]
 
 

@@ -528,3 +528,30 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ewma_single_group_exchange(spark, sf_dir):
+    """The recurrence runs in one applyInPandas group pass: exactly one
+    hash exchange on user_id, nothing else."""
+    plan = plan_of(spark, sf_dir, "timeseries_ewma")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_token_lift_broadcast_scalars_only(spark, sf_dir):
+    """Association mining: the only nested-loop joins are the two
+    single-row scalar broadcasts (corpus/pair totals, same budget as
+    tfidf); unigram lookups broadcast-hash, pairs never cartesian."""
+    plan = plan_of(spark, sf_dir, "token_lift_pairs")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_winsorized_mean_broadcast_quartiles(spark, sf_dir):
+    """Quartile table (one row per type) broadcasts back onto the scan;
+    two aggregation exchanges total, no shuffle join."""
+    plan = plan_of(spark, sf_dir, "agg_winsorized_mean")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
