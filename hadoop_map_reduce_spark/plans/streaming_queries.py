@@ -315,3 +315,47 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_table(agg, "_hmrs_stream_sliding_counts", "complete")
+
+
+@register(
+    "stream_ewma",
+    tags=("streaming", "timeseries", "pandas"),
+    description=(
+        "Streaming twin of timeseries_ewma: the per-user EWMA recurrence "
+        "continued ACROSS micro-batches via applyInPandasWithState "
+        "(state = last y + rows seen), same 0.5*y + 0.5*x float "
+        "expression as batch — emitted doubles are bit-identical to the "
+        "recursive-CTE oracle. Per-key time order within the "
+        "availableNow file harness; production buffers by watermark."
+    ),
+    oracle="""
+        WITH RECURSIVE seq AS (
+            SELECT user_id, event_id,
+                   CAST(ROUND(value * 100) AS BIGINT) AS value_c,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS BIGINT) AS rn
+            FROM events
+        ), ew AS (
+            SELECT user_id, event_id, rn, CAST(value_c AS DOUBLE) AS y
+            FROM seq WHERE rn = 1
+            UNION ALL
+            SELECT s.user_id, s.event_id, s.rn,
+                   0.5 * e.y + 0.5 * s.value_c
+            FROM ew e JOIN seq s
+              ON s.user_id = e.user_id AND s.rn = e.rn + 1
+        )
+        SELECT user_id, event_id, rn, y AS ewma_c
+        FROM ew
+    """,
+)
+def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_map_reduce_spark.streaming.stateful import streaming_ewma
+
+    events = _read_stream(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    return _run_to_table(streaming_ewma(events), "_hmrs_stream_ewma", "update")

@@ -78,7 +78,7 @@ def verification_order(names: list[str]) -> list[str]:
     order preserved within each group).
 
     When pending exceeds the driver's 50-slot window (round 2 ends with
-    ~137 pending of 177 registered), the overflow — by construction the
+    ~146 pending of 186 registered), the overflow — by construction the
     most recently registered entries — waits for a later round; local
     oracle tests and tools/verify_contract.py cover every entry in the
     meantime.

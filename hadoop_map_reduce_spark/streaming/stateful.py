@@ -85,3 +85,66 @@ def running_user_stats(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+EWMA_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("rn", LongType()),
+        StructField("ewma_c", DoubleType()),
+    ]
+)
+
+_EWMA_STATE = StructType(
+    [
+        StructField("y", DoubleType()),
+        StructField("rn", LongType()),
+    ]
+)
+
+
+def _update_ewma(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Continue the EWMA recurrence (alpha=1/2, y1=x1) across
+    micro-batches: state carries (last y, rows seen); each batch's rows
+    are folded in (ts, event_id) order with the same ``0.5*y + 0.5*x``
+    float expression as the batch operator, so batch and stream emit
+    bit-identical doubles. Correct only when batches arrive per-key
+    time-ordered (true for the availableNow file-source harness; a
+    production deployment buffers by watermark first)."""
+    y, rn = state.get if state.exists else (None, 0)
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        out_y = []
+        for x in pdf["value_c"].astype("float64"):
+            y = x if y is None else 0.5 * y + 0.5 * x
+            rn += 1
+            out_y.append(y)
+        if len(pdf):
+            yield pd.DataFrame(
+                {
+                    "user_id": pdf["user_id"],
+                    "event_id": pdf["event_id"],
+                    "rn": range(rn - len(out_y) + 1, rn + 1),
+                    "ewma_c": out_y,
+                }
+            )
+    if y is not None:
+        state.update((float(y), int(rn)))
+
+
+def streaming_ewma(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ``timeseries_ewma`` recurrence."""
+    return (
+        events.select("user_id", "event_id", "ts", "value_c")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_ewma,
+            outputStructType=EWMA_OUTPUT,
+            stateStructType=_EWMA_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

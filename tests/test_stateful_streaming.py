@@ -52,3 +52,20 @@ def test_running_stats_accumulate_across_batches(spark, tmp_path):
     assert final[9] == (1, 10000, 100.0)
     # user 7 must have emitted at least two updates (one per batch).
     assert sum(1 for r in rows if r.user_id == 7) >= 2
+
+
+def test_stream_ewma_matches_batch_bit_exact(spark, sf_dir):
+    """The streaming recurrence (state across micro-batches) must emit
+    the SAME doubles as the batch applyInPandas operator — same float
+    expression, same fold order, no tolerance."""
+    from hadoop_map_reduce_spark.plans import REGISTRY
+
+    batch = {
+        (r["user_id"], r["event_id"]): (r["rn"], r["ewma_c"])
+        for r in REGISTRY["timeseries_ewma"].fn(spark, sf_dir).collect()
+    }
+    stream = {
+        (r["user_id"], r["event_id"]): (r["rn"], r["ewma_c"])
+        for r in REGISTRY["stream_ewma"].fn(spark, sf_dir).collect()
+    }
+    assert batch == stream and len(batch) > 0
