@@ -236,17 +236,17 @@ def audio_energy(media: DataFrame, window: int = 256) -> DataFrame:
             return len(sums), int(sums.sum()), int(sums.max())
 
         for pdf in it:
-            triples = pdf["content"].map(stats)
+            nw, te, pe = (
+                zip(*(stats(b) for b in pdf["content"]))
+                if len(pdf)
+                else ((), (), ())
+            )
             yield pd.DataFrame(
                 {
-                    "media_id": pdf["media_id"],
-                    "n_windows": triples.map(lambda t: t[0]).astype("int64"),
-                    "total_energy": triples.map(lambda t: t[1]).astype(
-                        "int64"
-                    ),
-                    "peak_energy": triples.map(lambda t: t[2]).astype(
-                        "int64"
-                    ),
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "n_windows": pd.Series(nw, dtype="int64"),
+                    "total_energy": pd.Series(te, dtype="int64"),
+                    "peak_energy": pd.Series(pe, dtype="int64"),
                 }
             )
 

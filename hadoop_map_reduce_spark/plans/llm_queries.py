@@ -461,12 +461,18 @@ def multimodal_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), wins AS (
             SELECT doc_id, w, CAST(SUM(sq) AS BIGINT) AS energy
             FROM b GROUP BY 1, 2
+        ), per AS (
+            SELECT doc_id, COUNT(*) AS nw, SUM(energy) AS te,
+                   MAX(energy) AS pe
+            FROM wins GROUP BY 1
         )
-        SELECT doc_id AS media_id,
-               COUNT(*) AS n_windows,
-               CAST(SUM(energy) AS BIGINT) AS total_energy,
-               CAST(MAX(energy) AS BIGINT) AS peak_energy
-        FROM wins GROUP BY 1
+        -- LEFT JOIN back to documents: an empty payload has no windows
+        -- to unnest but the operator still emits its (0, 0, 0) row.
+        SELECT d.doc_id AS media_id,
+               CAST(COALESCE(p.nw, 0) AS BIGINT) AS n_windows,
+               CAST(COALESCE(p.te, 0) AS BIGINT) AS total_energy,
+               CAST(COALESCE(p.pe, 0) AS BIGINT) AS peak_energy
+        FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
     """,
 )
 def multimodal_audio_energy_q(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from hadoop_map_reduce_spark.plans.registry import register
 from hadoop_map_reduce_spark.plans.relational_queries import _sql_sum, exact_sum
+from hadoop_map_reduce_spark.plans.timeseries_queries import _EWMA_ORACLE
 from hadoop_map_reduce_spark.session import load_table
 
 
@@ -328,26 +329,7 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "recursive-CTE oracle. Per-key time order within the "
         "availableNow file harness; production buffers by watermark."
     ),
-    oracle="""
-        WITH RECURSIVE seq AS (
-            SELECT user_id, event_id,
-                   CAST(ROUND(value * 100) AS BIGINT) AS value_c,
-                   CAST(ROW_NUMBER() OVER (
-                       PARTITION BY user_id ORDER BY ts, event_id
-                   ) AS BIGINT) AS rn
-            FROM events
-        ), ew AS (
-            SELECT user_id, event_id, rn, CAST(value_c AS DOUBLE) AS y
-            FROM seq WHERE rn = 1
-            UNION ALL
-            SELECT s.user_id, s.event_id, s.rn,
-                   0.5 * e.y + 0.5 * s.value_c
-            FROM ew e JOIN seq s
-              ON s.user_id = e.user_id AND s.rn = e.rn + 1
-        )
-        SELECT user_id, event_id, rn, y AS ewma_c
-        FROM ew
-    """,
+    oracle=_EWMA_ORACLE,
 )
 def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_map_reduce_spark.streaming.stateful import streaming_ewma

@@ -661,22 +661,10 @@ def timeseries_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dtw_distance_pairs(daily, band=7)
 
 
-@register(
-    "timeseries_ewma",
-    tags=("timeseries", "window", "pandas"),
-    description=(
-        "Exponential moving average per user (alpha=1/2, y1=x1): a true "
-        "ordered RECURRENCE (prefix-dependent, non-associative — no "
-        "window function expresses it), run as an Arrow-batched "
-        "applyInPandas recurrence and oracled by a recursive CTE. The "
-        "update is written 0.5*y + 0.5*x on BOTH engines: each halving "
-        "is an exact power-of-two scale, so the single rounding per "
-        "step is the same IEEE operation on both sides, so the emitted "
-        "doubles are BIT-IDENTICAL (no rounding: EWMA values are dyadic "
-        "rationals that land exactly on decimal half-boundaries, where "
-        "round-half-even and round-half-away disagree)."
-    ),
-    oracle="""
+# Shared with stream_ewma (streaming_queries.py): batch and stream are
+# pinned by the SAME recursive-CTE oracle so they can never diverge
+# silently.
+_EWMA_ORACLE = """
         WITH RECURSIVE seq AS (
             SELECT user_id, event_id,
                    CAST(ROUND(value * 100) AS BIGINT) AS value_c,
@@ -695,7 +683,25 @@ def timeseries_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT user_id, event_id, rn, y AS ewma_c
         FROM ew
-    """,
+    """
+
+
+@register(
+    "timeseries_ewma",
+    tags=("timeseries", "window", "pandas"),
+    description=(
+        "Exponential moving average per user (alpha=1/2, y1=x1): a true "
+        "ordered RECURRENCE (prefix-dependent, non-associative — no "
+        "window function expresses it), run as an Arrow-batched "
+        "applyInPandas recurrence and oracled by a recursive CTE. The "
+        "update is written 0.5*y + 0.5*x on BOTH engines: each halving "
+        "is an exact power-of-two scale, so the single rounding per "
+        "step is the same IEEE operation on both sides, so the emitted "
+        "doubles are BIT-IDENTICAL (no rounding: EWMA values are dyadic "
+        "rationals that land exactly on decimal half-boundaries, where "
+        "round-half-even and round-half-away disagree)."
+    ),
+    oracle=_EWMA_ORACLE,
 )
 def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Plan shape: one hash exchange on user_id (the applyInPandas

@@ -113,24 +113,33 @@ def _update_ewma(
     float expression as the batch operator, so batch and stream emit
     bit-identical doubles. Correct only when batches arrive per-key
     time-ordered (true for the availableNow file-source harness; a
-    production deployment buffers by watermark first)."""
+    production deployment buffers by watermark first).
+
+    The batch's rows arrive as MULTIPLE Arrow chunks (split at
+    arrow.maxRecordsPerBatch); a per-chunk sort would fold across the
+    chunk boundary out of order, so the whole group is concatenated and
+    sorted ONCE — mirroring the batch operator's group-wide sort."""
     y, rn = state.get if state.exists else (None, 0)
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            .sort_values(["ts", "event_id"])
+            .reset_index(drop=True)
+        )
         out_y = []
         for x in pdf["value_c"].astype("float64"):
             y = x if y is None else 0.5 * y + 0.5 * x
             rn += 1
             out_y.append(y)
-        if len(pdf):
-            yield pd.DataFrame(
-                {
-                    "user_id": pdf["user_id"],
-                    "event_id": pdf["event_id"],
-                    "rn": range(rn - len(out_y) + 1, rn + 1),
-                    "ewma_c": out_y,
-                }
-            )
+        yield pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "rn": range(rn - len(out_y) + 1, rn + 1),
+                "ewma_c": out_y,
+            }
+        )
     if y is not None:
         state.update((float(y), int(rn)))
 

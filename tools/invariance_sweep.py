@@ -19,7 +19,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def _rows(df):
-    return sorted((tuple(r) for r in df.collect()), key=repr)
+    # repr-normalized so NaN == NaN compares equal (float('nan') !=
+    # float('nan') would flag identical results as a false FAIL).
+    return sorted(repr(tuple(r)) for r in df.collect())
 
 
 def main() -> None:
