@@ -146,3 +146,80 @@ def token_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(rk).cast("long"))
         .filter(F.col("rk") <= 100)
     )
+
+
+_QUERY_TERMS = ("join", "filter", "window")
+
+
+@register(
+    "search_rank_docs",
+    tags=("llm", "text", "topk"),
+    description=(
+        "Ranked retrieval: top-20 documents for the fixed query "
+        "{join, filter, window} scored sum(tf x idf) with the integer "
+        "idf surrogate floor(N*1e6/df) (tfidf_top_terms discipline — "
+        "no floating-point logarithms), ties (score DESC, doc_id ASC)."
+    ),
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+        ), tf AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM toks WHERE term IN ('join', 'filter', 'window')
+            GROUP BY 1, 2
+        ), df AS (
+            SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+            FROM toks WHERE term IN ('join', 'filter', 'window')
+            GROUP BY 1
+        ), scored AS (
+            SELECT tf.doc_id,
+                   CAST(SUM(tf.tf * FLOOR(
+                       ((SELECT COUNT(*) FROM documents) * 1e6) / df.df
+                   )) AS BIGINT) AS score,
+                   CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+            FROM tf JOIN df ON df.term = tf.term
+            GROUP BY 1
+        )
+        SELECT doc_id, score, n_terms_hit, CAST(rk AS BIGINT) AS rk
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                ORDER BY score DESC, doc_id ASC) AS rk
+            FROM scored
+        ) WHERE rk <= 20
+    """,
+)
+def search_rank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan shape: the token explode filters to the 3 query terms BEFORE
+    any shuffle (term pruning at the scan side), tf and df aggregate the
+    tiny filtered stream, df and the doc count broadcast; the global
+    top-20 ranks only docs that hit a term."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokenize(sanitize(F.col("text")))).alias("term")
+    ).filter(F.col("term").isin(*_QUERY_TERMS))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df_ = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("tf")
+                * F.floor((F.col("_n") * F.lit(1e6)) / F.col("df"))
+            )
+            .cast("long")
+            .alias("score"),
+            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+        )
+    )
+    rk = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(rk).cast("long"))
+        .filter(F.col("rk") <= 20)
+    )

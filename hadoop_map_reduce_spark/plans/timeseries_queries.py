@@ -736,3 +736,83 @@ def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy("user_id").applyInPandas(
         ewma, "user_id long, event_id long, rn long, ewma_c double"
     )
+
+
+@register(
+    "events_funnel_windowed",
+    tags=("timeseries", "join", "aggregation"),
+    description=(
+        "Conversion-window funnel: each stage must land within 24 hours "
+        "of the user's previous-stage first event (view -> click <= 24h "
+        "-> purchase <= 24h) — the product-analytics semantics where a "
+        "conversion eventually is not a conversion. Same equi-join "
+        "ladder as events_funnel; the window bound rides the join as a "
+        "residual range filter, never a theta-join."
+    ),
+    oracle="""
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS t_view
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ), c AS (
+            SELECT e.user_id, MIN(e.ts) AS t_click
+            FROM events e JOIN v ON v.user_id = e.user_id
+             AND e.ts > v.t_view
+             AND e.ts <= v.t_view + INTERVAL 24 HOUR
+            WHERE e.event_type = 'click' GROUP BY e.user_id
+        ), p AS (
+            SELECT e.user_id, MIN(e.ts) AS t_purchase
+            FROM events e JOIN c ON c.user_id = e.user_id
+             AND e.ts > c.t_click
+             AND e.ts <= c.t_click + INTERVAL 24 HOUR
+            WHERE e.event_type = 'purchase' GROUP BY e.user_id
+        )
+        SELECT 'stage1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM v
+        UNION ALL
+        SELECT 'stage2_click_24h', CAST(COUNT(*) AS BIGINT) FROM c
+        UNION ALL
+        SELECT 'stage3_purchase_24h', CAST(COUNT(*) AS BIGINT) FROM p
+    """,
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    day = F.expr("INTERVAL 24 HOURS")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + day)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + day)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+
+    def stage(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+        )
+
+    return (
+        stage(v, "stage1_view")
+        .unionByName(stage(c, "stage2_click_24h"))
+        .unionByName(stage(p, "stage3_purchase_24h"))
+    )

@@ -62,6 +62,8 @@ QUERIES = [
     "token_lift_pairs",
     "multimodal_audio_energy",
     "timeseries_ewma",
+    "events_funnel_windowed",
+    "search_rank_docs",
 ]
 
 
