@@ -277,3 +277,99 @@ def dq_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "o_orderpriority"))
         .unionByName(fd("orderkey->custkey", "o_orderkey", "o_custkey"))
     )
+
+
+@register(
+    "dq_key_skew",
+    tags=("relational", "dq", "aggregation"),
+    description=(
+        "Join-key skew diagnostics: per candidate shuffle key, key/row "
+        "counts, the hottest key's row count, mean rows per key and the "
+        "hot/mean skew ratio (exact integer rationals, ppm), and how "
+        "many keys exceed 10x the mean — the pre-flight check that "
+        "tells you a shuffle needs salting/AQE skew handling BEFORE the "
+        "100-TB join runs."
+    ),
+    oracle="""
+        WITH g1 AS (
+            SELECT user_id AS k, COUNT(*) AS n FROM events GROUP BY 1
+        ), g2 AS (
+            SELECT l_orderkey AS k, COUNT(*) AS n FROM lineitem GROUP BY 1
+        ), g3 AS (
+            SELECT source AS k, COUNT(*) AS n FROM documents GROUP BY 1
+        ), t1 AS (
+            SELECT COUNT(*) AS nk, SUM(n) AS nr, MAX(n) AS mx FROM g1
+        ), t2 AS (
+            SELECT COUNT(*) AS nk, SUM(n) AS nr, MAX(n) AS mx FROM g2
+        ), t3 AS (
+            SELECT COUNT(*) AS nk, SUM(n) AS nr, MAX(n) AS mx FROM g3
+        )
+        SELECT 'events.user_id' AS key_name,
+               CAST(nk AS BIGINT) AS n_keys,
+               CAST(nr AS BIGINT) AS n_rows,
+               CAST(mx AS BIGINT) AS max_key_rows,
+               CAST(FLOOR(1e6 * (nr / nk)) AS BIGINT) AS mean_rows_ppm,
+               CAST(FLOOR(1e6 * ((mx * nk) / nr)) AS BIGINT)
+                   AS skew_ratio_ppm,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM g1, t1
+                WHERE n * nk > 10 * nr) AS n_hot_keys
+        FROM t1
+        UNION ALL
+        SELECT 'lineitem.l_orderkey',
+               CAST(nk AS BIGINT), CAST(nr AS BIGINT), CAST(mx AS BIGINT),
+               CAST(FLOOR(1e6 * (nr / nk)) AS BIGINT),
+               CAST(FLOOR(1e6 * ((mx * nk) / nr)) AS BIGINT),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM g2, t2
+                WHERE n * nk > 10 * nr)
+        FROM t2
+        UNION ALL
+        SELECT 'documents.source',
+               CAST(nk AS BIGINT), CAST(nr AS BIGINT), CAST(mx AS BIGINT),
+               CAST(FLOOR(1e6 * (nr / nk)) AS BIGINT),
+               CAST(FLOOR(1e6 * ((mx * nk) / nr)) AS BIGINT),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM g3, t3
+                WHERE n * nk > 10 * nr)
+        FROM t3
+    """,
+)
+def dq_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def skew(df: DataFrame, col: str, label: str) -> DataFrame:
+        g = df.groupBy(F.col(col).alias("k")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        # hot-key rule n > 10*mean, kept integral: n * n_keys > 10 * n_rows
+        tot = g.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("n").alias("n_rows"),
+            F.max("n").alias("max_key_rows"),
+        )
+        hot = (
+            g.crossJoin(F.broadcast(tot))
+            .filter(F.col("n") * F.col("n_keys") > 10 * F.col("n_rows"))
+            .agg(F.count(F.lit(1)).alias("n_hot_keys"))
+        )
+        return tot.crossJoin(F.broadcast(hot)).select(
+            F.lit(label).alias("key_name"),
+            F.col("n_keys").cast("long").alias("n_keys"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("max_key_rows").cast("long").alias("max_key_rows"),
+            F.floor(F.lit(1e6) * (F.col("n_rows") / F.col("n_keys")))
+            .cast("long")
+            .alias("mean_rows_ppm"),
+            F.floor(
+                F.lit(1e6)
+                * ((F.col("max_key_rows") * F.col("n_keys")) / F.col("n_rows"))
+            )
+            .cast("long")
+            .alias("skew_ratio_ppm"),
+            F.col("n_hot_keys").cast("long").alias("n_hot_keys"),
+        )
+
+    events = load_table(spark, sf_dir, "events")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    documents = load_table(spark, sf_dir, "documents")
+    return (
+        skew(events, "user_id", "events.user_id")
+        .unionByName(skew(lineitem, "l_orderkey", "lineitem.l_orderkey"))
+        .unionByName(skew(documents, "source", "documents.source"))
+    )

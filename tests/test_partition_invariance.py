@@ -64,6 +64,7 @@ QUERIES = [
     "timeseries_ewma",
     "events_funnel_windowed",
     "search_rank_docs",
+    "dq_key_skew",
 ]
 
 
