@@ -373,3 +373,65 @@ def dq_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(skew(lineitem, "l_orderkey", "lineitem.l_orderkey"))
         .unionByName(skew(documents, "source", "documents.source"))
     )
+
+
+@register(
+    "dq_fk_orphans",
+    tags=("relational", "dq", "join", "aggregation"),
+    description=(
+        "Referential-integrity audit: orphaned foreign keys counted per "
+        "relationship (lineitem->orders, orders->customer, events.user_"
+        "id->customer) via left anti joins — the cross-table complement "
+        "of the single-table audits. Dim side broadcasts; the fact scan "
+        "is touched once per relationship."
+    ),
+    oracle="""
+        SELECT 'lineitem->orders' AS fk,
+               CAST(COUNT(*) AS BIGINT) AS n_orphans,
+               CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orphan_keys
+        FROM lineitem l
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        UNION ALL
+        SELECT 'orders->customer',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+        FROM orders o
+        WHERE NOT EXISTS (
+            SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        UNION ALL
+        SELECT 'events->customer',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(DISTINCT user_id) AS BIGINT)
+        FROM events e
+        WHERE NOT EXISTS (
+            SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+    """,
+)
+def dq_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    events = load_table(spark, sf_dir, "events").select("user_id")
+
+    def orphans(fact: DataFrame, fk: str, dim: DataFrame, pk: str,
+                label: str) -> DataFrame:
+        o = fact.join(
+            F.broadcast(dim), fact[fk] == dim[pk], "left_anti"
+        )
+        return o.agg(
+            F.lit(label).alias("fk"),
+            F.count(F.lit(1)).cast("long").alias("n_orphans"),
+            F.countDistinct(fk).cast("long").alias("n_orphan_keys"),
+        )
+
+    return (
+        orphans(lineitem, "l_orderkey", orders.select("o_orderkey"),
+                "o_orderkey", "lineitem->orders")
+        .unionByName(orphans(orders, "o_custkey", customer, "c_custkey",
+                             "orders->customer"))
+        .unionByName(orphans(events, "user_id", customer, "c_custkey",
+                             "events->customer"))
+    )

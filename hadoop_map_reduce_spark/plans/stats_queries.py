@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from hadoop_map_reduce_spark.plans.registry import register
 from hadoop_map_reduce_spark.session import load_table
@@ -342,4 +343,58 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(clipped), 6).alias("winsorized_mean_c"),
             F.count(F.lit(1)).alias("n_events"),
         )
+    )
+
+
+@register(
+    "feature_quantile_normalize",
+    tags=("relational", "window", "stats"),
+    description=(
+        "Rank-based quantile normalization per event type (the feature-"
+        "prep transform that makes any two groups' distributions "
+        "comparable): each value's percent rank within its type as the "
+        "exact integer rational floor(1e6*(rk-1)/(n-1)), deterministic "
+        "ties (value, event_id)."
+    ),
+    oracle="""
+        WITH ranked AS (
+            SELECT event_id, event_type,
+                   CAST(ROUND(value * 100) AS BIGINT) AS value_c,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY event_type
+                       ORDER BY CAST(ROUND(value * 100) AS BIGINT),
+                                event_id
+                   ) AS BIGINT) AS rk,
+                   CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                       AS n
+            FROM events
+        )
+        SELECT event_id, event_type, value_c,
+               CAST(FLOOR(1e6 * ((rk - 1) / (n - 1))) AS BIGINT)
+                   AS qnorm_ppm
+        FROM ranked
+    """,
+)
+def feature_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+    by_type = Window.partitionBy("event_type").orderBy("value_c", "event_id")
+    n_w = Window.partitionBy("event_type")
+    ranked = events.select(
+        "event_id",
+        "event_type",
+        "value_c",
+        F.row_number().over(by_type).cast("long").alias("rk"),
+        F.count(F.lit(1)).over(n_w).cast("long").alias("n"),
+    )
+    return ranked.select(
+        "event_id",
+        "event_type",
+        "value_c",
+        F.floor(F.lit(1e6) * ((F.col("rk") - 1) / (F.col("n") - 1)))
+        .cast("long")
+        .alias("qnorm_ppm"),
     )

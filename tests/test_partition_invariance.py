@@ -65,6 +65,8 @@ QUERIES = [
     "events_funnel_windowed",
     "search_rank_docs",
     "dq_key_skew",
+    "dq_fk_orphans",
+    "feature_quantile_normalize",
 ]
 
 
