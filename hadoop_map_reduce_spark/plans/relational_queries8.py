@@ -306,3 +306,41 @@ def timeseries_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("twap_c_ppm"),
         F.count(F.lit(1)).alias("n_spans"),
     )
+
+
+@register(
+    "agg_rollup_gid",
+    tags=("relational", "aggregation"),
+    description=(
+        "Rollup with GROUPING() disambiguation: subtotal rows labeled "
+        "explicitly so a NULL group value and a NULL-as-subtotal marker "
+        "can never be confused — the correctness nicety every BI layer "
+        "on top of rollup needs."
+    ),
+    oracle="""
+        SELECT COALESCE(o_orderstatus, '(all)') AS status,
+               COALESCE(o_orderpriority, '(all)') AS priority,
+               CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup_gid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            "g_status",
+            "g_priority",
+            "n_orders",
+        )
+    )

@@ -398,3 +398,67 @@ def feature_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("qnorm_ppm"),
     )
+
+
+@register(
+    "agg_weighted_median",
+    tags=("relational", "aggregation", "stats", "window"),
+    description=(
+        "Exact weighted (lower) median per return flag: extended price "
+        "in cents weighted by quantity — the smallest value whose "
+        "cumulative weight reaches half the total (deterministic "
+        "cumulative order: value, line identity). All-integer; the "
+        "weighted order statistic no built-in aggregate provides."
+    ),
+    oracle="""
+        WITH w AS (
+            SELECT l_returnflag,
+                   CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c,
+                   CAST(ROUND(l_quantity) AS BIGINT) AS qty,
+                   l_orderkey, l_linenumber
+            FROM lineitem
+        ), cum AS (
+            SELECT l_returnflag, price_c,
+                   SUM(qty) OVER (
+                       PARTITION BY l_returnflag
+                       ORDER BY price_c, l_orderkey, l_linenumber
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS cw,
+                   SUM(qty) OVER (PARTITION BY l_returnflag) AS tw
+            FROM w
+        )
+        SELECT l_returnflag,
+               CAST(MIN(price_c) AS BIGINT) AS weighted_median_c,
+               CAST(MAX(tw) AS BIGINT) AS total_weight
+        FROM cum WHERE 2 * cw >= tw
+        GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    cum_w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price_c", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_w = Window.partitionBy("l_returnflag")
+    cum = li.select(
+        "l_returnflag",
+        "price_c",
+        F.sum("qty").over(cum_w).alias("cw"),
+        F.sum("qty").over(tot_w).alias("tw"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price_c").cast("long").alias("weighted_median_c"),
+            F.max("tw").cast("long").alias("total_weight"),
+        )
+    )

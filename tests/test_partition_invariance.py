@@ -67,6 +67,8 @@ QUERIES = [
     "dq_key_skew",
     "dq_fk_orphans",
     "feature_quantile_normalize",
+    "agg_weighted_median",
+    "agg_rollup_gid",
 ]
 
 
