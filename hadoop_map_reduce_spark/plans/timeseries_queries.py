@@ -816,3 +816,73 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(c, "stage2_click_24h"))
         .unionByName(stage(p, "stage3_purchase_24h"))
     )
+
+
+@register(
+    "timeseries_cusum",
+    tags=("timeseries", "window", "pandas"),
+    description=(
+        "CUSUM change detector per user: s_i = max(0, s_{i-1} + "
+        "(value_c - 3500)) over (ts, event_id) order — a clamped "
+        "running sum, non-associative like EWMA but all-INTEGER, so "
+        "cross-engine equality is exact by construction; alarm rows "
+        "flag s_i > 50000 (the drift-alarm primitive). applyInPandas "
+        "recurrence vs recursive-CTE oracle."
+    ),
+    oracle="""
+        WITH RECURSIVE seq AS (
+            SELECT user_id, event_id,
+                   CAST(ROUND(value * 100) AS BIGINT) AS value_c,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS BIGINT) AS rn
+            FROM events
+        ), cu AS (
+            SELECT user_id, event_id, rn,
+                   GREATEST(CAST(0 AS BIGINT), value_c - 3500) AS s
+            FROM seq WHERE rn = 1
+            UNION ALL
+            SELECT s.user_id, s.event_id, s.rn,
+                   GREATEST(CAST(0 AS BIGINT), c.s + s.value_c - 3500)
+            FROM cu c JOIN seq s
+              ON s.user_id = c.user_id AND s.rn = c.rn + 1
+        )
+        SELECT user_id, event_id, rn, CAST(s AS BIGINT) AS cusum_c,
+               CAST(CASE WHEN s > 50000 THEN 1 ELSE 0 END AS BIGINT)
+                   AS alarm
+        FROM cu
+    """,
+)
+def timeseries_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same one-exchange applyInPandas shape as timeseries_ewma; the
+    integer recurrence needs no float-rounding care at all."""
+    import pandas as pd
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    )
+
+    def cusum(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        s = 0
+        out = []
+        for x in pdf["value_c"]:
+            s = max(0, s + int(x) - 3500)
+            out.append(s)
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "rn": range(1, len(out) + 1),
+                "cusum_c": out,
+                "alarm": [1 if v > 50000 else 0 for v in out],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandas(
+        cusum,
+        "user_id long, event_id long, rn long, cusum_c long, alarm long",
+    )

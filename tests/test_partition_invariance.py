@@ -69,6 +69,7 @@ QUERIES = [
     "feature_quantile_normalize",
     "agg_weighted_median",
     "agg_rollup_gid",
+    "timeseries_cusum",
 ]
 
 
