@@ -79,15 +79,22 @@ def bpe_train(
     driver, then a shuffle-free fold rewrite of the symbol arrays.
     Lineage is truncated with an eager ``localCheckpoint`` every
     iteration (the dedup_clusters discipline) so the plan does not grow
-    with the merge count.
+    with the merge count; each iteration's checkpoint blocks are
+    released once the next checkpoint materializes (see
+    ``hadoop_map_reduce_spark.checkpoint``), so block-manager storage
+    holds ONE copy of the symbol table, not ``n_merges`` copies.
     """
+    from hadoop_map_reduce_spark.checkpoint import local_checkpoint
+
     words = _word_counts(docs, text_col)
-    state = words.select(
-        "cnt",
-        F.concat(
-            F.split("word", ""), F.array(F.lit(END_OF_WORD))
-        ).alias("syms"),
-    ).localCheckpoint(eager=True)
+    state, release = local_checkpoint(
+        words.select(
+            "cnt",
+            F.concat(
+                F.split("word", ""), F.array(F.lit(END_OF_WORD))
+            ).alias("syms"),
+        )
+    )
 
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
@@ -112,9 +119,16 @@ def bpe_train(
             break
         lhs, rhs, n = top[0]["p"]["lhs"], top[0]["p"]["rhs"], int(top[0]["n"])
         merges.append((rank, lhs, rhs, n))
-        state = state.select(
-            "cnt", _merge_pair(F.col("syms"), lhs, rhs).alias("syms")
-        ).localCheckpoint(eager=True)
+        prev_release = release
+        state, release = local_checkpoint(
+            state.select(
+                "cnt", _merge_pair(F.col("syms"), lhs, rhs).alias("syms")
+            )
+        )
+        # The new checkpoint is materialized (eager), so the prior
+        # iteration's blocks are dead — free them.
+        prev_release()
+    release()
     return merges
 
 

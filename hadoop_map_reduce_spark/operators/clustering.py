@@ -14,12 +14,19 @@ Scale notes: the edge set is persisted (it drives two joins per
 iteration); labels are re-materialized each iteration via eager
 ``localCheckpoint`` to cut the growing lineage, and the convergence
 count reads the CHECKPOINTED result so no iteration executes twice.
+Each iteration's checkpoint blocks are released once the next
+checkpoint materializes (``hadoop_map_reduce_spark.checkpoint``), so
+block-manager storage holds one label table, not O(diameter) copies;
+only the FINAL iteration's checkpoint survives — it backs the returned
+DataFrame.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from hadoop_map_reduce_spark.checkpoint import local_checkpoint
 
 
 def connected_components(
@@ -40,11 +47,10 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = (
+    labels, release = local_checkpoint(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint()
     )
 
     try:
@@ -57,7 +63,7 @@ def connected_components(
             )
             # Checkpoint FIRST (one execution), then read the convergence
             # count from the materialized result.
-            updated = (
+            updated, next_release = local_checkpoint(
                 labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
                 .select(
                     "node",
@@ -67,8 +73,12 @@ def connected_components(
                     ).alias("component"),
                     F.col("component").alias("_old"),
                 )
-                .localCheckpoint()
             )
+            # The new checkpoint is materialized; free the previous
+            # iteration's blocks. The final checkpoint is never released
+            # here — it backs the returned labels.
+            release()
+            release = next_release
             changed = updated.filter(F.col("component") != F.col("_old")).count()
             labels = updated.select("node", "component")
             if changed == 0:

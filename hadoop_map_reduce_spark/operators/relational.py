@@ -248,13 +248,17 @@ def asof_join_nearest(
         F.last(F.col("_p"), ignorenulls=True).over(w_back).alias("_back"),
         F.last(F.col("_p"), ignorenulls=True).over(w_fwd).alias("_fwd"),
     )
-    # Distances in whole seconds of the original (un-truncated) times;
-    # NULL distance (no candidate on that side) loses to any real one.
-    d_back = F.unix_timestamp(F.col("_t")) - F.unix_timestamp(
-        F.col("_back.__rt")
+    # Distances in exact microseconds (unix_micros; whole-second
+    # unix_timestamp would truncate sub-second differences, flipping the
+    # tie-break near the midpoint vs an exact-epoch oracle and vs pandas
+    # merge_asof). Date-typed time columns cast losslessly to midnight
+    # timestamps. NULL distance (no candidate on that side) loses to any
+    # real one.
+    d_back = F.unix_micros(F.col("_t").cast("timestamp")) - F.unix_micros(
+        F.col("_back.__rt").cast("timestamp")
     )
-    d_fwd = F.unix_timestamp(F.col("_fwd.__rt")) - F.unix_timestamp(
-        F.col("_t")
+    d_fwd = F.unix_micros(F.col("_fwd.__rt").cast("timestamp")) - F.unix_micros(
+        F.col("_t").cast("timestamp")
     )
     use_back = F.when(F.col("_fwd").isNull(), F.lit(True)).otherwise(
         F.col("_back").isNotNull() & (d_back <= d_fwd)

@@ -93,15 +93,30 @@ def skyline(
     emitted. Plan shape: mapInPandas (parallel local frontiers) →
     coalesce(1) → mapInPandas (candidate merge); no join, no shuffle of
     the full input.
+
+    Exactness: when every dimension is an integral Spark type, the
+    dominance matrix stays ``int64`` — comparisons are exact for the
+    full 64-bit range (matching the NOT EXISTS SQL semantics; sole edge:
+    a literal -2**63 in a ``max`` dim wraps on negation). Float/decimal
+    dimensions — and integral dims in Arrow batches that carry NULLs,
+    which pandas surfaces as float64+NaN — go through float64, where
+    integers above 2**53 collapse to the same double and can produce
+    false ties/dominations. NaN dims (from NULLs) neither dominate nor
+    are dominated, matching SQL three-valued NOT EXISTS.
     """
     if not dims:
         raise ValueError("skyline needs at least one dimension")
     missing = [c for c, _ in dims if c not in df.columns]
     if missing:
         raise ValueError(f"skyline dims not in DataFrame: {missing}")
-    signs = np.array(
-        [1.0 if direction == "min" else -1.0 for _, direction in dims]
+    from pyspark.sql.types import IntegralType
+
+    all_int = all(
+        isinstance(df.schema[c].dataType, IntegralType) for c, _ in dims
     )
+    sign_list = [1 if direction == "min" else -1 for _, direction in dims]
+    int_signs = np.array(sign_list, dtype=np.int64)
+    float_signs = np.array(sign_list, dtype=np.float64)
     cols = [c for c, _ in dims]
 
     def local_frontier(
@@ -112,7 +127,11 @@ def skyline(
         for pdf in batches:
             for lo in range(0, len(pdf), _CHUNK):
                 chunk = pdf.iloc[lo : lo + _CHUNK]
-                chunk_m = chunk[cols].to_numpy(dtype=np.float64) * signs
+                arr = chunk[cols].to_numpy()
+                if all_int and arr.dtype.kind in "iu":
+                    chunk_m = arr.astype(np.int64, copy=False) * int_signs
+                else:
+                    chunk_m = arr.astype(np.float64, copy=False) * float_signs
                 kept, kept_m = _frontier_update(kept, kept_m, chunk, chunk_m)
         if kept is not None and len(kept):
             yield kept

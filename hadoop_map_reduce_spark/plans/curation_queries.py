@@ -557,24 +557,27 @@ def pipeline_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HEX = "0123456789abcdef"
 
 
-def _md5_bucket16_spark(col, buckets: int):
-    """Deterministic bucket in [0, buckets) from the first FOUR hex chars
-    of md5 (16 bits — llm_queries2's 2-char variant only spans 0-255,
-    useless against a 10k-grain threshold). Pure string ops, identical
-    in Spark and DuckDB."""
+def _md5_value16_spark(col):
+    """Deterministic uniform value in [0, 65536) from the first FOUR hex
+    chars of md5 (16 bits — llm_queries2's 2-char variant only spans
+    0-255). Used RAW, never through a modulo: v % 10000 is non-uniform
+    (residues 0-5535 occur 7/65536, 5536-9999 occur 6/65536), which
+    would bias admission probabilities by up to ~6.8% and break the 1/p
+    importance-weight claim. Pure string ops, identical in Spark and
+    DuckDB."""
     digest = F.md5(col.cast("string").cast("binary"))
     v = F.lit(0)
     for i in range(1, 5):
         v = v * 16 + (F.instr(F.lit(_HEX), F.substring(digest, i, 1)) - 1)
-    return v % buckets
+    return v
 
 
-def _md5_bucket16_sql(expr: str, buckets: int) -> str:
+def _md5_value16_sql(expr: str) -> str:
     d = f"md5(CAST({expr} AS VARCHAR))"
     v = "0"
     for i in range(1, 5):
         v = f"({v} * 16 + instr('{_HEX}', substr({d}, {i}, 1)) - 1)"
-    return f"{v} % {buckets}"
+    return v
 
 
 def _quality_sampling_oracle() -> str:
@@ -583,7 +586,7 @@ def _quality_sampling_oracle() -> str:
         _sql_stop_hits,
     )
 
-    bucket = _md5_bucket16_sql("doc_id", 10000)
+    v16 = _md5_value16_sql("doc_id")
     return f"""
         WITH toks AS (
             SELECT doc_id, text, source, {_TOKS} AS t FROM documents
@@ -596,9 +599,9 @@ def _quality_sampling_oracle() -> str:
             FROM toks
         )
         SELECT doc_id, source, quality,
-               10000.0 / FLOOR(quality * 10000) AS weight
+               65536.0 / FLOOR(quality * 65536) AS weight
         FROM q
-        WHERE {bucket} < FLOOR(quality * 10000)
+        WHERE {v16} < FLOOR(quality * 65536)
     """
 
 
@@ -616,11 +619,13 @@ def _quality_sampling_oracle() -> str:
 def mix_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Admission is a pure per-row filter at the scan (no shuffle, no
     sample() RNG whose stream depends on partitioning): doc admitted iff
-    md5_bucket(doc_id, 10000) < floor(quality * 10000). The quality
-    double is the bit-identical composite from text_quality, so the
-    floor-of-scaled comparison agrees across engines exactly. The
-    carried weight (1/p) is what makes the sample unbiased for loss
-    averaging downstream."""
+    the raw 16-bit md5 value < floor(quality * 65536) — the raw value is
+    uniform on [0, 65536), so p = floor(quality*65536)/65536 EXACTLY (a
+    modulo-folded bucket would be non-uniform and bias p upward by up to
+    ~6.8%). The quality double is the bit-identical composite from
+    text_quality, so the floor-of-scaled comparison agrees across
+    engines exactly. The carried weight (1/p = 65536/floor(...)) is what
+    makes the sample unbiased for loss averaging downstream."""
     from hadoop_map_reduce_spark.functions.text import sanitize, tokenize
     from hadoop_map_reduce_spark.functions.text_analysis import quality_score
 
@@ -631,11 +636,11 @@ def mix_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         quality_score(F.col("text"), toks).alias("quality"),
     )
-    p_e4 = F.floor(F.col("quality") * 10000)
-    bucket = _md5_bucket16_spark(F.col("doc_id"), 10000)
-    return q.filter(bucket < p_e4).select(
+    p_e16 = F.floor(F.col("quality") * 65536)
+    v16 = _md5_value16_spark(F.col("doc_id"))
+    return q.filter(v16 < p_e16).select(
         "doc_id",
         "source",
         "quality",
-        (F.lit(10000.0) / p_e4).alias("weight"),
+        (F.lit(65536.0) / p_e16).alias("weight"),
     )

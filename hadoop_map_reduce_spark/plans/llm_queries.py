@@ -386,10 +386,39 @@ def multimodal_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_features",
     tags=("llm", "multimodal"),
     description=(
-        "Arrow-batched mapInPandas feature extraction over binary payloads "
-        "(deterministic stub decoder; no SQL oracle — rows-only)."
+        "Arrow-batched mapInPandas feature extraction over binary "
+        "payloads (deterministic histogram decoder stub): the normalized "
+        "float histogram is converted back to exact integer bin counts "
+        "(round(f * n_bytes) round-trips the count exactly — |f*n - c| "
+        "<= c*eps << 0.5) so the DuckDB oracle can recompute them with "
+        "pure byte arithmetic; corpus text is ASCII, so codepoints are "
+        "payload bytes."
     ),
-    oracle=None,
+    oracle="""
+        WITH idx AS (
+            SELECT doc_id, text,
+                   unnest(generate_series(1, length(text))) AS i
+            FROM documents
+        ), b AS (
+            SELECT doc_id,
+                   ord(substring(text, CAST(i AS INT), 1)) % 16 AS m
+            FROM idx
+        ), h AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS c0,
+                   CAST(SUM(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS c1
+            FROM b GROUP BY 1
+        )
+        -- LEFT JOIN: an empty payload has no bytes to unnest but the
+        -- operator still emits its (0, 0, 0) row.
+        SELECT d.doc_id AS media_id,
+               CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+               COALESCE(h.c0, 0) AS c0,
+               COALESCE(h.c1, 0) AS c1
+        FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id
+    """,
 )
 def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = with_binary_content(load_table(spark, sf_dir, "documents"))
@@ -397,8 +426,12 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_id",
         "n_bytes",
-        F.round(F.element_at("features", 1), 6).alias("f0"),
-        F.round(F.element_at("features", 2), 6).alias("f1"),
+        F.round(F.element_at("features", 1) * F.col("n_bytes"))
+        .cast("long")
+        .alias("c0"),
+        F.round(F.element_at("features", 2) * F.col("n_bytes"))
+        .cast("long")
+        .alias("c1"),
     )
 
 

@@ -323,15 +323,17 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate generation is n²/k instead of n² (SemDeDup,
     arXiv:2303.09540): the within-cluster self-join is an equi-join on
     the cluster key, so cost is Σ cluster_i² and the cross-cluster
-    boundary pairs are the documented recall loss. At 100 TB, k grows
-    with the corpus (n/k held constant) and the kmeans assignment stage
-    stays a shuffle-free Column fold per row."""
+    boundary pairs are the documented recall loss. k is DERIVED from a
+    cheap corpus count (k = max(8, n // 64), n/k held constant — see
+    SEMANTIC_TARGET_CLUSTER_SIZE), so candidate work stays n·64 linear
+    in n at 100 TB instead of going quadratic with a frozen k; the
+    kmeans assignment stage stays a shuffle-free Column fold per row."""
     from hadoop_map_reduce_spark.operators.similarity import (
         semantic_dedup_pairs,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup_pairs(emb, threshold=0.4, k=8, n_iter=5)
+    return semantic_dedup_pairs(emb, threshold=0.4, k=None, n_iter=5)
 
 
 @register(

@@ -103,11 +103,14 @@ def array_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     description=(
         "Array-building aggregates with deterministic (sorted) contents: "
         "collect_set/list are order-nondeterministic, so sort before "
-        "comparing — the discipline any reproducible pipeline needs."
+        "comparing — the discipline any reproducible pipeline needs. The "
+        "sorted set is emitted joined to a string so the result column is "
+        "hashable (array cells break pandas-based canonicalization)."
     ),
     oracle="""
         SELECT l_returnflag,
-               list_sort(list(DISTINCT l_linestatus)) AS statuses,
+               array_to_string(list_sort(list(DISTINCT l_linestatus)), ',')
+                   AS statuses,
                CAST(len(list(DISTINCT l_suppkey)) AS INT) AS n_supps
         FROM lineitem GROUP BY 1
     """,
@@ -115,7 +118,9 @@ def array_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+        F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",").alias(
+            "statuses"
+        ),
         F.size(F.collect_set("l_suppkey")).alias("n_supps"),
     )
 
@@ -146,13 +151,18 @@ def _summarize(key: tuple, events: pd.DataFrame, orders: pd.DataFrame) -> pd.Dat
     description=(
         "cogroup.applyInPandas: per-key pandas fold over two tables "
         "(events x orders), oracle-checked against the join-of-aggregates "
-        "equivalent."
+        "equivalent. This is the UDF-surface demo, NOT the production "
+        "path (the oracle's full-outer-join-of-aggregates is): a per-key "
+        "Python fold over every user is a scale-killer at 100 TB, so the "
+        "input is capped to a deterministic 1/8 user sample "
+        "(user_id % 8 = 0) to keep the demo from being mistaken for a "
+        "pipeline stage."
     ),
     oracle="""
         WITH e AS (SELECT user_id, COUNT(*) AS n_events
-                   FROM events GROUP BY 1),
+                   FROM events WHERE user_id % 8 = 0 GROUP BY 1),
              o AS (SELECT o_custkey AS user_id, COUNT(*) AS n_orders
-                   FROM orders GROUP BY 1)
+                   FROM orders WHERE o_custkey % 8 = 0 GROUP BY 1)
         SELECT COALESCE(e.user_id, o.user_id) AS user_id,
                COALESCE(e.n_events, 0) AS n_events,
                COALESCE(o.n_orders, 0) AS n_orders
@@ -160,9 +170,15 @@ def _summarize(key: tuple, events: pd.DataFrame, orders: pd.DataFrame) -> pd.Dat
     """,
 )
 def cogrouped_user_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events").select("user_id", "event_id")
-    orders = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("user_id"), "o_orderkey"
+    events = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 8 == 0)
+        .select("user_id", "event_id")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 8 == 0)
+        .select(F.col("o_custkey").alias("user_id"), "o_orderkey")
     )
     return (
         events.groupBy("user_id")

@@ -87,8 +87,8 @@ def join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT b.event_id, b.user_id, b.ts,
                    CASE WHEN f.fdate IS NULL THEN TRUE
                         WHEN b.bdate IS NULL THEN FALSE
-                        WHEN epoch(b.ts) - epoch(CAST(b.bdate AS TIMESTAMP))
-                             <= epoch(CAST(f.fdate AS TIMESTAMP)) - epoch(b.ts)
+                        WHEN epoch_us(b.ts) - epoch_us(CAST(b.bdate AS TIMESTAMP))
+                             <= epoch_us(CAST(f.fdate AS TIMESTAMP)) - epoch_us(b.ts)
                         THEN TRUE ELSE FALSE END AS use_back,
                    b.bdate, f.fdate
             FROM b JOIN f ON f.event_id = b.event_id

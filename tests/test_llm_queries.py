@@ -155,6 +155,20 @@ def test_blas_neardup_matches_exact(spark, sf_dir):
         assert abs(exact[k] - blas[k]) < 1e-5
 
 
+def test_blas_neardup_enforces_driver_ceiling(spark, sf_dir):
+    """The documented broadcast ceiling is enforced, not advisory: an
+    oversized corpus raises before any driver materialization, naming
+    the distributed alternatives."""
+    import pytest
+
+    from hadoop_map_reduce_spark.operators.similarity import cosine_neardup_blas
+    from hadoop_map_reduce_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="grid_blas|lsh_bucket"):
+        cosine_neardup_blas(emb, 0.4, max_rows=10)
+
+
 def test_simhash_duplicate_texts_collide(spark):
     from hadoop_map_reduce_spark.operators.dedup import simhash64
 

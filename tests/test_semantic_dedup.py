@@ -25,7 +25,13 @@ def test_pairs_are_exact_within_python_recomputed_clusters(spark, sf_dir):
         (r["vec_id"], list(r["embedding"]))
         for r in emb.select("vec_id", "embedding").collect()
     ]
-    assign, _ = _py_kmeans(rows)  # proven == kmeans_lloyd bit-for-bit
+    # Mirror the registered query's auto-k (n/k held constant).
+    from hadoop_map_reduce_spark.operators.similarity import (
+        SEMANTIC_TARGET_CLUSTER_SIZE,
+    )
+
+    k = max(8, len(rows) // SEMANTIC_TARGET_CLUSTER_SIZE)
+    assign, _ = _py_kmeans(rows, k=k)  # proven == kmeans_lloyd bit-for-bit
     want = {
         pair: sim
         for pair, sim in exact.items()

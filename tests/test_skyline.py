@@ -95,3 +95,28 @@ def test_bad_dims_raise(spark):
         skyline(df, [])
     with pytest.raises(ValueError):
         skyline(df, [("nope", "min")])
+
+
+def test_int64_dims_above_2e53_stay_exact(spark):
+    """Integral dims use an int64 dominance matrix: values above 2^53
+    that differ by 1 must not collapse to the same double (which would
+    fabricate a domination and drop a frontier row)."""
+    base = 1 << 60
+    rows = [
+        (1, base + 1, base),      # incomparable with row 2 exactly,
+        (2, base, base + 1),      # but equal after float64 rounding
+        (3, base + 2, base + 2),  # dominated by neither? no: dominated by both
+    ]
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    got = {r.id for r in skyline(df, [("a", "min"), ("b", "min")]).collect()}
+    assert got == {1, 2}
+
+
+def test_null_int_dims_fall_back_to_sql_semantics(spark):
+    """An integral dim with NULLs arrives as float64+NaN: NaN rows are
+    neither dominated nor dominating (SQL NOT EXISTS three-valued
+    logic), and exact rows still resolve."""
+    rows = [(1, 5, 5), (2, 6, 6), (3, None, 1)]
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    got = {r.id for r in skyline(df, [("a", "min"), ("b", "min")]).collect()}
+    assert got == {1, 3}
