@@ -392,6 +392,131 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_sig_table(
+    df: DataFrame,
+    n: int = 3,
+    num_hashes: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Persistable signature table ``(id, _sh, _sig)`` — the asset an
+    incremental/streaming dedup pipeline computes ONCE per document,
+    ever, and appends to a store. Identical shingle/signature pipeline
+    to :func:`minhash_lsh_pairs` (same params → byte-identical
+    signatures), factored out so a store side and a batch side can be
+    produced independently and joined across."""
+    sh = with_shingles(df, n=n, text_col=text_col, id_col=id_col)
+    hashed = sh.select(
+        F.col(id_col), F.col("_sh"), hashed_shingles(F.col("_sh")).alias("_hs")
+    )
+    return hashed.select(
+        F.col(id_col),
+        F.col("_sh"),
+        minhash_signature_arrow(F.col("_hs"), num_hashes, seed).alias("_sig"),
+    )
+
+
+def _band_keys(
+    sig: DataFrame, bands: int, rows_per_band: int, id_col: str
+) -> DataFrame:
+    """Slim ``(id, band, bhash)`` banding keys of a signature table (the
+    same projection :func:`minhash_lsh_pairs` builds inline)."""
+    return sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            F.slice(
+                                F.col("_sig"), i * rows_per_band + 1, rows_per_band
+                            )
+                        ).alias("bhash"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select(id_col, "_b.band", "_b.bhash")
+
+
+def lsh_blocked_ids(
+    batch_sig: DataFrame,
+    store_sig: DataFrame | None,
+    threshold: float,
+    bands: int = 32,
+    num_hashes: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Batch ids BLOCKED by a near-dup partner (exact Jaccard >=
+    ``threshold``) in the store, or by a lower-id partner within the
+    batch — the greedy, non-recursive admission rule of
+    ``dedup_incremental``, factored over two signature tables.
+
+    Plan shape: banding keys for both sides, a band equi-join batch x
+    store plus a band self-join within the batch (id_a < id_b), exact
+    shingle-Jaccard verify on the candidates only, then a distinct
+    projection of the blocked batch ids. Cost is proportional to the
+    BATCH (the store side ships only slim band keys plus the shingle
+    arrays of actual candidates), which is what makes per-increment /
+    per-micro-batch dedup viable against a 100-TB corpus store."""
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    rpb = num_hashes // bands
+    b_keys = _band_keys(batch_sig, bands, rpb, id_col)
+
+    jac = jaccard(F.col("sh_q"), F.col("sh_b"))
+    sh_batch = batch_sig.select(
+        F.col(id_col).alias("_blocked"), F.col("_sh").alias("sh_b")
+    )
+
+    def verify(cands: DataFrame, partner_sig: DataFrame) -> DataFrame:
+        sh_q = partner_sig.select(
+            F.col(id_col).alias("_q"), F.col("_sh").alias("sh_q")
+        )
+        return (
+            cands.join(sh_batch, "_blocked")
+            .join(sh_q, "_q")
+            .filter(F.round(jac, 6) >= threshold)
+            .select("_blocked")
+        )
+
+    self_cands = (
+        b_keys.alias("a")
+        .join(
+            b_keys.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"b.{id_col}").alias("_blocked"),
+            F.col(f"a.{id_col}").alias("_q"),
+        )
+        .dropDuplicates(["_blocked", "_q"])
+    )
+    blocked = verify(self_cands, batch_sig)
+    if store_sig is not None:
+        s_keys = _band_keys(store_sig, bands, rpb, id_col)
+        store_cands = (
+            b_keys.alias("a")
+            .join(
+                s_keys.alias("s"),
+                (F.col("a.band") == F.col("s.band"))
+                & (F.col("a.bhash") == F.col("s.bhash")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("_blocked"),
+                F.col(f"s.{id_col}").alias("_q"),
+            )
+            .dropDuplicates(["_blocked", "_q"])
+        )
+        blocked = blocked.unionByName(verify(store_cands, store_sig))
+    return blocked.select(F.col("_blocked").alias(id_col)).distinct()
+
+
 def simhash64(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -100,6 +100,18 @@ def assign_clusters_blas(
     )
 
 
+#: Above this k*d, kmeans assignment switches from the Catalyst fold
+#: (codegen grows with k*d; measured 13.7 s at k=31 and 22 s at k=78,
+#: d=64, sf0.1 — the fold is the bottleneck well before k=32) to the
+#: vectorized BLAS twin (one numpy matmul per Arrow batch; 6 s for the
+#: ENTIRE dedup_semantic at 10x data, k=312). Both are deterministic;
+#: they can differ only on exact-distance ties (the parity pin in
+#: tests/test_ml_queries.py). The driver/test scales (k=8, d=64 → 512)
+#: stay on the fold path, so the bit-for-bit pure-Python recomputation
+#: tests pin the exact path unchanged.
+ASSIGN_BLAS_MIN_KD = 1024
+
+
 def kmeans_lloyd(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -117,6 +129,11 @@ def kmeans_lloyd(
     Empty clusters keep their previous centroid (possible when k exceeds
     the natural cluster count); the mean is exact-integer as described in
     the module docstring.
+
+    Assignment uses the exact Catalyst fold for small k*d and the
+    vectorized BLAS twin above ``ASSIGN_BLAS_MIN_KD`` — without the
+    switch, auto-scaled k (dedup_semantic's n/k invariant) makes the
+    generated fold code itself the bottleneck at scale.
     """
     vec = F.col(vec_col).cast("array<double>")
     # Deterministic seed: k lowest ids. At scale this is a tiny top-k
@@ -125,10 +142,16 @@ def kmeans_lloyd(
         df.select(id_col, vec.alias("_v")).orderBy(id_col).limit(k).collect()
     )
     centroids = [list(r["_v"]) for r in seed_rows]
+    dim = len(centroids[0]) if centroids else 0
+    assign = (
+        assign_clusters_blas
+        if k * dim > ASSIGN_BLAS_MIN_KD
+        else assign_clusters
+    )
 
     exploded = None
     for _ in range(n_iter):
-        assigned = assign_clusters(df, centroids, vec_col)
+        assigned = assign(df, centroids, vec_col)
         exploded = assigned.select(
             "cluster", F.posexplode(vec).alias("pos", "_x")
         )
@@ -151,4 +174,4 @@ def kmeans_lloyd(
                 new_centroids[ci][pos] = v
         centroids = new_centroids
 
-    return assign_clusters(df, centroids, vec_col), centroids
+    return assign(df, centroids, vec_col), centroids

@@ -1,0 +1,421 @@
+"""Round-3 additions, batch 5 of the LLM-pipeline surface: asymmetric
+containment dedup (quote/subset duplicates that symmetric Jaccard
+misses), hybrid lexical+vector retrieval with reciprocal-rank fusion,
+int8 embedding quantization (the storage/bandwidth lever for 100-TB
+vector corpora), a k-anonymity privacy audit, and BPE tokenizer
+APPLICATION (closing the train→apply loop of ``bpe_train_merges``).
+
+Reference scope note: the reference engine (a 3-file Hadoop MapReduce
+job, SURVEY.md §0) has none of these; they extend the training-data
+curation surface (SURVEY.md §7.1). Float discipline throughout:
+integer-scaled scores (floor/round to BIGINT) on both engines, never
+floating-point accumulation in compared columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hadoop_map_reduce_spark.functions.text import sanitize, tokenize
+from hadoop_map_reduce_spark.plans.llm_queries import _SHINGLES, _TOKS
+from hadoop_map_reduce_spark.plans.registry import register
+from hadoop_map_reduce_spark.session import load_table
+
+
+@register(
+    "dedup_containment",
+    tags=("llm", "dedup"),
+    description=(
+        "Asymmetric containment dedup: directed pairs where >= 70% of "
+        "the smaller document's trigram shingles appear in the larger "
+        "one (C(A->B) = |A∩B|/|A|). Catches quotes / subset duplicates "
+        "that symmetric Jaccard misses when sizes differ: J(A,B) <= "
+        "|A|/|B| can sit far below any Jaccard threshold while A is "
+        "wholly contained in B."
+    ),
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS} AS t FROM documents
+        ), sh AS (
+            SELECT doc_id, {_SHINGLES} AS s FROM toks WHERE len(t) >= 3
+        )
+        SELECT a.doc_id AS id_small, b.doc_id AS id_big,
+               CAST(len(a.s) AS BIGINT) AS n_small,
+               CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS n_shared,
+               ROUND(len(list_intersect(a.s, b.s)) * 1.0 / len(a.s), 6)
+                   AS containment
+        FROM sh a JOIN sh b
+          ON a.doc_id <> b.doc_id
+         AND (len(a.s) < len(b.s)
+              OR (len(a.s) = len(b.s) AND a.doc_id < b.doc_id))
+        WHERE len(list_intersect(a.s, b.s)) * 1.0 / len(a.s) >= 0.7
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan shape (the ``ngram_jaccard_pairs`` inverted-index form,
+    operators/dedup.py:100): shingles → (shingle, id, size) postings,
+    equi-join on the shingle, count co-occurrences — the count IS
+    |A∩B|, and containment needs only |A| beyond it, so there is no
+    separate verify stage: the aggregation output is already exact.
+    Pairs sharing no shingle can never reach a positive threshold, so
+    results equal the quadratic scan. Scale path: the candidate cost is
+    Σ df² per shingle; for containment the prefix filter applies to the
+    CONTAINED side only (a doc with C >= t in anything must share one
+    of its first |A|-ceil(t·|A|)+1 rarest shingles), which is the
+    asymmetric PPJoin variant — documented here, plain index registered
+    (exact twin; the hot-shingle analysis of dedup_ngram_jaccard
+    applies unchanged)."""
+    from hadoop_map_reduce_spark.operators.dedup import with_shingles
+
+    sh = with_shingles(load_table(spark, sf_dir, "documents"))
+    sized = sh.select(
+        F.col("doc_id"), F.col("_sh"), F.size("_sh").alias("_n")
+    )
+    postings = sized.select(
+        "doc_id", "_n", F.explode("_sh").alias("_s")
+    )
+    a, b = postings.alias("a"), postings.alias("b")
+    directed = (F.col("a._n") < F.col("b._n")) | (
+        (F.col("a._n") == F.col("b._n"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    co = (
+        a.join(b, F.col("a._s") == F.col("b._s"))
+        .filter((F.col("a.doc_id") != F.col("b.doc_id")) & directed)
+        .groupBy(
+            F.col("a.doc_id").alias("id_small"),
+            F.col("b.doc_id").alias("id_big"),
+            F.col("a._n").alias("_na"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    cont = F.col("n_shared") / F.col("_na")
+    return (
+        co.filter(cont >= 0.7)
+        .select(
+            "id_small",
+            "id_big",
+            F.col("_na").cast("long").alias("n_small"),
+            F.col("n_shared").cast("long"),
+            F.round(cont, 6).alias("containment"),
+        )
+    )
+
+
+_RRF_K = 60
+_HYBRID_TERMS = ("join", "filter", "window")
+
+
+@register(
+    "search_hybrid_rrf",
+    tags=("llm", "similarity", "topk"),
+    description=(
+        "Hybrid retrieval with reciprocal-rank fusion: a lexical "
+        "tf-idf ranking (search_rank_docs scoring) and a vector "
+        "ranking (exact integer inner product against the query "
+        "embedding, vectors quantized to round(x*1e6) BIGINT) are "
+        "fused as floor(1e6/(60+rank)) per list (0 when unranked), "
+        "top-20 by fused score. All compared columns integer — no "
+        "float accumulation crosses an engine boundary."
+    ),
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+        ), tf AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM toks WHERE term IN ('join', 'filter', 'window')
+            GROUP BY 1, 2
+        ), idf AS (
+            SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+            FROM toks WHERE term IN ('join', 'filter', 'window')
+            GROUP BY 1
+        ), lex AS (
+            SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                       AS r_lex
+            FROM (
+                SELECT tf.doc_id,
+                       CAST(SUM(tf.tf * FLOOR(
+                           ((SELECT COUNT(*) FROM documents) * 1e6) / idf.df
+                       )) AS BIGINT) AS score
+                FROM tf JOIN idf ON idf.term = tf.term
+                GROUP BY 1
+            )
+        ), dots AS (
+            SELECT e.vec_id AS doc_id,
+                   CAST(SUM(CAST(ROUND(ev * 1e6) AS BIGINT)
+                            * CAST(ROUND(qv * 1e6) AS BIGINT)) AS BIGINT)
+                       AS dot
+            FROM (
+                SELECT e.vec_id, unnest(e.embedding) AS ev,
+                       unnest(q.embedding) AS qv
+                FROM embeddings e,
+                     (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+                WHERE e.vec_id <> 0
+            ) e
+            GROUP BY 1
+        ), vec AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY dot DESC, doc_id) AS r_vec
+            FROM dots
+        ), fused AS (
+            SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+                   CAST(COALESCE(FLOOR(1e6 / ({_RRF_K} + l.r_lex)), 0)
+                        + COALESCE(FLOOR(1e6 / ({_RRF_K} + v.r_vec)), 0)
+                        AS BIGINT) AS rrf_e6,
+                   CAST(COALESCE(l.r_lex, 0) AS BIGINT) AS r_lex,
+                   CAST(COALESCE(v.r_vec, 0) AS BIGINT) AS r_vec
+            FROM lex l FULL OUTER JOIN vec v ON v.doc_id = l.doc_id
+        )
+        SELECT doc_id, rrf_e6, r_lex, r_vec
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                ORDER BY rrf_e6 DESC, doc_id) AS rk
+            FROM fused
+        ) WHERE rk <= 20
+    """,
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan shape: the lexical side prunes to the 3 query terms before
+    any shuffle and ranks only hit docs; the vector side quantizes each
+    embedding to BIGINTs (exact: |x|<~6, so round(x*1e6) products stay
+    under 2^53 across 64 dims) and folds the inner product as a pure
+    Column expression against the broadcast query vector — one scan, no
+    Python. Global row_number windows are the bounded verify form; at
+    corpus scale both sides become per-partition TakeOrdered top-k
+    (operators/relational.top_k) and fusion joins two k-row tables.
+    vec_id 0 doubles as the query document (deterministic, no RNG);
+    docs are ranked against it, itself excluded."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    toks = docs.select(
+        "doc_id", F.explode(tokenize(sanitize(F.col("text")))).alias("term")
+    ).filter(F.col("term").isin(*_HYBRID_TERMS))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    idf = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("_ndocs"))
+    lex_scored = (
+        tf.join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("tf")
+                * F.floor((F.col("_ndocs") * F.lit(1e6)) / F.col("df"))
+            ).cast("long").alias("score")
+        )
+    )
+    w_lex = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    lex = lex_scored.select(
+        "doc_id", F.row_number().over(w_lex).alias("r_lex")
+    )
+
+    q_e6 = F.transform(
+        F.col("q_embedding"), lambda x: F.round(x * 1e6).cast("long")
+    )
+    e_e6 = F.transform(
+        F.col("embedding"), lambda x: F.round(x * 1e6).cast("long")
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    dots = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.aggregate(
+                F.zip_with(e_e6, q_e6, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dot"),
+        )
+    )
+    w_vec = Window.orderBy(F.col("dot").desc(), F.col("doc_id").asc())
+    vec = dots.select("doc_id", F.row_number().over(w_vec).alias("r_vec"))
+
+    fused = (
+        lex.join(vec, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(
+                    F.floor(F.lit(1e6) / (F.lit(_RRF_K) + F.col("r_lex"))),
+                    F.lit(0),
+                )
+                + F.coalesce(
+                    F.floor(F.lit(1e6) / (F.lit(_RRF_K) + F.col("r_vec"))),
+                    F.lit(0),
+                )
+            ).cast("long").alias("rrf_e6"),
+            F.coalesce(F.col("r_lex"), F.lit(0)).cast("long").alias("r_lex"),
+            F.coalesce(F.col("r_vec"), F.lit(0)).cast("long").alias("r_vec"),
+        )
+    )
+    w_rk = Window.orderBy(F.col("rrf_e6").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") <= 20)
+        .drop("rk")
+    )
+
+
+@register(
+    "embedding_quantize_int8",
+    tags=("llm", "similarity", "aggregation"),
+    description=(
+        "Per-vector symmetric int8 quantization audit: q_i = "
+        "round(127*x_i/maxabs) — the 4x storage / bandwidth lever for "
+        "100-TB vector corpora. Emits exact integer invariants of the "
+        "quantized vector (sum, sum of squares, saturation count) so "
+        "the whole quantization is hash-pinned cross-engine."
+    ),
+    oracle="""
+        WITH m AS (
+            SELECT vec_id,
+                   list_max(list_transform(embedding, x -> abs(x)))
+                       AS maxabs
+            FROM embeddings
+        ), q AS (
+            SELECT e.vec_id,
+                   CAST(ROUND(127 * ev / m.maxabs) AS BIGINT) AS qv
+            FROM (SELECT vec_id, unnest(embedding) AS ev
+                  FROM embeddings) e
+            JOIN m ON m.vec_id = e.vec_id
+            WHERE m.maxabs > 0
+        )
+        SELECT q.vec_id,
+               CAST(COUNT(*) AS BIGINT) AS n_dims,
+               CAST(SUM(q.qv) AS BIGINT) AS sum_q,
+               CAST(SUM(q.qv * q.qv) AS BIGINT) AS sum_q2,
+               CAST(SUM(CASE WHEN abs(q.qv) = 127 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_saturated,
+               ROUND(MAX(m2.maxabs), 6) AS maxabs_r6
+        FROM q JOIN m m2 ON m2.vec_id = q.vec_id
+        GROUP BY 1
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """127*x/maxabs is the same double-precision expression on both
+    engines (float32 widens exactly; one multiply, one divide — IEEE
+    ops agree bit-for-bit), so round-to-BIGINT matches — the repo's
+    CAST(ROUND(...)) cents discipline. All aggregates are over exact
+    integers. Pure Column expressions per row, shuffle-free except the
+    final (tiny) nothing — there is no shuffle at all: maxabs, the
+    transform, and the three sums fold inside one projection per
+    vector."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    maxabs = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x)))
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(F.lit(127) * x / F.col("_maxabs")).cast("long"),
+    )
+    isum = lambda col: F.aggregate(  # noqa: E731
+        col, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return (
+        emb.select("vec_id", "embedding", maxabs.alias("_maxabs"))
+        .filter(F.col("_maxabs") > 0)
+        .select(
+            "vec_id",
+            F.size("embedding").cast("long").alias("n_dims"),
+            q.alias("_q"),
+            F.round(F.col("_maxabs"), 6).alias("maxabs_r6"),
+        )
+        .select(
+            "vec_id",
+            "n_dims",
+            isum(F.col("_q")).alias("sum_q"),
+            isum(F.zip_with(F.col("_q"), F.col("_q"), lambda a, b: a * b))
+            .alias("sum_q2"),
+            isum(
+                F.transform(
+                    F.col("_q"),
+                    lambda x: F.when(F.abs(x) == 127, F.lit(1).cast("long"))
+                    .otherwise(F.lit(0).cast("long")),
+                )
+            ).alias("n_saturated"),
+            "maxabs_r6",
+        )
+    )
+
+
+@register(
+    "dq_k_anonymity",
+    tags=("llm", "dq", "aggregation"),
+    description=(
+        "k-anonymity privacy audit (k=5): equivalence classes of the "
+        "quasi-identifier (nation, market segment, account-balance "
+        "bucket) with fewer than k customers — the classes where a "
+        "joined external dataset could re-identify individuals; the "
+        "audit any PII-bearing corpus release runs next to "
+        "curation_pii_scrub."
+    ),
+    oracle="""
+        SELECT c_nationkey,
+               c_mktsegment,
+               CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+               CAST(COUNT(*) AS BIGINT) AS class_size
+        FROM customer
+        GROUP BY 1, 2, 3
+        HAVING COUNT(*) < 5
+    """,
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One partial-aggregated shuffle on the quasi-identifier; the
+    HAVING filter runs post-aggregation on class-count rows (bounded by
+    the QI domain, not the table). At 100 TB the QI cardinality, not
+    the row count, sizes the reduce side — the same property as any
+    group-by audit."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("class_size"))
+        .filter(F.col("class_size") < 5)
+    )
+
+
+@register(
+    "bpe_segment_counts",
+    tags=("llm", "text", "tokenizer"),
+    description=(
+        "BPE tokenizer APPLICATION: segment the whole corpus with the "
+        "merge table learned by bpe_train_merges (24 merges) and count "
+        "the 30 most frequent symbols (count DESC, symbol ASC) — the "
+        "train→apply loop a tokenizer pipeline runs (rows-only: BPE "
+        "segmentation is iterative string rewriting with no SQL "
+        "oracle; pinned bit-for-bit by the pure-Python BPE "
+        "recomputation test, the bpe_train_merges standing)."
+    ),
+)
+def bpe_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merge table is vocabulary-sized (24 rows), learned once and
+    baked into the segmentation plan as chained Column folds
+    (operators/bpe.py:bpe_segment) — application is one shuffle-free
+    scan plus the symbol-count aggregation; training cost amortizes
+    over every later corpus pass exactly as in production."""
+    from hadoop_map_reduce_spark.operators.bpe import bpe_segment, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=24)
+    toks = docs.select(
+        "doc_id", tokenize(sanitize(F.col("text"))).alias("_t")
+    ).filter(F.size("_t") >= 1)
+    syms = toks.select(
+        F.explode(bpe_segment(F.col("_t"), merges)).alias("symbol")
+    )
+    counts = syms.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return (
+        counts.orderBy(F.col("n").desc(), F.col("symbol").asc()).limit(30)
+    )

@@ -154,15 +154,15 @@ def _summarize(key: tuple, events: pd.DataFrame, orders: pd.DataFrame) -> pd.Dat
         "equivalent. This is the UDF-surface demo, NOT the production "
         "path (the oracle's full-outer-join-of-aggregates is): a per-key "
         "Python fold over every user is a scale-killer at 100 TB, so the "
-        "input is capped to a deterministic 1/8 user sample "
-        "(user_id % 8 = 0) to keep the demo from being mistaken for a "
+        "input is capped to a deterministic 1/16 user sample "
+        "(user_id % 16 = 0) to keep the demo from being mistaken for a "
         "pipeline stage."
     ),
     oracle="""
         WITH e AS (SELECT user_id, COUNT(*) AS n_events
-                   FROM events WHERE user_id % 8 = 0 GROUP BY 1),
+                   FROM events WHERE user_id % 16 = 0 GROUP BY 1),
              o AS (SELECT o_custkey AS user_id, COUNT(*) AS n_orders
-                   FROM orders WHERE o_custkey % 8 = 0 GROUP BY 1)
+                   FROM orders WHERE o_custkey % 16 = 0 GROUP BY 1)
         SELECT COALESCE(e.user_id, o.user_id) AS user_id,
                COALESCE(e.n_events, 0) AS n_events,
                COALESCE(o.n_orders, 0) AS n_orders
@@ -172,12 +172,12 @@ def _summarize(key: tuple, events: pd.DataFrame, orders: pd.DataFrame) -> pd.Dat
 def cogrouped_user_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = (
         load_table(spark, sf_dir, "events")
-        .filter(F.col("user_id") % 8 == 0)
+        .filter(F.col("user_id") % 16 == 0)
         .select("user_id", "event_id")
     )
     orders = (
         load_table(spark, sf_dir, "orders")
-        .filter(F.col("o_custkey") % 8 == 0)
+        .filter(F.col("o_custkey") % 16 == 0)
         .select(F.col("o_custkey").alias("user_id"), "o_orderkey")
     )
     return (

@@ -21,6 +21,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hadoop_map_reduce_spark.plans.llm_queries import _JACCARD_PAIRS_SQL
 from hadoop_map_reduce_spark.plans.registry import register
 from hadoop_map_reduce_spark.plans.relational_queries import _sql_sum, exact_sum
 from hadoop_map_reduce_spark.plans.timeseries_queries import _EWMA_ORACLE
@@ -341,3 +342,94 @@ def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("long").alias("value_c"),
     )
     return _run_to_table(streaming_ewma(events), "_hmrs_stream_ewma", "update")
+
+
+@register(
+    "stream_neardup_lsh",
+    tags=("streaming", "dedup"),
+    description=(
+        "Streaming near-dup admission (the streaming twin of "
+        "dedup_incremental): two arrival micro-batches (doc_id%4==0, "
+        "then ==1) are MinHash-LSH deduped in foreachBatch against an "
+        "append-only signature STORE seeded with the rest of the corpus "
+        "(%4 in (2,3)); each batch's admitted signatures append to the "
+        "store before the next batch, so batch 1 is deduped against "
+        "batch 0's admissions. The oracle replays the same greedy "
+        "two-increment admission in SQL over exact trigram-Jaccard "
+        "pairs."
+    ),
+    oracle=f"""
+        WITH near AS ({_JACCARD_PAIRS_SQL}),
+        dup AS (
+            SELECT id_b AS b, id_a AS q FROM near
+            UNION ALL
+            SELECT id_a AS b, id_b AS q FROM near
+        ),
+        a AS (
+            SELECT d.doc_id FROM documents d
+            WHERE d.doc_id % 4 = 0
+              AND NOT EXISTS (
+                SELECT 1 FROM dup
+                WHERE dup.b = d.doc_id
+                  AND (dup.q % 4 IN (2, 3)
+                       OR (dup.q % 4 = 0 AND dup.q < d.doc_id)))
+        ),
+        bb AS (
+            SELECT d.doc_id FROM documents d
+            WHERE d.doc_id % 4 = 1
+              AND NOT EXISTS (
+                SELECT 1 FROM dup
+                WHERE dup.b = d.doc_id
+                  AND (dup.q % 4 IN (2, 3)
+                       OR dup.q IN (SELECT doc_id FROM a)
+                       OR (dup.q % 4 = 1 AND dup.q < d.doc_id)))
+        )
+        SELECT doc_id, CAST(0 AS BIGINT) AS batch FROM a
+        UNION ALL
+        SELECT doc_id, CAST(1 AS BIGINT) AS batch FROM bb
+    """,
+)
+def stream_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine side: seed store = sigs of %4 in (2,3) docs; arrivals
+    written as two single-file parquet increments with ascending mtimes
+    so maxFilesPerTrigger=1 + availableNow processes them in order; the
+    foreachBatch body (streaming/neardup.py) does batch-vs-store +
+    batch-self LSH blocking, appends admitted signatures, and the final
+    manifest is (doc_id, batch). Per-batch cost is proportional to the
+    batch, never the corpus — the append-only property that makes
+    near-dup viable on an unbounded ingest stream."""
+    import shutil
+    import tempfile
+    import time
+
+    from hadoop_map_reduce_spark.streaming.neardup import (
+        NearDupAdmitter,
+        run_neardup_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="hmrs_stream_neardup_")
+    arrivals = os.path.join(base, "arrivals")
+    os.makedirs(arrivals)
+
+    def write_increment(df, name: str, mtime: float) -> None:
+        tmp = os.path.join(base, "tmp_" + name)
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(arrivals, name + ".parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    now = time.time()
+    write_increment(docs.filter(F.col("doc_id") % 4 == 0), "b0", now - 120)
+    write_increment(docs.filter(F.col("doc_id") % 4 == 1), "b1", now - 60)
+
+    admitter = NearDupAdmitter(os.path.join(base, "store"), threshold=0.5)
+    admitter.seed(docs.filter((F.col("doc_id") % 4).isin(2, 3)))
+    return run_neardup_stream(
+        arrivals,
+        os.path.join(base, "ckpt"),
+        admitter,
+        spark,
+        docs.schema,
+    )

@@ -1,0 +1,159 @@
+"""Streaming near-duplicate admission: MinHash-LSH in ``foreachBatch``
+against an append-only signature store.
+
+Closes the loop between the batch incremental dedup
+(``plans/curation_queries.py::dedup_incremental``) and the streaming CDC
+sink (``streaming/cdc_sink.py``): arriving document micro-batches are
+admitted iff they have no near-dup partner (exact trigram Jaccard >=
+threshold, candidates from the same banded MinHash equi-join as
+``operators.dedup.minhash_lsh_pairs``) in the signature STORE or earlier
+(lower id) in their own batch — the greedy, non-recursive admission rule
+an append-only ingestion pipeline applies per increment. Admitted
+documents' signatures are appended to the store, so later batches are
+deduped against everything admitted before them.
+
+Store layout: one parquet subdirectory per increment
+(``seed/``, ``b0/``, ``b1/`` …), read back as a glob — append-only, no
+rewrite, no pointer. ``foreachBatch`` replays a failed micro-batch with
+the same batch_id and the per-batch subdir is written with
+mode=overwrite, so replay is idempotent (the ``cdc_sink`` exactly-once
+argument).
+
+100-TB scale: signatures are computed ONCE per document ever (the store
+is the asset); per-batch cost is the batch's shingle/signature pass plus
+a band equi-join whose store side ships only slim ``(id, band, bhash)``
+keys — proportional to the batch, never the corpus. State lives in the
+store, not the streaming state store, so the stream itself is stateless
+and restarts are cheap.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_map_reduce_spark.operators.dedup import (
+    lsh_blocked_ids,
+    minhash_sig_table,
+)
+
+
+class NearDupAdmitter:
+    """The ``foreachBatch`` body plus its store bookkeeping.
+
+    Collected admissions are accumulated on the driver as ``(doc_id,
+    batch_id)`` — the bounded verify harness; a production deployment
+    writes them to a manifest sink instead.
+    """
+
+    def __init__(
+        self,
+        store_dir: str,
+        threshold: float = 0.5,
+        n: int = 3,
+        num_hashes: int = 64,
+        bands: int = 32,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> None:
+        self.store_dir = store_dir
+        self.threshold = threshold
+        self.n = n
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.id_col = id_col
+        self.text_col = text_col
+        self.admitted: list[tuple[int, int]] = []
+        os.makedirs(store_dir, exist_ok=True)
+
+    def _sig(self, docs: DataFrame) -> DataFrame:
+        return minhash_sig_table(
+            docs,
+            n=self.n,
+            num_hashes=self.num_hashes,
+            text_col=self.text_col,
+            id_col=self.id_col,
+        )
+
+    def _store_subdirs(self) -> list[str]:
+        return sorted(
+            os.path.join(self.store_dir, d)
+            for d in os.listdir(self.store_dir)
+            if os.path.exists(os.path.join(self.store_dir, d, "_SUCCESS"))
+        )
+
+    def seed(self, docs: DataFrame) -> None:
+        """Materialize the pre-existing corpus's signatures as the
+        initial store increment (unconditionally — the seed corpus is
+        taken as-is, like ``dedup_incremental``'s store side)."""
+        self._sig(docs).write.mode("overwrite").parquet(
+            os.path.join(self.store_dir, "seed")
+        )
+
+    def read_store(self, spark: SparkSession) -> DataFrame | None:
+        dirs = self._store_subdirs()
+        if not dirs:
+            return None
+        return spark.read.parquet(*dirs)
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Admit the micro-batch against store + itself, append admitted
+        signatures as increment ``b<batch_id>`` (overwrite → idempotent
+        replay), record admitted ids."""
+        spark = batch_df.sparkSession
+        batch_sig = self._sig(batch_df).persist()
+        try:
+            blocked = lsh_blocked_ids(
+                batch_sig,
+                self.read_store(spark),
+                self.threshold,
+                bands=self.bands,
+                num_hashes=self.num_hashes,
+                id_col=self.id_col,
+            )
+            # Admission is decided over ALL batch ids: docs too short to
+            # shingle have no signature, can never collide, and are
+            # admitted (only their signatures — none — enter the store).
+            admitted_ids = (
+                batch_df.select(self.id_col).join(blocked, self.id_col, "left_anti")
+            )
+            admitted_sig = batch_sig.join(blocked, self.id_col, "left_anti")
+            admitted_sig.write.mode("overwrite").parquet(
+                os.path.join(self.store_dir, f"b{batch_id}")
+            )
+            ids = sorted(r[0] for r in admitted_ids.collect())
+            self.admitted = [
+                (i, b) for (i, b) in self.admitted if b != batch_id
+            ] + [(i, int(batch_id)) for i in ids]
+        finally:
+            batch_sig.unpersist()
+
+    def result(self, spark: SparkSession) -> DataFrame:
+        return spark.createDataFrame(
+            self.admitted, f"{self.id_col} long, batch long"
+        )
+
+
+def run_neardup_stream(
+    arrivals_dir: str,
+    checkpoint_dir: str,
+    admitter: NearDupAdmitter,
+    spark: SparkSession,
+    schema,
+) -> DataFrame:
+    """Drive the admission stream to completion (availableNow, one file
+    per trigger so increments process in arrival order) and return the
+    admitted ``(doc_id, batch)`` manifest."""
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals_dir)
+        .writeStream.foreachBatch(admitter.apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return admitter.result(spark)

@@ -96,3 +96,44 @@ def test_segment_reconstructs_words(spark, sf_dir):
     ).collect()
     for r in check:
         assert r["seg"].replace(END_OF_WORD, "") == r["joined"]
+
+
+def test_segment_counts_match_pure_python(spark, sf_dir):
+    """bpe_segment_counts (train 24 merges -> segment corpus -> top-30
+    symbol counts) recomputed bit-for-bit in pure Python: same merge
+    table, same leftmost-nonoverlapping single-pass merge application,
+    same (count DESC, symbol ASC) top-30."""
+    got = [
+        (r.symbol, r.n)
+        for r in REGISTRY["bpe_segment_counts"].fn(spark, sf_dir).collect()
+    ]
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = Counter()
+    texts = [r.text for r in docs.select("text").collect()]
+    for text in texts:
+        counts.update(_py_tokens(text))
+    merges = _py_bpe(dict(counts), n_merges=24)
+
+    sym_counts: Counter = Counter()
+    seg_cache: dict[str, list[str]] = {}
+    for text in texts:
+        toks = _py_tokens(text)
+        if not toks:
+            continue
+        for tok in toks:
+            syms = seg_cache.get(tok)
+            if syms is None:
+                syms = list(tok) + [END_OF_WORD]
+                for _rank, lhs, rhs, _n in merges:
+                    out: list[str] = []
+                    for x in syms:
+                        if out and out[-1] == lhs and x == rhs:
+                            out[-1] = lhs + rhs
+                        else:
+                            out.append(x)
+                    syms = out
+                seg_cache[tok] = syms
+            sym_counts.update(syms)
+    want = sorted(sym_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+    assert got == want

@@ -555,3 +555,43 @@ def test_winsorized_mean_broadcast_quartiles(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_containment_is_postings_equi_join(spark, sf_dir):
+    """dedup_containment: candidates come from the shingle-postings
+    equi-join (one hash key), never a cartesian/nested-loop pair scan;
+    only doc_id and text are read."""
+    plan = plan_of(spark, sf_dir, "dedup_containment")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)", plan)
+    assert m and "source" not in m.group(1) and "lang" not in m.group(1)
+
+
+def test_hybrid_rrf_broadcasts_query_vector(spark, sf_dir):
+    """search_hybrid_rrf: the 1-row query vector and the tiny df/doc-count
+    sides broadcast; no cartesian beyond those single-row broadcasts; the
+    lexical side filters terms at the scan side of the explode."""
+    plan = plan_of(spark, sf_dir, "search_hybrid_rrf")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 2
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row qvec/n_docs crossJoin
+    # Lexical branch reads only (doc_id, text); vector branch (vec_id,
+    # embedding) — label/source never scanned.
+    m = re.findall(r"ReadSchema: struct<([^>]*)", plan)
+    assert m and all("label" not in g and "source" not in g for g in m)
+
+
+def test_quantize_int8_is_shuffle_free(spark, sf_dir):
+    """embedding_quantize_int8: pure per-row Column folds — no exchange
+    of any kind in the plan."""
+    plan = plan_of(spark, sf_dir, "embedding_quantize_int8")
+    assert "Exchange" not in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)", plan)
+    assert m and "label" not in m.group(1)
+
+
+def test_k_anonymity_partial_agg_single_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "dq_k_anonymity")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan
