@@ -419,3 +419,189 @@ def bpe_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         counts.orderBy(F.col("n").desc(), F.col("symbol").asc()).limit(30)
     )
+
+
+@register(
+    "curation_decontaminate_13gram",
+    tags=("llm", "curation", "dedup"),
+    description=(
+        "Benchmark decontamination by EXACT 13-gram overlap (the "
+        "GPT-3 / PaLM recipe): training docs sharing any exact 13-token "
+        "span with the benchmark set (doc_id % 50 == 0 stands in) are "
+        "flagged with how many distinct grams and benchmark docs they "
+        "hit. Complements contamination_pairs (whole-doc Jaccard): a "
+        "verbatim quoted benchmark item inside a long doc never reaches "
+        "a Jaccard threshold but always shares its 13-grams."
+    ),
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS} AS t FROM documents
+        ), g AS (
+            SELECT doc_id,
+                   list_distinct([array_to_string(t[i:i+12], ' ')
+                                  for i in range(1, len(t) - 11)]) AS gs
+            FROM toks WHERE len(t) >= 13
+        ), bench AS (
+            SELECT DISTINCT gram, bench_id FROM (
+                SELECT unnest(gs) AS gram, doc_id AS bench_id
+                FROM g WHERE doc_id % 50 = 0
+            )
+        ), train AS (
+            SELECT doc_id, unnest(gs) AS gram
+            FROM g WHERE doc_id % 50 <> 0
+        )
+        SELECT t.doc_id,
+               CAST(COUNT(DISTINCT t.gram) AS BIGINT) AS n_shared_grams,
+               CAST(COUNT(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+        FROM train t JOIN bench b ON b.gram = t.gram
+        GROUP BY 1
+    """,
+)
+def curation_decontaminate_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan shape: the benchmark side (benchmarks are tiny — here 2% of
+    the corpus, in production a few MB of eval sets against 100 TB of
+    train) explodes to distinct (gram, bench_id) and BROADCASTS; the
+    train side streams its grams through a broadcast hash join — the
+    train corpus is scanned once and never shuffled on text. The
+    per-doc aggregation shuffles only (doc_id, gram-hit) hits, which
+    decontamination expects to be rare."""
+    from hadoop_map_reduce_spark.functions.text import ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.select(
+            "doc_id", tokenize(sanitize(F.col("text"))).alias("_t")
+        )
+        .filter(F.size("_t") >= 13)
+        .select(
+            "doc_id",
+            F.array_distinct(ngrams(F.col("_t"), n=13, sep=" ")).alias("_gs"),
+        )
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % 50 == 0)
+        .select(
+            F.col("doc_id").alias("bench_id"), F.explode("_gs").alias("gram")
+        )
+        .distinct()
+    )
+    train = grams.filter(F.col("doc_id") % 50 != 0).select(
+        "doc_id", F.explode("_gs").alias("gram")
+    )
+    return (
+        train.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").cast("long").alias("n_shared_grams"),
+            F.countDistinct("bench_id").cast("long").alias("n_bench_docs"),
+        )
+    )
+
+
+# First-digit probabilities log10(1 + 1/d), d = 1..9, as source-literal
+# constants (identical doubles on both engines; no runtime libm — the
+# repo's float discipline).
+_BENFORD = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829993,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+
+@register(
+    "dq_benford",
+    tags=("llm", "dq", "aggregation"),
+    description=(
+        "Benford's-law first-digit audit over order totals: observed "
+        "first-significant-digit counts vs floor(n * log10(1+1/d) * "
+        "1e6) expected (integer-exact; the probabilities are source "
+        "literals, no runtime logarithms). The classic fraud / "
+        "synthetic-data screen a DQ suite runs over monetary columns."
+    ),
+    oracle=f"""
+        WITH d AS (
+            SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100)
+                AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+            FROM orders WHERE o_totalprice > 0
+        ), n AS (SELECT COUNT(*) AS total FROM d)
+        SELECT digit,
+               CAST(COUNT(*) AS BIGINT) AS observed,
+               CAST(FLOOR(n.total * CASE digit
+                   {' '.join(f'WHEN {k} THEN {v!r}' for k, v in _BENFORD.items())}
+                   END * 1e6 / n.total) AS BIGINT) AS expected_ppm
+        FROM d, n
+        GROUP BY digit, n.total
+    """,
+)
+def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First digit from the integer-cents STRING (BIGINT-to-string is
+    locale/notation-free on both engines, unlike double formatting).
+    One partial-agg shuffle over 9 digit groups; expected_ppm =
+    floor(p_d * 1e6) is per-digit constant — emitted per row so the
+    audit is self-describing."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 0
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    expected = F.lit(None).cast("double")
+    for k, v in _BENFORD.items():
+        expected = F.when(F.col("digit") == k, F.lit(v)).otherwise(expected)
+    return (
+        orders.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("observed"))
+        .select(
+            "digit",
+            "observed",
+            F.floor(expected * 1e6).cast("long").alias("expected_ppm"),
+        )
+    )
+
+
+@register(
+    "sample_reservoir_hash",
+    tags=("llm", "relational", "window"),
+    description=(
+        "Deterministic per-key uniform k-sample (reservoir-sampling "
+        "equivalent without RNG): keep each user's 3 events with the "
+        "smallest md5(event_id) — hash order is uniform and stable "
+        "across runs/partitionings, so the sample is reproducible AND "
+        "unbiased, unlike rand()-based sampling whose stream depends "
+        "on partitioning."
+    ),
+    oracle="""
+        SELECT user_id, event_id, CAST(rk AS BIGINT) AS rk
+        FROM (
+            SELECT user_id, event_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id
+                       ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+                   ) AS rk
+            FROM events
+        ) WHERE rk <= 3
+    """,
+)
+def sample_reservoir_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One hash exchange on user_id + in-partition sort — and Spark
+    plans the rank<=3 filter as WindowGroupLimit (per-partition top-3
+    heaps before the exchange), so the shuffle carries at most 3 rows
+    per (input partition, user): the same property as topk_per_group,
+    here keyed by a hash for uniformity rather than a value for
+    relevance."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.md5(F.col("event_id").cast("string").cast("binary")).asc(),
+        F.col("event_id").asc(),
+    )
+    return (
+        events.select("user_id", "event_id")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+    )

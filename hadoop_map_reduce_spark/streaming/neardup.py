@@ -77,12 +77,26 @@ class NearDupAdmitter:
             id_col=self.id_col,
         )
 
-    def _store_subdirs(self) -> list[str]:
-        return sorted(
-            os.path.join(self.store_dir, d)
-            for d in os.listdir(self.store_dir)
-            if os.path.exists(os.path.join(self.store_dir, d, "_SUCCESS"))
-        )
+    def _store_subdirs(self, before_batch: int | None = None) -> list[str]:
+        """Committed store increments; with ``before_batch`` set, only
+        the seed and increments of EARLIER batches. A replayed batch
+        must see the store as it was before its first attempt — its own
+        prior increment would otherwise (a) be overwritten while still
+        being read and (b) block every previously admitted doc against
+        itself at similarity 1.0."""
+        out = []
+        for d in os.listdir(self.store_dir):
+            if not os.path.exists(os.path.join(self.store_dir, d, "_SUCCESS")):
+                continue
+            if (
+                before_batch is not None
+                and d.startswith("b")
+                and d[1:].isdigit()
+                and int(d[1:]) >= before_batch
+            ):
+                continue
+            out.append(os.path.join(self.store_dir, d))
+        return sorted(out)
 
     def seed(self, docs: DataFrame) -> None:
         """Materialize the pre-existing corpus's signatures as the
@@ -92,8 +106,10 @@ class NearDupAdmitter:
             os.path.join(self.store_dir, "seed")
         )
 
-    def read_store(self, spark: SparkSession) -> DataFrame | None:
-        dirs = self._store_subdirs()
+    def read_store(
+        self, spark: SparkSession, before_batch: int | None = None
+    ) -> DataFrame | None:
+        dirs = self._store_subdirs(before_batch)
         if not dirs:
             return None
         return spark.read.parquet(*dirs)
@@ -107,7 +123,7 @@ class NearDupAdmitter:
         try:
             blocked = lsh_blocked_ids(
                 batch_sig,
-                self.read_store(spark),
+                self.read_store(spark, before_batch=int(batch_id)),
                 self.threshold,
                 bands=self.bands,
                 num_hashes=self.num_hashes,

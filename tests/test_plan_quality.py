@@ -595,3 +595,23 @@ def test_k_anonymity_partial_agg_single_shuffle(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "dq_k_anonymity")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_count" in plan
+
+
+def test_decontaminate_broadcasts_bench_grams(spark, sf_dir):
+    """curation_decontaminate_13gram: the benchmark gram table
+    broadcasts; the train corpus is never shuffled on text."""
+    plan = plan_of(spark, sf_dir, "curation_decontaminate_13gram")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # text may appear only below the exchange (gram explode), never as
+    # a shuffle key; exchanges must key on doc_id/gram-derived cols.
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)", plan):
+        assert "text" not in m.group(1)
+
+
+def test_reservoir_hash_uses_window_group_limit(spark, sf_dir):
+    """sample_reservoir_hash: rank<=3 plans as WindowGroupLimit
+    (per-partition top-k heaps before the exchange)."""
+    plan = plan_of(spark, sf_dir, "sample_reservoir_hash")
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
