@@ -27,6 +27,7 @@ from hadoop_map_reduce_spark.session import load_table
 @register(
     "dedup_containment",
     tags=("llm", "dedup"),
+    headline=True,
     description=(
         "Asymmetric containment dedup: directed pairs where >= 70% of "
         "the smaller document's trigram shingles appear in the larger "
@@ -60,18 +61,26 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     |A∩B|, and containment needs only |A| beyond it, so there is no
     separate verify stage: the aggregation output is already exact.
     Pairs sharing no shingle can never reach a positive threshold, so
-    results equal the quadratic scan. Scale path: the candidate cost is
-    Σ df² per shingle; for containment the prefix filter applies to the
-    CONTAINED side only (a doc with C >= t in anything must share one
-    of its first |A|-ceil(t·|A|)+1 rarest shingles), which is the
-    asymmetric PPJoin variant — documented here, plain index registered
-    (exact twin; the hot-shingle analysis of dedup_ngram_jaccard
-    applies unchanged)."""
+    results equal the quadratic scan. The sized shingle table is cached
+    through the one-slot mechanism (the minhash/prefix-jaccard
+    discipline): it feeds BOTH sides of the postings self-join, and
+    without the cache Catalyst re-inlines the whole regex→shingle
+    pipeline per consumer (26 regex copies in the plan, 44 s vs 4 s at
+    sf0.1). Scale path: the candidate cost is Σ df² per shingle; for
+    containment the prefix filter applies to the CONTAINED side only
+    (a doc with C >= t in anything must share one of its first
+    |A|-ceil(t·|A|)+1 rarest shingles), which is the asymmetric PPJoin
+    variant — documented here, plain index registered (exact twin; the
+    hot-shingle analysis of dedup_ngram_jaccard applies unchanged)."""
+    from hadoop_map_reduce_spark.operators.caching import cache_one_slot
     from hadoop_map_reduce_spark.operators.dedup import with_shingles
 
     sh = with_shingles(load_table(spark, sf_dir, "documents"))
-    sized = sh.select(
-        F.col("doc_id"), F.col("_sh"), F.size("_sh").alias("_n")
+    sized = cache_one_slot(
+        sh.select(
+            F.col("doc_id"), F.col("_sh"), F.size("_sh").alias("_n")
+        ),
+        "containment-shingles",
     )
     postings = sized.select(
         "doc_id", "_n", F.explode("_sh").alias("_s")
@@ -111,6 +120,7 @@ _HYBRID_TERMS = ("join", "filter", "window")
 @register(
     "search_hybrid_rrf",
     tags=("llm", "similarity", "topk"),
+    headline=True,
     description=(
         "Hybrid retrieval with reciprocal-rank fusion: a lexical "
         "tf-idf ranking (search_rank_docs scoring) and a vector "
@@ -464,11 +474,19 @@ def curation_decontaminate_13gram(spark: SparkSession, sf_dir: str) -> DataFrame
     train side streams its grams through a broadcast hash join — the
     train corpus is scanned once and never shuffled on text. The
     per-doc aggregation shuffles only (doc_id, gram-hit) hits, which
-    decontamination expects to be rare."""
+    decontamination expects to be rare. The gram table goes through the
+    one-slot cache: it feeds the broadcast build AND the probe side,
+    and without it Catalyst re-inlines the tokenize→13-gram pipeline
+    per consumer (measured 14.1 s → 0.9 s warm at sf0.1; the 13-gram
+    expression itself uses ngrams' array_join(slice) form — the
+    expanded element_at tree was 11x slower at n=13). At 100 TB the
+    equivalent is materializing the gram postings once (the signature-
+    store pattern), not an in-memory cache."""
     from hadoop_map_reduce_spark.functions.text import ngrams
+    from hadoop_map_reduce_spark.operators.caching import cache_one_slot
 
     docs = load_table(spark, sf_dir, "documents")
-    grams = (
+    grams = cache_one_slot(
         docs.select(
             "doc_id", tokenize(sanitize(F.col("text"))).alias("_t")
         )
@@ -476,7 +494,8 @@ def curation_decontaminate_13gram(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(
             "doc_id",
             F.array_distinct(ngrams(F.col("_t"), n=13, sep=" ")).alias("_gs"),
-        )
+        ),
+        "decontaminate-grams",
     )
     bench = (
         grams.filter(F.col("doc_id") % 50 == 0)
