@@ -392,6 +392,101 @@ def minhash_lsh_pairs(
     )
 
 
+def containment_pairs_prefix(
+    df: DataFrame,
+    threshold: float,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact asymmetric-containment pairs via the one-sided prefix filter.
+
+    Directed pairs (id_small, id_big) with C(A→B) = |A∩B|/|A| >=
+    ``threshold``, where A is the smaller shingle set (ties: lower id).
+    Same answers as the plain postings-count formulation (parity is
+    test-pinned bit-for-bit); different candidate cost model.
+
+    The prefix bound is ONE-SIDED for containment (the asymmetric
+    PPJoin variant): C(A→B) >= t forces |A∩B| >= ceil(t·|A|) shared
+    shingles, which cannot all hide in A's suffix of
+    ``ceil(t·|A|) - 1`` slots — so A need only emit its first
+    ``|A| - ceil(t·|A|) + 1`` shingles by ascending global document
+    frequency. B gets NO prefix (containment places no lower bound on
+    B's share of the intersection) and emits all postings, but
+    candidates are pruned with the size bound ``|B| >= ceil(t·|A|)``
+    (the intersection can't exceed |B|). Hot shingles are everyone's
+    suffix on the contained side, so the Σ df² term is paid only as
+    Σ prefix_df·df — the same reshaping that fixes
+    :func:`ngram_jaccard_pairs_prefix`. The exact array-intersect
+    verify restores exactness on the candidate superset.
+    """
+    if threshold <= 0:
+        raise ValueError("threshold must be > 0 (zero admits all pairs)")
+    sh = with_shingles(df, n=n, text_col=text_col, id_col=id_col)
+    sized = _cache_one_slot(
+        sh.select(F.col(id_col), F.col("_sh"), F.size("_sh").alias("_n"))
+    )
+    postings = sized.select(
+        F.col(id_col), F.col("_n"), F.explode("_sh").alias("_s")
+    )
+    dfreq = postings.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy(id_col).orderBy(F.col("_df").asc(), F.col("_s").asc())
+    # Epsilon biased DOWN, as in the jaccard prefix: t*n can land one
+    # double ulp above the exact product, which would shrink the prefix
+    # and lose true pairs; erring low only admits extra candidates.
+    required = F.ceil(F.lit(threshold) * F.col("_n") - F.lit(1e-9))
+    prefix = (
+        postings.join(dfreq, "_s")
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= F.col("_n") - required + 1)
+        .select(id_col, "_n", "_s")
+    )
+    a, b = prefix.alias("a"), postings.alias("b")
+    directed = (F.col("a._n") < F.col("b._n")) | (
+        (F.col("a._n") == F.col("b._n"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    )
+    size_ok = F.col("b._n") >= F.ceil(
+        F.lit(threshold) * F.col("a._n") - F.lit(1e-9)
+    )
+    cands = (
+        a.join(b, F.col("a._s") == F.col("b._s"))
+        .filter(
+            (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+            & directed
+            & size_ok
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_small"),
+            F.col(f"b.{id_col}").alias("id_big"),
+        )
+        .dropDuplicates(["id_small", "id_big"])
+    )
+    sh_a = sized.select(
+        F.col(id_col).alias("id_small"),
+        F.col("_sh").alias("sh_a"),
+        F.col("_n").alias("n_small"),
+    )
+    sh_b = sized.select(F.col(id_col).alias("id_big"), F.col("_sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    cont = inter / F.col("n_small")
+    # Threshold on the UN-rounded ratio (bit parity with the plain
+    # postings-count formulation and the SQL oracle, both of which
+    # filter before rounding).
+    return (
+        cands.join(sh_a, "id_small")
+        .join(sh_b, "id_big")
+        .filter(cont >= threshold)
+        .select(
+            "id_small",
+            "id_big",
+            F.col("n_small").cast("long").alias("n_small"),
+            inter.cast("long").alias("n_shared"),
+            F.round(cont, 6).alias("containment"),
+        )
+    )
+
+
 def minhash_sig_table(
     df: DataFrame,
     n: int = 3,

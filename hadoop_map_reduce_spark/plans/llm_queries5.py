@@ -55,61 +55,24 @@ from hadoop_map_reduce_spark.session import load_table
     """,
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Plan shape (the ``ngram_jaccard_pairs`` inverted-index form,
-    operators/dedup.py:100): shingles → (shingle, id, size) postings,
-    equi-join on the shingle, count co-occurrences — the count IS
-    |A∩B|, and containment needs only |A| beyond it, so there is no
-    separate verify stage: the aggregation output is already exact.
-    Pairs sharing no shingle can never reach a positive threshold, so
-    results equal the quadratic scan. The sized shingle table is cached
-    through the one-slot mechanism (the minhash/prefix-jaccard
-    discipline): it feeds BOTH sides of the postings self-join, and
-    without the cache Catalyst re-inlines the whole regex→shingle
-    pipeline per consumer (26 regex copies in the plan, 44 s vs 4 s at
-    sf0.1). Scale path: the candidate cost is Σ df² per shingle; for
-    containment the prefix filter applies to the CONTAINED side only
-    (a doc with C >= t in anything must share one of its first
-    |A|-ceil(t·|A|)+1 rarest shingles), which is the asymmetric PPJoin
-    variant — documented here, plain index registered (exact twin; the
-    hot-shingle analysis of dedup_ngram_jaccard applies unchanged)."""
-    from hadoop_map_reduce_spark.operators.caching import cache_one_slot
-    from hadoop_map_reduce_spark.operators.dedup import with_shingles
+    """Registered plan: the asymmetric-prefix formulation
+    (operators/dedup.py:containment_pairs_prefix) — the jaccard
+    precedent of registering the scale-right variant. The prefix bound
+    is ONE-SIDED for containment: the contained side emits only its
+    |A|-ceil(t·|A|)+1 rarest shingles (hot shingles become suffix and
+    stop being join keys, killing the Σ df² term), the container side
+    emits all postings pruned by |B| >= ceil(t·|A|), and the exact
+    array-intersect verify restores exactness. Bit-identical to the
+    plain postings-count twin (parity test-pinned; 3.0 s vs 2.5 s warm
+    at sf0.1, and the plain twin needs a one-slot cache to avoid
+    Catalyst re-inlining the regex pipeline per join side — 26 regex
+    copies, 44 s — a lesson recorded in BASELINE.md)."""
+    from hadoop_map_reduce_spark.operators.dedup import (
+        containment_pairs_prefix,
+    )
 
-    sh = with_shingles(load_table(spark, sf_dir, "documents"))
-    sized = cache_one_slot(
-        sh.select(
-            F.col("doc_id"), F.col("_sh"), F.size("_sh").alias("_n")
-        ),
-        "containment-shingles",
-    )
-    postings = sized.select(
-        "doc_id", "_n", F.explode("_sh").alias("_s")
-    )
-    a, b = postings.alias("a"), postings.alias("b")
-    directed = (F.col("a._n") < F.col("b._n")) | (
-        (F.col("a._n") == F.col("b._n"))
-        & (F.col("a.doc_id") < F.col("b.doc_id"))
-    )
-    co = (
-        a.join(b, F.col("a._s") == F.col("b._s"))
-        .filter((F.col("a.doc_id") != F.col("b.doc_id")) & directed)
-        .groupBy(
-            F.col("a.doc_id").alias("id_small"),
-            F.col("b.doc_id").alias("id_big"),
-            F.col("a._n").alias("_na"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    cont = F.col("n_shared") / F.col("_na")
-    return (
-        co.filter(cont >= 0.7)
-        .select(
-            "id_small",
-            "id_big",
-            F.col("_na").cast("long").alias("n_small"),
-            F.col("n_shared").cast("long"),
-            F.round(cont, 6).alias("containment"),
-        )
+    return containment_pairs_prefix(
+        load_table(spark, sf_dir, "documents"), threshold=0.7
     )
 
 

@@ -321,3 +321,43 @@ def test_audio_energy_plan_is_shuffle_free(spark, sf_dir):
     df = REGISTRY["multimodal_audio_energy"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # straight map over the scan
+
+
+def test_containment_prefix_matches_brute_force(spark, sf_dir):
+    """containment_pairs_prefix (the registered dedup_containment plan)
+    vs a pure-Python all-pairs recomputation over the same shingle
+    sets: the one-sided prefix filter must lose no true pair, and the
+    verify stage must keep every emitted value exact."""
+    from hadoop_map_reduce_spark.operators.dedup import (
+        containment_pairs_prefix,
+        with_shingles,
+    )
+    from hadoop_map_reduce_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        (r.id_small, r.id_big): (r.n_small, r.n_shared, r.containment)
+        for r in containment_pairs_prefix(docs, 0.7).collect()
+    }
+
+    sh = {
+        r.doc_id: frozenset(r._sh)
+        for r in with_shingles(docs).collect()
+    }
+    want = {}
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            sa, sb = sh[a], sh[b]
+            if len(sa) < len(sb) or (len(sa) == len(sb)):
+                small, big = a, b
+            else:
+                small, big = b, a
+            ss, sg = sh[small], sh[big]
+            inter = len(ss & sg)
+            if inter / len(ss) >= 0.7:
+                want[(small, big)] = (
+                    len(ss), inter, round(inter / len(ss), 6)
+                )
+    assert got == want
+    assert len(want) > 0

@@ -64,6 +64,7 @@ def test_headline_set_is_stable_and_timed():
     headline = sorted(n for n, q in REGISTRY.items() if q.headline)
     assert headline == [
         "bigram_count",
+        "dedup_containment",
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
         "embedding_neardup",
@@ -71,6 +72,7 @@ def test_headline_set_is_stable_and_timed():
         "q1_pricing_summary",
         "q3_shipping_priority",
         "q5_local_supplier",
+        "search_hybrid_rrf",
         "sessionization",
         "similarity_topk",
         "subq_large_orders",
