@@ -419,6 +419,17 @@ def containment_pairs_prefix(
     Σ prefix_df·df — the same reshaping that fixes
     :func:`ngram_jaccard_pairs_prefix`. The exact array-intersect
     verify restores exactness on the candidate superset.
+
+    Scale ceiling (measured, BASELINE.md round-3): like every EXACT
+    all-pairs operator, candidate/verify volume is Ω(true pairs). At
+    the 100x audit scale the synthetic corpus plants thousands of
+    near-identical cross-copy docs, the true directed containment pair
+    set goes quadratic in the duplicate-class sizes, and the verify
+    spill exceeded local disk. That is a property of the ANSWER, not
+    the plan: this operator is the exact-verify twin; at corpus scale
+    run MinHash banding first (:func:`minhash_lsh_pairs` / the
+    incremental signature store) and keep exact containment for
+    candidate verification, exactly as the jaccard family does.
     """
     if threshold <= 0:
         raise ValueError("threshold must be > 0 (zero admits all pairs)")
