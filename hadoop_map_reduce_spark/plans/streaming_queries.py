@@ -22,6 +22,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadoop_map_reduce_spark.plans.llm_queries import _JACCARD_PAIRS_SQL
+from hadoop_map_reduce_spark.plans.reference_queries import (
+    _ORACLE_TOKENS,
+)
 from hadoop_map_reduce_spark.plans.registry import register
 from hadoop_map_reduce_spark.plans.relational_queries import _sql_sum, exact_sum
 from hadoop_map_reduce_spark.plans.timeseries_queries import _EWMA_ORACLE
@@ -433,3 +436,43 @@ def stream_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         docs.schema,
     )
+
+
+@register(
+    "stream_bigram_counts",
+    tags=("streaming", "text"),
+    description=(
+        "The reference's FLAGSHIP pipeline as an unbounded stream: "
+        "sanitize → tokenize → filter → bigram explode → stateful "
+        "keyed count (streaming/ops.streaming_bigram_counts), run to "
+        "completion over the document stream — the final state must "
+        "equal the batch bigram_count oracle exactly (same WordCountV2 "
+        "semantics, WordCountV2.java:76-111, now with unbounded-input "
+        "and incremental-update behavior the reference never had)."
+    ),
+    oracle=f"""
+        WITH toks AS (
+            SELECT {_ORACLE_TOKENS} AS t FROM documents
+        )
+        SELECT t[i] || '+' || t[i + 1] AS bigram,
+               COUNT(*) AS cnt
+        FROM toks, UNNEST(range(1, len(t))) AS u(i)
+        WHERE len(t) >= 2
+        GROUP BY 1
+    """,
+)
+def stream_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same one-shuffle plan as the batch flagship; the final
+    HashAggregate becomes a stateful streaming aggregation keyed by
+    bigram, state hash-partitioned across executors — the 100-TB story
+    is the keyed-aggregation one, with state size bounded by the
+    distinct-bigram count, not the stream length."""
+    from hadoop_map_reduce_spark.streaming.ops import (
+        streaming_bigram_counts,
+    )
+
+    docs = _read_stream(spark, sf_dir, "documents").select(
+        F.col("text").alias("value")
+    )
+    agg = streaming_bigram_counts(docs)
+    return _run_to_table(agg, "_hmrs_stream_bigram_counts", "complete")
