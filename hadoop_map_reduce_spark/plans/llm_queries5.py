@@ -371,23 +371,31 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def bpe_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The merge table is vocabulary-sized (24 rows), learned once and
-    baked into the segmentation plan as chained Column folds
-    (operators/bpe.py:bpe_segment) — application is one shuffle-free
-    scan plus the symbol-count aggregation; training cost amortizes
-    over every later corpus pass exactly as in production."""
+    """Segmentation runs over the DISTINCT-WORD table, weighted by word
+    frequency — never over every token occurrence. The 24-merge fold
+    (operators/bpe.py:bpe_segment) is a deep chained Column expression;
+    applied per occurrence it cost 51 s at sf0.1, applied per distinct
+    word it is vocabulary-sized work regardless of corpus size (the
+    same word-table formulation bpe_train itself uses). symbol_count =
+    Σ_word freq(word) · count(symbol ∈ segment(word)) — identical
+    totals, one extra (tiny) word-count shuffle."""
     from hadoop_map_reduce_spark.operators.bpe import bpe_segment, bpe_train
 
     docs = load_table(spark, sf_dir, "documents")
     merges = bpe_train(docs, n_merges=24)
-    toks = docs.select(
-        "doc_id", tokenize(sanitize(F.col("text"))).alias("_t")
-    ).filter(F.size("_t") >= 1)
-    syms = toks.select(
-        F.explode(bpe_segment(F.col("_t"), merges)).alias("symbol")
+    words = (
+        docs.select(
+            F.explode(tokenize(sanitize(F.col("text")))).alias("_w")
+        )
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_freq"))
+    )
+    syms = words.select(
+        "_freq",
+        F.explode(bpe_segment(F.array(F.col("_w")), merges)).alias("symbol"),
     )
     counts = syms.groupBy("symbol").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
+        F.sum("_freq").cast("long").alias("n")
     )
     return (
         counts.orderBy(F.col("n").desc(), F.col("symbol").asc()).limit(30)
