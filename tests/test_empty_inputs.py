@@ -77,3 +77,41 @@ def test_audit_empty_table_reports_zero_violations(spark, sf_dir):
         "null_key": 0,
         "dup_key": 0,
     }
+
+
+def test_containment_prefix_empty(spark, empty_docs):
+    from hadoop_map_reduce_spark.operators.dedup import (
+        containment_pairs_prefix,
+    )
+
+    assert containment_pairs_prefix(empty_docs, threshold=0.7).count() == 0
+
+
+def test_lsh_blocked_ids_empty_batch_and_store(spark, empty_docs, sf_dir):
+    from hadoop_map_reduce_spark.operators.dedup import (
+        lsh_blocked_ids,
+        minhash_sig_table,
+    )
+
+    empty_sig = minhash_sig_table(empty_docs)
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    full_sig = minhash_sig_table(docs)
+    # Empty batch vs real store, real batch vs no store, empty vs empty.
+    assert lsh_blocked_ids(empty_sig, full_sig, 0.5).count() == 0
+    assert lsh_blocked_ids(empty_sig, None, 0.5).count() == 0
+    assert lsh_blocked_ids(full_sig, empty_sig, 0.5).count() >= 0
+
+
+def test_neardup_admitter_empty_batch(spark, empty_docs, sf_dir, tmp_path):
+    """A micro-batch with no rows must admit nothing, write an (empty)
+    idempotent increment, and leave the store readable."""
+    from pyspark.sql import functions as F
+
+    from hadoop_map_reduce_spark.streaming.neardup import NearDupAdmitter
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    admitter = NearDupAdmitter(str(tmp_path / "store"), threshold=0.5)
+    admitter.seed(docs.filter((F.col("doc_id") % 4).isin(2, 3)).limit(50))
+    admitter.apply_batch(empty_docs.select("doc_id", "text"), 0)
+    assert admitter.admitted == []
+    assert admitter.read_store(spark).count() > 0  # seed intact
