@@ -310,6 +310,61 @@ def top_k(df: DataFrame, k: int, *order_cols: Column) -> DataFrame:
     return df.orderBy(*order_cols).limit(k)
 
 
+def exact_ranks_for(
+    scored: DataFrame,
+    candidates: DataFrame,
+    score_col: str,
+    id_col: str,
+    rank_col: str,
+) -> DataFrame:
+    """Exact global row_number rank under the total order
+    ``(score_col DESC, id_col ASC)`` for a BOUNDED candidate id set,
+    without a global sort of ``scored``.
+
+    rank(c) = 1 + |{s : s.score > c.score OR (s.score = c.score AND
+    s.id < c.id)}| — computed as one broadcast-nested-loop pass of the
+    corpus-sized ``scored`` table against the (≤ a few hundred row)
+    candidate set, then a count per candidate. Fully parallel: the big
+    side streams, only candidate rows are broadcast. This is how a
+    top-k-then-fuse plan recovers EXACT global ranks for the handful of
+    winners that sit outside a side's pre-truncated top-k — the
+    alternative (a row_number window with an empty partition spec) sorts
+    the whole table on one task.
+
+    Returns ``(id_col, rank_col)`` for candidates PRESENT in ``scored``
+    only (absent candidates are the caller's "unranked" case).
+    ``scored`` is scanned twice (candidate-row probe + count pass) —
+    callers should persist it (``cache_one_slot``) when it is derived
+    from an expensive pipeline.
+    """
+    cand_rows = scored.join(
+        F.broadcast(candidates.select(id_col).distinct()), id_col
+    ).select(
+        F.col(id_col).alias("_c_id"), F.col(score_col).alias("_c_score")
+    )
+    s = scored.select(
+        F.col(id_col).alias("_s_id"), F.col(score_col).alias("_s_score")
+    )
+    better = (
+        s.join(
+            F.broadcast(cand_rows),
+            (F.col("_s_score") > F.col("_c_score"))
+            | (
+                (F.col("_s_score") == F.col("_c_score"))
+                & (F.col("_s_id") < F.col("_c_id"))
+            ),
+        )
+        .groupBy("_c_id")
+        .agg(F.count(F.lit(1)).alias("_better"))
+    )
+    return cand_rows.join(better, "_c_id", "left").select(
+        F.col("_c_id").alias(id_col),
+        (F.coalesce(F.col("_better"), F.lit(0)) + F.lit(1))
+        .cast("long")
+        .alias(rank_col),
+    )
+
+
 def merge_upsert(
     target: DataFrame, source: DataFrame, on: list[str]
 ) -> DataFrame:

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hadoop_map_reduce_spark.functions.text import sanitize, tokenize
+from hadoop_map_reduce_spark.operators.relational import top_k
 from hadoop_map_reduce_spark.plans.llm_queries import _TOKS
 from hadoop_map_reduce_spark.plans.registry import register
 from hadoop_map_reduce_spark.session import load_table
@@ -80,8 +81,11 @@ from hadoop_map_reduce_spark.session import load_table
 def token_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Plan shape: posexplode → one doc-keyed window (two leads share
     it) → pair-slot explode → (pair) count; unigram counts and the two
-    scalar totals ride broadcast joins. The global top-100 rank moves
-    only the >=5-support pair table."""
+    scalar totals ride broadcast joins. The global top-100 is a
+    TakeOrderedAndProject (per-partition heaps + k-row merge, fully
+    parallel — no single-partition sort of the pair table, which is
+    corpus-sized at scale); row_number then ranks only the 100
+    survivors."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -139,13 +143,24 @@ def token_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lift_ppm"),
         )
     )
+    # Scale-safe global top-k: orderBy().limit() plans as a fully
+    # parallel TakeOrderedAndProject (per-partition heaps, k-row merge);
+    # the row_number window then runs over the 100 survivors only — its
+    # Exchange SinglePartition input is constant-bounded by the limit.
+    # The (lift DESC, tok_a, tok_b) order is total (pairs unique after
+    # the groupBy), so top-100-then-rank is identical to the former
+    # global row_number + filter(rk<=100) over the whole pair table.
+    top = top_k(
+        scored,
+        100,
+        F.col("lift_ppm").desc(),
+        F.col("tok_a").asc(),
+        F.col("tok_b").asc(),
+    )
     rk = Window.orderBy(
         F.col("lift_ppm").desc(), F.col("tok_a").asc(), F.col("tok_b").asc()
     )
-    return (
-        scored.withColumn("rk", F.row_number().over(rk).cast("long"))
-        .filter(F.col("rk") <= 100)
-    )
+    return top.withColumn("rk", F.row_number().over(rk).cast("long"))
 
 
 _QUERY_TERMS = ("join", "filter", "window")
@@ -191,8 +206,11 @@ _QUERY_TERMS = ("join", "filter", "window")
 def search_rank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Plan shape: the token explode filters to the 3 query terms BEFORE
     any shuffle (term pruning at the scan side), tf and df aggregate the
-    tiny filtered stream, df and the doc count broadcast; the global
-    top-20 ranks only docs that hit a term."""
+    tiny filtered stream, df and the doc count broadcast. The global
+    top-20 is a TakeOrderedAndProject over the hit-doc table (which is
+    corpus-sized at 100 TB — the 3 terms are common words); row_number
+    ranks only the 20 survivors, so no single-partition sort touches a
+    corpus-sized input."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(tokenize(sanitize(F.col("text")))).alias("term")
@@ -218,8 +236,8 @@ def search_rank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
         )
     )
+    # (score DESC, doc_id ASC) is a total order (doc_id unique after
+    # the groupBy), so top-20-then-rank ≡ global row_number+filter.
+    top = top_k(scored, 20, F.col("score").desc(), F.col("doc_id").asc())
     rk = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    return (
-        scored.withColumn("rk", F.row_number().over(rk).cast("long"))
-        .filter(F.col("rk") <= 20)
-    )
+    return top.withColumn("rk", F.row_number().over(rk).cast("long"))

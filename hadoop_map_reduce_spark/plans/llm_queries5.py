@@ -19,6 +19,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hadoop_map_reduce_spark.functions.text import sanitize, tokenize
+from hadoop_map_reduce_spark.operators.caching import cache_one_slot
+from hadoop_map_reduce_spark.operators.relational import (
+    exact_ranks_for,
+    top_k,
+)
 from hadoop_map_reduce_spark.plans.llm_queries import _SHINGLES, _TOKS
 from hadoop_map_reduce_spark.plans.registry import register
 from hadoop_map_reduce_spark.session import load_table
@@ -159,7 +164,19 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scale both sides become per-partition TakeOrdered top-k
     (operators/relational.top_k) and fusion joins two k-row tables.
     vec_id 0 doubles as the query document (deterministic, no RNG);
-    docs are ranked against it, itself excluded."""
+    docs are ranked against it, itself excluded.
+
+    Scale-safe ranking (round 4): neither side sorts its corpus-sized
+    scored table on one task. Each side takes top-M (M=100) via
+    TakeOrderedAndProject; the final top-20 set is provably inside the
+    union of the two top-100s — a doc outside both has
+    rrf <= 2*floor(1e6/161) = 12422 < floor(1e6/80) = 12500, and
+    whichever side holds >100 docs supplies >=20 docs at >=12500.
+    Winners' EXACT global r_lex/r_vec (the output columns) are
+    recovered for candidates outside a side's top-100 by
+    operators/relational.exact_ranks_for — a broadcast count-of-better
+    pass, no single-partition window anywhere over an unbounded input.
+    Bit-identical to the global-row_number oracle at every scale."""
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     toks = docs.select(
@@ -183,11 +200,6 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("score")
         )
     )
-    w_lex = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    lex = lex_scored.select(
-        "doc_id", F.row_number().over(w_lex).alias("r_lex")
-    )
-
     q_e6 = F.transform(
         F.col("q_embedding"), lambda x: F.round(x * 1e6).cast("long")
     )
@@ -209,11 +221,50 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dot"),
         )
     )
+    # Both scored tables feed several branches below (top-k, candidate
+    # probe, count-of-better) — one-slot persist so Catalyst doesn't
+    # re-inline the regex tokenizer / 64-dim fold per consumer (the
+    # round-3 re-inlining trap, BASELINE.md).
+    lex_scored = cache_one_slot(lex_scored, "hybrid_rrf_lex")
+    dots = cache_one_slot(dots, "hybrid_rrf_vec")
+
+    M = 100  # covers the RRF bound for top-20 (see docstring)
+    lex_top = top_k(
+        lex_scored, M, F.col("score").desc(), F.col("doc_id").asc()
+    )
+    vec_top = top_k(dots, M, F.col("dot").desc(), F.col("doc_id").asc())
+    # row_number over a LIMIT-100 input: Exchange SinglePartition over a
+    # constant-bounded table — the allowed bounded form.
+    w_lex = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
     w_vec = Window.orderBy(F.col("dot").desc(), F.col("doc_id").asc())
-    vec = dots.select("doc_id", F.row_number().over(w_vec).alias("r_vec"))
+    lex_rank_top = lex_top.select(
+        "doc_id", F.row_number().over(w_lex).cast("long").alias("r_lex")
+    )
+    vec_rank_top = vec_top.select(
+        "doc_id", F.row_number().over(w_vec).cast("long").alias("r_vec")
+    )
+    cands = (
+        lex_rank_top.select("doc_id")
+        .union(vec_rank_top.select("doc_id"))
+        .distinct()
+    )
+    # Exact global ranks for candidates that sit outside a side's
+    # top-100 (they can still reach the final 20 via the OTHER side's
+    # rank): broadcast count-of-better, no global sort.
+    lex_missing = cands.join(lex_rank_top, "doc_id", "left_anti")
+    vec_missing = cands.join(vec_rank_top, "doc_id", "left_anti")
+    lex_rank_extra = exact_ranks_for(
+        lex_scored, lex_missing, "score", "doc_id", "r_lex"
+    )
+    vec_rank_extra = exact_ranks_for(
+        dots, vec_missing, "dot", "doc_id", "r_vec"
+    )
+    lex_ranks = lex_rank_top.union(lex_rank_extra)
+    vec_ranks = vec_rank_top.union(vec_rank_extra)
 
     fused = (
-        lex.join(vec, "doc_id", "full_outer")
+        cands.join(lex_ranks, "doc_id", "left")
+        .join(vec_ranks, "doc_id", "left")
         .select(
             "doc_id",
             (
@@ -230,11 +281,10 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("r_vec"), F.lit(0)).cast("long").alias("r_vec"),
         )
     )
-    w_rk = Window.orderBy(F.col("rrf_e6").desc(), F.col("doc_id").asc())
-    return (
-        fused.withColumn("rk", F.row_number().over(w_rk))
-        .filter(F.col("rk") <= 20)
-        .drop("rk")
+    # fused is bounded (<=2M rows by construction); top-20 by fused
+    # score with the doc_id tiebreak — TakeOrdered on a tiny input.
+    return top_k(
+        fused, 20, F.col("rrf_e6").desc(), F.col("doc_id").asc()
     )
 
 
