@@ -16,6 +16,7 @@ deployment would run, state-partitioned by key across executors.
 
 from __future__ import annotations
 
+import atexit
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -29,6 +30,20 @@ from hadoop_map_reduce_spark.plans.registry import register
 from hadoop_map_reduce_spark.plans.relational_queries import _sql_sum, exact_sum
 from hadoop_map_reduce_spark.plans.timeseries_queries import _EWMA_ORACLE
 from hadoop_map_reduce_spark.session import load_table
+
+# stream_neardup_lsh one-slot working-set dir: the previous invocation's
+# base is removed on the next call; the last one at interpreter exit.
+_NEARDUP_PREV_BASE: str | None = None
+
+
+def _cleanup_neardup_base() -> None:
+    import shutil
+
+    if _NEARDUP_PREV_BASE is not None:
+        shutil.rmtree(_NEARDUP_PREV_BASE, ignore_errors=True)
+
+
+atexit.register(_cleanup_neardup_base)
 
 
 def _read_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -397,10 +412,28 @@ def stream_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     written as two single-file parquet increments with ascending mtimes
     so maxFilesPerTrigger=1 + availableNow processes them in order; the
     foreachBatch body (streaming/neardup.py) does batch-vs-store +
-    batch-self LSH blocking, appends admitted signatures, and the final
-    manifest is (doc_id, batch). Per-batch cost is proportional to the
-    batch, never the corpus — the append-only property that makes
-    near-dup viable on an unbounded ingest stream."""
+    batch-self LSH blocking, appends admitted signatures AND the
+    admitted (doc_id, batch) manifest as per-batch parquet increments
+    (nothing stream-sized on the driver), and the result reads the
+    manifest back. Per-batch cost is proportional to the batch, never
+    the corpus — the append-only property that makes near-dup viable on
+    an unbounded ingest stream.
+
+    Engine/oracle recall assumption: the engine blocks on banded
+    MinHash candidates while the oracle blocks on exact trigram-Jaccard
+    pairs, so agreement relies on banding recall = 1.0 over this
+    corpus's >=0.5-similarity pairs (a near-threshold pair is missed
+    with prob (1-s^b)^r ≈ (1-0.5^2)^32 ≈ 1e-4); the recall is pinned at
+    the verified scales by test_streaming_neardup.py's exact-pair
+    blocking assertion, the dedup_minhash_lsh precedent.
+
+    The per-invocation working set (arrivals, store, manifest,
+    checkpoint) lives in a mkdtemp base; since the returned DataFrame
+    lazily reads the manifest parquet, the base cannot be deleted
+    before the caller consumes it — instead each invocation removes the
+    PREVIOUS invocation's base (one-slot discipline, bounded disk
+    across bench loops) and the final one is removed at interpreter
+    exit."""
     import shutil
     import tempfile
     import time
@@ -411,7 +444,11 @@ def stream_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    global _NEARDUP_PREV_BASE
+    if _NEARDUP_PREV_BASE is not None:
+        shutil.rmtree(_NEARDUP_PREV_BASE, ignore_errors=True)
     base = tempfile.mkdtemp(prefix="hmrs_stream_neardup_")
+    _NEARDUP_PREV_BASE = base
     arrivals = os.path.join(base, "arrivals")
     os.makedirs(arrivals)
 

@@ -43,9 +43,12 @@ from hadoop_map_reduce_spark.operators.dedup import (
 class NearDupAdmitter:
     """The ``foreachBatch`` body plus its store bookkeeping.
 
-    Collected admissions are accumulated on the driver as ``(doc_id,
-    batch_id)`` — the bounded verify harness; a production deployment
-    writes them to a manifest sink instead.
+    Admissions are written per batch as an idempotent parquet increment
+    under ``<store_dir>/manifest/b<batch_id>`` — the same
+    overwrite-on-replay discipline as the signature store, so nothing
+    about the stream's admitted set ever lives in driver memory
+    (round-3 carried an O(corpus) driver-side Python list here).
+    ``result()`` reads the manifest back as a DataFrame.
     """
 
     def __init__(
@@ -65,7 +68,7 @@ class NearDupAdmitter:
         self.bands = bands
         self.id_col = id_col
         self.text_col = text_col
-        self.admitted: list[tuple[int, int]] = []
+        self.manifest_dir = os.path.join(store_dir, "manifest")
         os.makedirs(store_dir, exist_ok=True)
 
     def _sig(self, docs: DataFrame) -> DataFrame:
@@ -86,6 +89,8 @@ class NearDupAdmitter:
         itself at similarity 1.0."""
         out = []
         for d in os.listdir(self.store_dir):
+            if d != "seed" and not (d.startswith("b") and d[1:].isdigit()):
+                continue  # e.g. the manifest/ subtree
             if not os.path.exists(os.path.join(self.store_dir, d, "_SUCCESS")):
                 continue
             if (
@@ -116,11 +121,17 @@ class NearDupAdmitter:
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """Admit the micro-batch against store + itself, append admitted
-        signatures as increment ``b<batch_id>`` (overwrite → idempotent
-        replay), record admitted ids."""
+        signatures as increment ``b<batch_id>`` and admitted ids as
+        manifest increment ``manifest/b<batch_id>`` (both overwrite →
+        idempotent replay). Nothing batch- or corpus-sized touches the
+        driver: both outputs are executor-side parquet writes."""
         spark = batch_df.sparkSession
         batch_sig = self._sig(batch_df).persist()
         try:
+            # blocked feeds two anti-joins below; persist so the
+            # store-vs-batch band join (whose store side scans every
+            # prior increment) runs once per batch, not once per
+            # consumer.
             blocked = lsh_blocked_ids(
                 batch_sig,
                 self.read_store(spark, before_batch=int(batch_id)),
@@ -128,7 +139,7 @@ class NearDupAdmitter:
                 bands=self.bands,
                 num_hashes=self.num_hashes,
                 id_col=self.id_col,
-            )
+            ).persist()
             # Admission is decided over ALL batch ids: docs too short to
             # shingle have no signature, can never collide, and are
             # admitted (only their signatures — none — enter the store).
@@ -139,17 +150,34 @@ class NearDupAdmitter:
             admitted_sig.write.mode("overwrite").parquet(
                 os.path.join(self.store_dir, f"b{batch_id}")
             )
-            ids = sorted(r[0] for r in admitted_ids.collect())
-            self.admitted = [
-                (i, b) for (i, b) in self.admitted if b != batch_id
-            ] + [(i, int(batch_id)) for i in ids]
+            admitted_ids.select(
+                F.col(self.id_col).cast("long").alias(self.id_col),
+                F.lit(int(batch_id)).cast("long").alias("batch"),
+            ).write.mode("overwrite").parquet(
+                os.path.join(self.manifest_dir, f"b{batch_id}")
+            )
+            blocked.unpersist()
         finally:
             batch_sig.unpersist()
 
     def result(self, spark: SparkSession) -> DataFrame:
-        return spark.createDataFrame(
-            self.admitted, f"{self.id_col} long, batch long"
+        """The admitted ``(id, batch)`` manifest, read back from the
+        per-batch parquet increments (empty-schema DataFrame if no
+        batch ever committed)."""
+        dirs = sorted(
+            os.path.join(self.manifest_dir, d)
+            for d in (
+                os.listdir(self.manifest_dir)
+                if os.path.isdir(self.manifest_dir)
+                else []
+            )
+            if os.path.exists(os.path.join(self.manifest_dir, d, "_SUCCESS"))
         )
+        if not dirs:
+            return spark.createDataFrame(
+                [], f"{self.id_col} long, batch long"
+            )
+        return spark.read.parquet(*dirs)
 
 
 def run_neardup_stream(

@@ -113,5 +113,5 @@ def test_neardup_admitter_empty_batch(spark, empty_docs, sf_dir, tmp_path):
     admitter = NearDupAdmitter(str(tmp_path / "store"), threshold=0.5)
     admitter.seed(docs.filter((F.col("doc_id") % 4).isin(2, 3)).limit(50))
     admitter.apply_batch(empty_docs.select("doc_id", "text"), 0)
-    assert admitter.admitted == []
+    assert admitter.result(spark).count() == 0
     assert admitter.read_store(spark).count() > 0  # seed intact

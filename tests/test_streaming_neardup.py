@@ -28,13 +28,18 @@ def test_apply_batch_replay_is_idempotent(spark, sf_dir, tmp_path):
     batch0 = docs.filter(F.col("doc_id") % 4 == 0)
 
     admitter.apply_batch(batch0, 0)
-    first = sorted(admitter.admitted)
+    first = sorted(map(tuple, admitter.result(spark).collect()))
     store_rows = admitter.read_store(spark).count()
 
     admitter.apply_batch(batch0, 0)  # replay
-    assert sorted(admitter.admitted) == first
+    assert sorted(map(tuple, admitter.result(spark).collect())) == first
     assert admitter.read_store(spark).count() == store_rows
-    assert sorted(os.listdir(tmp_path / "store")) == ["b0", "seed"]
+    assert sorted(os.listdir(tmp_path / "store")) == [
+        "b0",
+        "manifest",
+        "seed",
+    ]
+    assert sorted(os.listdir(tmp_path / "store" / "manifest")) == ["b0"]
 
 
 def test_store_grows_only_with_admitted(spark, sf_dir, tmp_path):
@@ -46,7 +51,10 @@ def test_store_grows_only_with_admitted(spark, sf_dir, tmp_path):
     batch0 = docs.filter(F.col("doc_id") % 4 == 0)
     admitter.apply_batch(batch0, 0)
 
-    admitted_ids = {i for i, b in admitter.admitted if b == 0}
+    admitted_ids = {
+        r.doc_id
+        for r in admitter.result(spark).filter(F.col("batch") == 0).collect()
+    }
     b0 = spark.read.parquet(str(tmp_path / "store" / "b0"))
     stored_ids = {r.doc_id for r in b0.select("doc_id").collect()}
     assert stored_ids <= admitted_ids
@@ -56,6 +64,41 @@ def test_store_grows_only_with_admitted(spark, sf_dir, tmp_path):
         for r in minhash_sig_table(batch0).select("doc_id").collect()
     }
     assert stored_ids == admitted_ids & sig_ids
+
+
+def test_blocking_recall_matches_exact_jaccard(spark, sf_dir):
+    """The engine blocks on banded MinHash candidates while the SQL
+    oracle blocks on EXACT trigram-Jaccard pairs; agreement relies on
+    banding recall = 1.0 over this corpus's >=threshold pairs (a pair at
+    similarity s slips every band with prob (1-s^rows_per_band)^bands —
+    ~1e-4 right at 0.5). Pin it: the blocked-id set from the streaming
+    band join must equal the set derived from exact Jaccard pairs, for
+    the same batch-vs-store split the registered query uses."""
+    from hadoop_map_reduce_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    store = docs.filter((F.col("doc_id") % 4).isin(2, 3))
+    blocked = {
+        r.doc_id
+        for r in lsh_blocked_ids(
+            minhash_sig_table(batch), minhash_sig_table(store), 0.5
+        ).collect()
+    }
+
+    exact = ngram_jaccard_pairs(docs, 0.5)
+    pairs = [(r.id_a, r.id_b) for r in exact.collect()]
+    batch_ids = {r.doc_id for r in batch.select("doc_id").collect()}
+    store_ids = {r.doc_id for r in store.select("doc_id").collect()}
+    expect = set()
+    for a, b in pairs:
+        for x, q in ((a, b), (b, a)):
+            if x in batch_ids and (
+                q in store_ids or (q in batch_ids and q < x)
+            ):
+                expect.add(x)
+    assert blocked == expect
+    assert expect  # the corpus has planted near-dups across the split
 
 
 def test_blocking_plan_has_no_cartesian(spark, sf_dir):
