@@ -615,3 +615,52 @@ def test_reservoir_hash_uses_window_group_limit(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "sample_reservoir_hash")
     assert "WindowGroupLimit" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_single_partition_detector_sensitivity(spark, sf_dir):
+    """Canary for the plancheck analysis itself: a genuine global
+    row_number with no rank filter (nothing the optimizer can push a
+    limit through) MUST be flagged, and its TakeOrdered twin must not —
+    if a Spark upgrade changes the plan node names/wrappers and blinds
+    the walk, this fails before the registry sweep silently goes
+    green."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from hadoop_map_reduce_spark.plancheck import (
+        unbounded_single_partition_exchanges,
+    )
+    from hadoop_map_reduce_spark.session import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    bad = orders.withColumn("rk", F.row_number().over(w))
+    bad.collect()
+    assert unbounded_single_partition_exchanges(bad)
+
+    good = orders.orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    ).limit(5).withColumn("rk", F.row_number().over(w))
+    good.collect()
+    assert unbounded_single_partition_exchanges(good) == []
+
+
+def test_round4_rank_queries_no_unbounded_single_partition(spark, sf_dir):
+    """The round-3 weak trio (search_hybrid_rrf, search_rank_docs,
+    token_lift_pairs) re-planned as TakeOrdered top-k + bounded-input
+    rank: no Exchange SinglePartition over an unbounded input anywhere
+    in the executed plan (tools/plan_sweep.py proves the same property
+    registry-wide; this pins the fixed queries in CI)."""
+    from hadoop_map_reduce_spark.plancheck import (
+        unbounded_single_partition_exchanges,
+    )
+
+    for name in (
+        "search_hybrid_rrf",
+        "search_rank_docs",
+        "token_lift_pairs",
+    ):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        df.collect()
+        offenders = unbounded_single_partition_exchanges(df)
+        assert offenders == [], f"{name}: {offenders}"
