@@ -97,38 +97,47 @@ def bpe_train(
     )
 
     merges: list[tuple[int, str, str, int]] = []
-    for rank in range(n_merges):
-        pairs = state.select(
-            "cnt",
-            F.explode(
-                F.zip_with(
-                    F.slice("syms", 1, F.size("syms") - 1),
-                    F.slice("syms", 2, F.size("syms") - 1),
-                    lambda a, b: F.struct(a.alias("lhs"), b.alias("rhs")),
-                )
-            ).alias("p"),
-        )
-        top = (
-            pairs.groupBy("p")
-            .agg(F.sum("cnt").alias("n"))
-            .orderBy(F.col("n").desc(), F.col("p").asc())
-            .limit(1)
-            .collect()
-        )
-        if not top or top[0]["n"] < min_pair_count:
-            break
-        lhs, rhs, n = top[0]["p"]["lhs"], top[0]["p"]["rhs"], int(top[0]["n"])
-        merges.append((rank, lhs, rhs, n))
-        prev_release = release
-        state, release = local_checkpoint(
-            state.select(
-                "cnt", _merge_pair(F.col("syms"), lhs, rhs).alias("syms")
+    # The live handle is released in the finally — an exception mid-
+    # iteration (or a ctrl-C between checkpoints) must not leak the
+    # current symbol table's blocks for the session lifetime.
+    try:
+        for rank in range(n_merges):
+            pairs = state.select(
+                "cnt",
+                F.explode(
+                    F.zip_with(
+                        F.slice("syms", 1, F.size("syms") - 1),
+                        F.slice("syms", 2, F.size("syms") - 1),
+                        lambda a, b: F.struct(a.alias("lhs"), b.alias("rhs")),
+                    )
+                ).alias("p"),
             )
-        )
-        # The new checkpoint is materialized (eager), so the prior
-        # iteration's blocks are dead — free them.
-        prev_release()
-    release()
+            top = (
+                pairs.groupBy("p")
+                .agg(F.sum("cnt").alias("n"))
+                .orderBy(F.col("n").desc(), F.col("p").asc())
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["n"] < min_pair_count:
+                break
+            lhs, rhs, n = (
+                top[0]["p"]["lhs"],
+                top[0]["p"]["rhs"],
+                int(top[0]["n"]),
+            )
+            merges.append((rank, lhs, rhs, n))
+            prev_release = release
+            state, release = local_checkpoint(
+                state.select(
+                    "cnt", _merge_pair(F.col("syms"), lhs, rhs).alias("syms")
+                )
+            )
+            # The new checkpoint is materialized (eager), so the prior
+            # iteration's blocks are dead — free them.
+            prev_release()
+    finally:
+        release()
     return merges
 
 

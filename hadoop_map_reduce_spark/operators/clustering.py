@@ -82,6 +82,12 @@ def connected_components(
             changed = updated.filter(F.col("component") != F.col("_old")).count()
             labels = updated.select("node", "component")
             if changed == 0:
+                # Clear the handle BEFORE returning: the final
+                # checkpoint backs the returned labels and must stay
+                # alive; every other exit (non-convergence, mid-
+                # iteration exception) releases the live iteration's
+                # blocks in the finally below.
+                release = None
                 return labels
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "
@@ -90,6 +96,8 @@ def connected_components(
         )
     finally:
         edges.unpersist()
+        if release is not None:
+            release()
 
 
 def dedup_representatives(

@@ -569,14 +569,14 @@ _BENFORD = {
             SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100)
                 AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
             FROM orders WHERE o_totalprice > 0
-        ), n AS (SELECT COUNT(*) AS total FROM d)
+        )
         SELECT digit,
                CAST(COUNT(*) AS BIGINT) AS observed,
-               CAST(FLOOR(n.total * CASE digit
+               CAST(FLOOR(CASE digit
                    {' '.join(f'WHEN {k} THEN {v!r}' for k, v in _BENFORD.items())}
-                   END * 1e6 / n.total) AS BIGINT) AS expected_ppm
-        FROM d, n
-        GROUP BY digit, n.total
+                   END * 1e6) AS BIGINT) AS expected_ppm
+        FROM d
+        GROUP BY digit
     """,
 )
 def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -79,3 +79,27 @@ def test_headline_set_is_stable_and_timed():
         "text_quality",
         "tfidf_top_terms",
     ], "headline set drifted — update BASELINE.md tracked table in sync"
+
+
+def test_readme_counts_match_registry():
+    """README's correctness-contract paragraph states the registry size
+    and oracle split; derive them from the registry so the numbers can't
+    drift (round-3 ADVICE: the counts went stale twice)."""
+    import re
+    from pathlib import Path
+
+    total = len(REGISTRY)
+    oracled = sum(1 for q in REGISTRY.values() if q.oracle)
+    readme = Path(__file__).resolve().parent.parent / "README.md"
+    text = readme.read_text()
+    m = re.search(
+        r"exposes (\d+) named queries \((\d+) with DuckDB\s*\noracles, "
+        r"(\d+) rows-only",
+        text,
+    )
+    assert m, "README correctness-contract sentence not found"
+    assert (int(m.group(1)), int(m.group(2)), int(m.group(3))) == (
+        total,
+        oracled,
+        total - oracled,
+    ), "README counts drifted from the registry — update README.md"
