@@ -5,12 +5,16 @@ Images/audio/video ride through the engine as ``binary`` columns with a
 ``mapInPandas`` stages (the only place Python touches the data, and only
 in vectorized batches).
 
-The actual media DECODE step is a STUB in this environment (no
-PIL/ffmpeg/librosa in the container): ``decode_stub`` produces
-deterministic fake features (a byte-value histogram) so the Spark-side
-contract — schema, batching, partitioning, UDF signatures — is real and
-tested end-to-end. Swap ``_decode_batch`` for a real decoder when the
-libraries exist; the plan shape does not change.
+The media DECODE step has two bodies behind one contract:
+``use_real_decoder=True`` runs a real PIL decode (luminance-histogram
+features, thumbnail resize) whenever PIL is importable and raises
+``NotImplementedError`` when it is not (this container has no
+PIL/ffmpeg/librosa); the default stub produces deterministic fake
+features (a byte-value histogram) so the Spark-side contract — schema,
+batching, partitioning, UDF signatures — is real and tested end-to-end
+in any environment. The plan shape is identical either way;
+``tests/test_multimodal.py`` exercises the real path under
+``skipif(not _HAS_PIL)``.
 """
 
 from __future__ import annotations
@@ -81,6 +85,29 @@ def _histogram_features(payload: bytes, bins: int = 16) -> list[float]:
     return [c / total for c in counts]
 
 
+def _pil_image_features(payload: bytes, bins: int = 16) -> list[float]:
+    """Real image decode path (only reachable when PIL is importable):
+    decode the payload, convert to 8-bit luminance, and emit the
+    normalized ``bins``-bucket luminance histogram — same schema and
+    normalization as the byte stub, so downstream plans are identical
+    whichever decoder ran. Undecodable payloads yield the all-zero
+    vector (a real pipeline would route them to a quarantine sink)."""
+    import io
+
+    try:
+        with PIL.Image.open(io.BytesIO(payload)) as img:
+            lum = img.convert("L")
+            hist256 = lum.histogram()  # 256 luminance buckets
+    except Exception:
+        return [0.0] * bins
+    step = 256 // bins
+    counts = [
+        sum(hist256[i * step : (i + 1) * step]) for i in range(bins)
+    ]
+    total = sum(counts) or 1
+    return [c / total for c in counts]
+
+
 def extract_media_features(
     media: DataFrame, bins: int = 16, use_real_decoder: bool = False
 ) -> DataFrame:
@@ -95,6 +122,9 @@ def extract_media_features(
             "real media decoding requires PIL/ffmpeg, not present in this "
             "environment; use the deterministic stub (use_real_decoder=False)"
         )
+    extract = (
+        _pil_image_features if use_real_decoder else _histogram_features
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -104,7 +134,7 @@ def extract_media_features(
                     "modality": pdf["modality"],
                     "n_bytes": pdf["content"].map(len).astype("int64"),
                     "features": pdf["content"].map(
-                        lambda b: _histogram_features(bytes(b), bins)
+                        lambda b: extract(bytes(b), bins)
                     ),
                 }
             )
@@ -146,6 +176,21 @@ def resize_media(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def shrink(b) -> bytes:
             payload = bytes(b)
+            if use_real_decoder:
+                # Real path (PIL present): decode → thumbnail to a
+                # target_px-wide bounding box → re-encode PNG. Same
+                # contract as the stub: output bytes per row are
+                # bounded, undecodable payloads pass through truncated.
+                import io
+
+                try:
+                    with PIL.Image.open(io.BytesIO(payload)) as img:
+                        img.thumbnail((target_px, target_px))
+                        out = io.BytesIO()
+                        img.save(out, format="PNG")
+                        return out.getvalue()
+                except Exception:
+                    return payload[:target_px]
             if len(payload) <= target_px:
                 return payload
             stride = len(payload) / target_px

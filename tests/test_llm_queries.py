@@ -245,6 +245,50 @@ def test_real_decoder_gated(spark):
         )
 
 
+def test_real_decoder_when_pil_present(spark):
+    """The real decode path (exercised wherever PIL exists): encode two
+    known images, extract luminance histograms and thumbnails through
+    the SAME mapInPandas plan as the stub, and check decoded semantics —
+    an all-black image's histogram mass sits in bin 0, an all-white
+    image's in the last bin, and thumbnails decode back within the
+    bounding box."""
+    from hadoop_map_reduce_spark.operators.multimodal import (
+        _HAS_PIL,
+        extract_media_features,
+        resize_media,
+    )
+
+    if not _HAS_PIL:
+        pytest.skip("PIL not present; real decode path unreachable here")
+    import io
+
+    import PIL.Image
+
+    def png_bytes(color: int, size: int = 64) -> bytes:
+        img = PIL.Image.new("L", (size, size), color=color)
+        out = io.BytesIO()
+        img.save(out, format="PNG")
+        return out.getvalue()
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(png_bytes(0))),
+         (2, "image", bytearray(png_bytes(255)))],
+        "media_id long, modality string, content binary",
+    )
+    feats = {
+        r.media_id: r.features
+        for r in extract_media_features(media, bins=16,
+                                        use_real_decoder=True).collect()
+    }
+    assert feats[1][0] == 1.0 and sum(feats[1]) == 1.0  # black → bin 0
+    assert feats[2][-1] == 1.0 and sum(feats[2]) == 1.0  # white → bin 15
+
+    resized = resize_media(media, target_px=16, use_real_decoder=True)
+    for r in resized.collect():
+        with PIL.Image.open(io.BytesIO(bytes(r.resized))) as img:
+            assert max(img.size) <= 16
+
+
 def test_doc_chunks_overlap_long_document_regime(spark, tmp_path):
     """The sf fixtures max out below 128 tokens, so the oracle rows never
     exercise a full window or chunk_idx >= 2 — this pins the regime the
