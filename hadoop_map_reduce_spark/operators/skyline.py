@@ -138,3 +138,118 @@ def skyline(
 
     local = df.mapInPandas(local_frontier, schema=df.schema)
     return local.coalesce(1).mapInPandas(local_frontier, schema=df.schema)
+
+
+def skyline_grid(
+    df: DataFrame,
+    dims: list[tuple[str, Literal["min", "max"]]],
+    grid_partitions: int = 32,
+    max_candidate_rows: int = 200_000,
+) -> DataFrame:
+    """Pareto frontier with a PARALLEL merge — the anti-correlated-
+    dimensions variant of :func:`skyline`.
+
+    :func:`skyline` merges all local frontiers on ONE task
+    (``coalesce(1)``), which is right when frontiers are tiny but
+    becomes the bottleneck when dimensions anti-correlate and the
+    frontier is a large fraction of the input (the caveat documented on
+    the plain operator). This variant keeps the merge distributed:
+
+    1. **Grid phase**: range-partition on the first dimension
+       (``repartitionByRange`` — cheap, single shuffle of the already
+       column-pruned input) so each task owns a value slab; run the
+       same vectorized local-frontier kernel per slab. Range slabs make
+       local pruning effective even when the GLOBAL frontier is huge:
+       within a slab, dim-1 values are close, so slab-local dominance
+       removes the points that a hash partitioning would keep.
+    2. **Verify phase**: the union of slab frontiers is the candidate
+       set; broadcast its dimension matrix to every task and drop, in
+       parallel, each candidate dominated by any other candidate.
+       ``skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B))`` makes this
+       exact; work is |candidates|² element ops spread over
+       ``grid_partitions`` tasks instead of one.
+
+    The broadcast matrix is collected on the driver first, so the
+    candidate count is ENFORCED against ``max_candidate_rows`` (count +
+    raise, the ``cosine_neardup_blas`` ceiling precedent at
+    operators/similarity.py) — beyond it, a frontier that large should
+    flow into a grid-cogroup all-pairs stage (``embedding_neardup``'s
+    block-grid pattern) rather than a broadcast.
+    """
+    if not dims:
+        raise ValueError("skyline needs at least one dimension")
+    missing = [c for c, _ in dims if c not in df.columns]
+    if missing:
+        raise ValueError(f"skyline dims not in DataFrame: {missing}")
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import IntegralType
+
+    all_int = all(
+        isinstance(df.schema[c].dataType, IntegralType) for c, _ in dims
+    )
+    sign_list = [1 if direction == "min" else -1 for _, direction in dims]
+    int_signs = np.array(sign_list, dtype=np.int64)
+    float_signs = np.array(sign_list, dtype=np.float64)
+    cols = [c for c, _ in dims]
+
+    def normalize(arr: np.ndarray) -> np.ndarray:
+        if all_int and arr.dtype.kind in "iu":
+            return arr.astype(np.int64, copy=False) * int_signs
+        return arr.astype(np.float64, copy=False) * float_signs
+
+    def local_frontier(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        kept: pd.DataFrame | None = None
+        kept_m: np.ndarray | None = None
+        for pdf in batches:
+            for lo in range(0, len(pdf), _CHUNK):
+                chunk = pdf.iloc[lo : lo + _CHUNK]
+                chunk_m = normalize(chunk[cols].to_numpy())
+                kept, kept_m = _frontier_update(kept, kept_m, chunk, chunk_m)
+        if kept is not None and len(kept):
+            yield kept
+
+    from hadoop_map_reduce_spark.operators.caching import cache_one_slot
+
+    local = df.repartitionByRange(
+        grid_partitions, F.col(cols[0])
+    ).mapInPandas(local_frontier, schema=df.schema)
+    # One-slot persist: local feeds count + driver collect + the verify
+    # map; without it each consumer re-runs the frontier scan, and the
+    # slot discipline keeps exactly one cached copy across invocations.
+    local = cache_one_slot(local, "skyline_grid_local")
+    n_cand = local.count()
+    if n_cand > max_candidate_rows:
+        raise ValueError(
+            f"skyline_grid: {n_cand} frontier candidates exceed the "
+            f"broadcast ceiling ({max_candidate_rows}); the frontier is "
+            "a large fraction of the input — raise max_candidate_rows "
+            "if executors can hold the matrix, or use a grid-cogroup "
+            "all-pairs verify"
+        )
+    cand_m = normalize(
+        np.asarray(local.select(*cols).toPandas()[cols].to_numpy())
+    )
+    bc = df.sparkSession.sparkContext.broadcast(cand_m)
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cand = bc.value
+        for pdf in batches:
+            for lo in range(0, len(pdf), _CHUNK):
+                chunk = pdf.iloc[lo : lo + _CHUNK]
+                chunk_m = normalize(chunk[cols].to_numpy())
+                alive = np.ones(len(chunk_m), dtype=bool)
+                # Block the candidate axis too: the m×k×d dominance temp
+                # stays ~_CHUNK² per block, and a chunk whose rows are
+                # all dead stops scanning early.
+                for clo in range(0, len(cand), _CHUNK):
+                    alive &= ~_dominates(
+                        cand[clo : clo + _CHUNK], chunk_m
+                    ).any(axis=0)
+                    if not alive.any():
+                        break
+                if alive.any():
+                    yield chunk.iloc[alive]
+
+    return local.mapInPandas(verify, schema=df.schema)

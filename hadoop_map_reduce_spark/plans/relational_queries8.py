@@ -53,6 +53,41 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "skyline_parts_grid",
+    tags=("relational", "skyline"),
+    description=(
+        "Same Pareto frontier (minimize p_retailprice, maximize "
+        "p_size) through the PARALLEL-merge variant: range-slab local "
+        "frontiers, then every candidate verified against the "
+        "broadcast candidate matrix in parallel — the plan for "
+        "anti-correlated dimensions where the frontier (and thus the "
+        "plain operator's single merge task) grows with the input. "
+        "Identical result set by skyline(A∪B) algebra."
+    ),
+    oracle="""
+        SELECT p_partkey, p_brand, p_size, p_retailprice
+        FROM part p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM part q
+            WHERE q.p_retailprice <= p.p_retailprice
+              AND q.p_size >= p.p_size
+              AND (q.p_retailprice < p.p_retailprice
+                   OR q.p_size > p.p_size)
+        )
+    """,
+)
+def skyline_parts_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_map_reduce_spark.operators.skyline import skyline_grid
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size", "p_retailprice"
+    )
+    return skyline_grid(
+        part, [("p_retailprice", "min"), ("p_size", "max")]
+    )
+
+
+@register(
     "scd2_status_history",
     tags=("relational", "window", "scd"),
     description=(

@@ -120,3 +120,62 @@ def test_null_int_dims_fall_back_to_sql_semantics(spark):
     df = spark.createDataFrame(rows, "id long, a long, b long")
     got = {r.id for r in skyline(df, [("a", "min"), ("b", "min")]).collect()}
     assert got == {1, 3}
+
+
+@pytest.mark.parametrize("n,d,parts,seed", [
+    (300, 2, 7, 0),
+    (300, 3, 4, 1),
+    (500, 2, 1, 2),
+])
+def test_grid_matches_brute_force(spark, n, d, parts, seed):
+    from hadoop_map_reduce_spark.operators.skyline import skyline_grid
+
+    df, vals = _make_df(spark, n, d, seed, parts)
+    dims = [(f"x{k}", "min" if k % 2 == 0 else "max") for k in range(d)]
+    signs = np.array([1.0 if dr == "min" else -1.0 for _, dr in dims])
+    expected = _brute_frontier(vals.astype(np.float64) * signs)
+    got = {r["id"] for r in skyline_grid(df, dims, grid_partitions=5).collect()}
+    assert got == expected
+
+
+def test_grid_anti_correlated_frontier(spark):
+    """The regime the grid variant exists for: x1 = C - x0 puts EVERY
+    point on the frontier (perfect anti-correlation). The parallel
+    verify must keep all of them and agree with the plain operator."""
+    from hadoop_map_reduce_spark.operators.skyline import skyline_grid
+
+    n = 2000
+    rows = [(i, float(i), float(n - i)) for i in range(n)]
+    df = spark.createDataFrame(rows, ["id", "x0", "x1"]).repartition(8)
+    dims = [("x0", "min"), ("x1", "min")]
+    got = skyline_grid(df, dims, grid_partitions=8).count()
+    assert got == n
+    plain = skyline(df, dims).count()
+    assert plain == n
+
+
+def test_grid_candidate_ceiling_enforced(spark):
+    """Beyond max_candidate_rows the broadcast verify must refuse (with
+    routing guidance), not melt the driver."""
+    from hadoop_map_reduce_spark.operators.skyline import skyline_grid
+
+    n = 500
+    rows = [(i, float(i), float(n - i)) for i in range(n)]
+    df = spark.createDataFrame(rows, ["id", "x0", "x1"])
+    with pytest.raises(ValueError, match="ceiling"):
+        skyline_grid(
+            df, [("x0", "min"), ("x1", "min")], max_candidate_rows=100
+        )
+
+
+def test_grid_duplicates_and_passthrough(spark):
+    from hadoop_map_reduce_spark.operators.skyline import skyline_grid
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0, 5.0), (2, "b", 1.0, 5.0), (3, "c", 2.0, 6.0)],
+        ["id", "tag", "x0", "x1"],
+    ).repartition(3)
+    out = skyline_grid(df, [("x0", "min"), ("x1", "min")])
+    assert out.columns == ["id", "tag", "x0", "x1"]
+    rows = {r["id"]: r["tag"] for r in out.collect()}
+    assert rows == {1: "a", 2: "b"}
