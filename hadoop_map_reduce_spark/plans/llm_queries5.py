@@ -237,11 +237,21 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # constant-bounded table — the allowed bounded form.
     w_lex = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
     w_vec = Window.orderBy(F.col("dot").desc(), F.col("doc_id").asc())
-    lex_rank_top = lex_top.select(
-        "doc_id", F.row_number().over(w_lex).cast("long").alias("r_lex")
+    # The two 100-row rank tables feed three consumers each (candidate
+    # union, left_anti missing-set, final union) — persist them so the
+    # TakeOrdered scan over the cached scored tables runs once per
+    # side, not once per consumer.
+    lex_rank_top = cache_one_slot(
+        lex_top.select(
+            "doc_id", F.row_number().over(w_lex).cast("long").alias("r_lex")
+        ),
+        "hybrid_rrf_lex_top",
     )
-    vec_rank_top = vec_top.select(
-        "doc_id", F.row_number().over(w_vec).cast("long").alias("r_vec")
+    vec_rank_top = cache_one_slot(
+        vec_top.select(
+            "doc_id", F.row_number().over(w_vec).cast("long").alias("r_vec")
+        ),
+        "hybrid_rrf_vec_top",
     )
     cands = (
         lex_rank_top.select("doc_id")
