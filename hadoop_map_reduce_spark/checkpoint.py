@@ -37,6 +37,8 @@ def _persisted_ids(sc) -> set[int]:
 
 
 def _unpersist_ids(sc, ids: set[int]) -> None:
+    if getattr(sc, "_jsc", None) is None:
+        return  # context already stopped; its blocks died with it
     m = sc._jsc.sc().getPersistentRDDs()
     for rid in ids:
         if m.contains(rid):

@@ -331,6 +331,13 @@ def exact_ranks_for(
     alternative (a row_number window with an empty partition spec) sorts
     the whole table on one task.
 
+    Precondition: ``score_col`` must be non-null in ``scored``. The
+    count-of-better join predicate null-filters every comparison, so a
+    NULL-scored candidate would get rank 1 — silently diverging from
+    the ``DESC NULLS LAST`` order of the row_number window this
+    replicates. Current callers aggregate into the score (never null);
+    new callers with nullable scores must pre-filter or pre-coalesce.
+
     Returns ``(id_col, rank_col)`` for candidates PRESENT in ``scored``
     only (absent candidates are the caller's "unranked" case).
     ``scored`` is scanned twice (candidate-row probe + count pass) —

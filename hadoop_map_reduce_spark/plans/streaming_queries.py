@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import atexit
 import os
+import threading
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -31,19 +33,21 @@ from hadoop_map_reduce_spark.plans.relational_queries import _sql_sum, exact_sum
 from hadoop_map_reduce_spark.plans.timeseries_queries import _EWMA_ORACLE
 from hadoop_map_reduce_spark.session import load_table
 
-# stream_neardup_lsh one-slot working-set dir: the previous invocation's
-# base is removed on the next call; the last one at interpreter exit.
-_NEARDUP_PREV_BASE: str | None = None
+# stream_neardup_lsh one-slot state: the manifest result is eagerly
+# localCheckpointed before the invocation's working dir is deleted, so a
+# held result DataFrame stays valid after cleanup; the one-slot release
+# frees the PREVIOUS invocation's checkpoint blocks. Lock serializes
+# concurrent invocations (module-global slot).
+_NEARDUP_LOCK = threading.Lock()
+_NEARDUP_PREV_RELEASE: Callable[[], None] | None = None
 
 
-def _cleanup_neardup_base() -> None:
-    import shutil
-
-    if _NEARDUP_PREV_BASE is not None:
-        shutil.rmtree(_NEARDUP_PREV_BASE, ignore_errors=True)
+def _cleanup_neardup_slot() -> None:
+    if _NEARDUP_PREV_RELEASE is not None:
+        _NEARDUP_PREV_RELEASE()
 
 
-atexit.register(_cleanup_neardup_base)
+atexit.register(_cleanup_neardup_slot)
 
 
 def _read_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -428,51 +432,67 @@ def stream_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking assertion, the dedup_minhash_lsh precedent.
 
     The per-invocation working set (arrivals, store, manifest,
-    checkpoint) lives in a mkdtemp base; since the returned DataFrame
-    lazily reads the manifest parquet, the base cannot be deleted
-    before the caller consumes it — instead each invocation removes the
-    PREVIOUS invocation's base (one-slot discipline, bounded disk
-    across bench loops) and the final one is removed at interpreter
-    exit."""
+    checkpoint) lives in a mkdtemp base. The returned manifest is
+    eagerly localCheckpointed (it is manifest-sized, not corpus-sized)
+    so the base is deleted BEFORE returning — a held result DataFrame
+    never dangles on removed parquet. The checkpoint blocks themselves
+    are one-slot: each invocation releases the previous one's (tracked
+    via checkpoint.local_checkpoint), the last at interpreter exit; a
+    module lock serializes concurrent invocations over that slot."""
     import shutil
     import tempfile
     import time
 
+    from hadoop_map_reduce_spark.checkpoint import local_checkpoint
     from hadoop_map_reduce_spark.streaming.neardup import (
         NearDupAdmitter,
         run_neardup_stream,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    global _NEARDUP_PREV_BASE
-    if _NEARDUP_PREV_BASE is not None:
-        shutil.rmtree(_NEARDUP_PREV_BASE, ignore_errors=True)
-    base = tempfile.mkdtemp(prefix="hmrs_stream_neardup_")
-    _NEARDUP_PREV_BASE = base
-    arrivals = os.path.join(base, "arrivals")
-    os.makedirs(arrivals)
+    global _NEARDUP_PREV_RELEASE
+    with _NEARDUP_LOCK:
+        base = tempfile.mkdtemp(prefix="hmrs_stream_neardup_")
+        try:
+            arrivals = os.path.join(base, "arrivals")
+            os.makedirs(arrivals)
 
-    def write_increment(df, name: str, mtime: float) -> None:
-        tmp = os.path.join(base, "tmp_" + name)
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-        dst = os.path.join(arrivals, name + ".parquet")
-        shutil.move(os.path.join(tmp, part), dst)
-        os.utime(dst, (mtime, mtime))
+            def write_increment(df, name: str, mtime: float) -> None:
+                tmp = os.path.join(base, "tmp_" + name)
+                df.coalesce(1).write.mode("overwrite").parquet(tmp)
+                part = next(
+                    f for f in os.listdir(tmp) if f.endswith(".parquet")
+                )
+                dst = os.path.join(arrivals, name + ".parquet")
+                shutil.move(os.path.join(tmp, part), dst)
+                os.utime(dst, (mtime, mtime))
 
-    now = time.time()
-    write_increment(docs.filter(F.col("doc_id") % 4 == 0), "b0", now - 120)
-    write_increment(docs.filter(F.col("doc_id") % 4 == 1), "b1", now - 60)
+            now = time.time()
+            write_increment(
+                docs.filter(F.col("doc_id") % 4 == 0), "b0", now - 120
+            )
+            write_increment(
+                docs.filter(F.col("doc_id") % 4 == 1), "b1", now - 60
+            )
 
-    admitter = NearDupAdmitter(os.path.join(base, "store"), threshold=0.5)
-    admitter.seed(docs.filter((F.col("doc_id") % 4).isin(2, 3)))
-    return run_neardup_stream(
-        arrivals,
-        os.path.join(base, "ckpt"),
-        admitter,
-        spark,
-        docs.schema,
-    )
+            admitter = NearDupAdmitter(
+                os.path.join(base, "store"), threshold=0.5
+            )
+            admitter.seed(docs.filter((F.col("doc_id") % 4).isin(2, 3)))
+            manifest = run_neardup_stream(
+                arrivals,
+                os.path.join(base, "ckpt"),
+                admitter,
+                spark,
+                docs.schema,
+            )
+            result, release = local_checkpoint(manifest)
+            if _NEARDUP_PREV_RELEASE is not None:
+                _NEARDUP_PREV_RELEASE()
+            _NEARDUP_PREV_RELEASE = release
+            return result
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
 
 
 @register(

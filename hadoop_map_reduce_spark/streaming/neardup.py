@@ -69,6 +69,10 @@ class NearDupAdmitter:
         self.id_col = id_col
         self.text_col = text_col
         self.manifest_dir = os.path.join(store_dir, "manifest")
+        # Manifest id type: derived from the first seen batch/seed schema
+        # so non-numeric (e.g. string) doc ids round-trip; "bigint" is
+        # only the never-saw-data fallback for result()'s empty frame.
+        self._id_type = "bigint"
         os.makedirs(store_dir, exist_ok=True)
 
     def _sig(self, docs: DataFrame) -> DataFrame:
@@ -107,6 +111,7 @@ class NearDupAdmitter:
         """Materialize the pre-existing corpus's signatures as the
         initial store increment (unconditionally — the seed corpus is
         taken as-is, like ``dedup_incremental``'s store side)."""
+        self._id_type = docs.schema[self.id_col].dataType.simpleString()
         self._sig(docs).write.mode("overwrite").parquet(
             os.path.join(self.store_dir, "seed")
         )
@@ -127,6 +132,7 @@ class NearDupAdmitter:
         driver: both outputs are executor-side parquet writes."""
         spark = batch_df.sparkSession
         batch_sig = self._sig(batch_df).persist()
+        blocked = None
         try:
             # blocked feeds two anti-joins below; persist so the
             # store-vs-batch band join (whose store side scans every
@@ -150,14 +156,21 @@ class NearDupAdmitter:
             admitted_sig.write.mode("overwrite").parquet(
                 os.path.join(self.store_dir, f"b{batch_id}")
             )
+            # Manifest id keeps the batch's own id type (string doc ids
+            # survive); recorded so result()'s empty case matches.
+            self._id_type = batch_df.schema[self.id_col].dataType.simpleString()
             admitted_ids.select(
-                F.col(self.id_col).cast("long").alias(self.id_col),
+                F.col(self.id_col),
                 F.lit(int(batch_id)).cast("long").alias("batch"),
             ).write.mode("overwrite").parquet(
                 os.path.join(self.manifest_dir, f"b{batch_id}")
             )
-            blocked.unpersist()
         finally:
+            # Release both cached frames even when a parquet write fails
+            # mid-batch (mirrors bpe.py/clustering.py exception-safe
+            # release discipline).
+            if blocked is not None:
+                blocked.unpersist()
             batch_sig.unpersist()
 
     def result(self, spark: SparkSession) -> DataFrame:
@@ -175,7 +188,7 @@ class NearDupAdmitter:
         )
         if not dirs:
             return spark.createDataFrame(
-                [], f"{self.id_col} long, batch long"
+                [], f"{self.id_col} {self._id_type}, batch long"
             )
         return spark.read.parquet(*dirs)
 
