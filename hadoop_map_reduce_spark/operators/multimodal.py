@@ -142,6 +142,172 @@ def extract_media_features(
     return media.mapInPandas(batches, MEDIA_FEATURE_SCHEMA)
 
 
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def perceptual_hash(
+    media: DataFrame,
+    buckets: int = 64,
+    mult: int = 31,
+    use_real_decoder: bool = False,
+) -> DataFrame:
+    """63-bit histogram-gradient perceptual hash over binary payloads —
+    the aHash/dHash family applied to the payload's byte-bigram
+    "intensity profile" instead of resized pixels (dHash itself is the
+    gradient over a resized image's adjacent-pixel profile).
+
+    ``use_real_decoder=True`` (requires PIL, raises
+    ``NotImplementedError`` without it) runs the classic image dHash
+    instead: decode, grayscale-resize to a 9x7 grid, bit = left pixel <
+    right neighbor, row-major — 63 bits, the same non-negative BIGINT
+    domain, schema, and plan as the byte-profile stub, so
+    ``phash_near_dup`` composes with either. Undecodable payloads hash
+    to 0 (route to quarantine in a real pipeline).
+
+    Per payload: bucket every adjacent byte pair into
+    ``(b[j]*mult + b[j+1]) % buckets``, count occurrences (NumPy
+    ``bincount`` over the whole Arrow batch row — vectorized, no Python
+    per-byte loop), then bit ``i`` (0..buckets-2) = 1 iff
+    ``count[i] > count[i+1]``. The histogram is length-robust — a
+    near-duplicate payload with a truncated or edited tail moves a few
+    counts slightly, flipping only gradient bits whose neighbor counts
+    were already close — unlike positional sampling, which scrambles
+    under any length change. Result fits a non-negative BIGINT
+    (63 gradient bits for the default 64 buckets).
+
+    One straight ``mapInPandas`` scan: no shuffle, embarrassingly
+    parallel — the 100-TB shape for fingerprinting a media corpus.
+    Payloads under 2 bytes hash to 0 (no bigrams).
+    """
+    if buckets < 2 or buckets > 64:
+        raise ValueError("buckets must be in [2, 64]")
+    if use_real_decoder and not _HAS_PIL:
+        raise NotImplementedError(
+            "real image dHash requires PIL, not present in this "
+            "environment; use the byte-profile hash (use_real_decoder="
+            "False)"
+        )
+
+    import numpy as np
+
+    shifts = np.arange(buckets - 1, dtype=np.int64)
+
+    def real_dhash(b) -> int:
+        import io
+
+        try:
+            with PIL.Image.open(io.BytesIO(bytes(b))) as img:
+                px = np.asarray(
+                    img.convert("L").resize((9, 7)), dtype=np.int64
+                )
+        except Exception:
+            return 0
+        bits = (px[:, :-1] < px[:, 1:]).astype(np.int64).ravel()
+        return int((bits << np.arange(63, dtype=np.int64)).sum())
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def ph(b) -> int:
+            if use_real_decoder:
+                return real_dhash(b)
+            a = np.frombuffer(bytes(b), dtype=np.uint8).astype(np.int64)
+            if len(a) < 2:
+                return 0
+            k = (a[:-1] * mult + a[1:]) % buckets
+            c = np.bincount(k, minlength=buckets)
+            bits = (c[:-1] > c[1:]).astype(np.int64)
+            return int((bits << shifts).sum())
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "phash": pd.Series(
+                        [ph(b) for b in pdf["content"]], dtype="int64"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(batches, PHASH_SCHEMA)
+
+
+def phash_near_dup(
+    hashes: DataFrame, max_hamming: int = 4, hash_bits: int = 63
+) -> DataFrame:
+    """Near-duplicate media pairs by perceptual-hash Hamming distance,
+    banded so no all-pairs product ever forms.
+
+    Pigeonhole banding (the SimHash chunk argument): split the
+    ``hash_bits`` into ``max_hamming + 1`` contiguous bands — two hashes
+    within ``max_hamming`` differing bits MUST agree exactly on at least
+    one band, so an equi-join on ``(band_no, band_val)`` yields a
+    guaranteed superset of the answer; ``bit_count(xor)`` verifies the
+    exact distance on candidates only. Band extraction is pure JVM
+    column arithmetic (shift/mask); candidate volume scales with the
+    per-band collision rate (~2^-13 for the default 5x13-bit bands on
+    well-mixed bits), not with corpus². Skewed band values (a corpus of
+    near-identical media) degrade toward the true duplicate-pair count,
+    which is the output size anyway.
+
+    Input: ``(media_id, phash)``. Output: ``(media_id_a, media_id_b,
+    hamming)`` with ``media_id_a < media_id_b``, exact distance <=
+    ``max_hamming``.
+    """
+    bands = max_hamming + 1
+    if bands > hash_bits:
+        raise ValueError("max_hamming + 1 bands need at least that many bits")
+    base, extra = divmod(hash_bits, bands)
+    widths = [base + (1 if i < extra else 0) for i in range(bands)]
+    offsets = [sum(widths[:i]) for i in range(bands)]
+
+    band_rows = [
+        hashes.select(
+            F.col("media_id"),
+            F.col("phash"),
+            F.lit(i).alias("band_no"),
+            F.shiftright(F.col("phash"), offsets[i])
+            .bitwiseAND(F.lit((1 << widths[i]) - 1))
+            .alias("band_val"),
+        )
+        for i in range(bands)
+    ]
+    banded = band_rows[0]
+    for br in band_rows[1:]:
+        banded = banded.unionAll(br)
+
+    a = banded.select(
+        F.col("media_id").alias("media_id_a"),
+        F.col("phash").alias("_ha"),
+        "band_no",
+        "band_val",
+    )
+    b = banded.select(
+        F.col("media_id").alias("media_id_b"),
+        F.col("phash").alias("_hb"),
+        "band_no",
+        "band_val",
+    )
+    cands = (
+        a.join(b, ["band_no", "band_val"])
+        .filter(F.col("media_id_a") < F.col("media_id_b"))
+        .select("media_id_a", "media_id_b", "_ha", "_hb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+    return (
+        cands.filter(hamming <= max_hamming)
+        .select(
+            "media_id_a",
+            "media_id_b",
+            hamming.cast("long").alias("hamming"),
+        )
+    )
+
+
 RESIZED_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -163,9 +329,14 @@ def resize_media(
 
     Payloads shorter than the target pass through unchanged — a real
     resizer would upsample, which the byte stub cannot fake honestly.
-    Per-row output is capped at ``target_px`` bytes, so the stage
-    CONTRACTS data volume — the property that makes running it early in
-    a 100-TB media pipeline worthwhile.
+    Data-contraction contract, per path: the STUB caps each row at
+    ``target_px`` bytes exactly; the REAL decoder path is bounded by the
+    PNG encoding of a ``target_px``-boxed thumbnail (small-constant
+    overhead on top of the pixel budget — a target_px=16 thumbnail emits
+    ~100-byte PNGs, and payloads below that floor can expand slightly).
+    Both paths make output size independent of input size, which is the
+    property that makes running the stage early in a 100-TB media
+    pipeline worthwhile; only the stub guarantees the literal byte cap.
     """
     if use_real_decoder and not _HAS_PIL:
         raise NotImplementedError(

@@ -359,6 +359,142 @@ def test_audio_energy_matches_pure_python_and_handles_empty(spark):
         assert r["peak_energy"] == (max(wins) if wins else 0)
 
 
+def test_phash_matches_pure_python_and_handles_degenerate(spark):
+    from hadoop_map_reduce_spark.operators.multimodal import perceptual_hash
+
+    payloads = [
+        (1, b"the quick brown fox jumps over the lazy dog" * 4),
+        (2, b"\x00\xff" * 50),
+        (3, b""),       # no bytes -> hash 0
+        (4, b"x"),      # single byte, no bigram -> hash 0
+        (5, b"ab"),     # exactly one bigram
+    ]
+    df = spark.createDataFrame(
+        [(i, "image", p) for i, p in payloads],
+        ["media_id", "modality", "content"],
+    )
+    got = {r["media_id"]: r["phash"] for r in perceptual_hash(df).collect()}
+
+    def ref_hash(b: bytes) -> int:
+        c = [0] * 64
+        for j in range(len(b) - 1):
+            c[(b[j] * 31 + b[j + 1]) % 64] += 1
+        h = 0
+        for i in range(63):
+            if c[i] > c[i + 1]:
+                h |= 1 << i
+        return h
+
+    for mid, payload in payloads:
+        assert got[mid] == ref_hash(payload), mid
+    assert got[3] == 0 and got[4] == 0
+    assert all(0 <= h < 1 << 63 for h in got.values())
+
+
+def test_phash_banding_is_lossless_vs_brute_force(spark):
+    """Pigeonhole guarantee: the 5-band equi-join must surface EVERY
+    pair within Hamming 4 — compare against the quadratic form on a
+    corpus crafted to include distances 0..6 (5 and 6 must be absent
+    from the banded output, 0..4 all present)."""
+    from hadoop_map_reduce_spark.operators.multimodal import (
+        perceptual_hash,
+        phash_near_dup,
+    )
+
+    base = b"the quick brown fox jumps over the lazy dog " * 6
+    variants = [(1, base)]
+    # flip content progressively: each variant perturbs more bytes
+    for i, edits in enumerate((1, 2, 4, 8, 16, 32, 64), start=2):
+        mutated = bytearray(base)
+        for e in range(edits):
+            mutated[(e * 37) % len(base)] = (mutated[(e * 37) % len(base)] + 13) % 256
+        variants.append((i, bytes(mutated)))
+    df = spark.createDataFrame(
+        [(i, "image", p) for i, p in variants],
+        ["media_id", "modality", "content"],
+    )
+    hashes = perceptual_hash(df)
+    hs = {r["media_id"]: r["phash"] for r in hashes.collect()}
+    brute = {
+        (a, b): bin(hs[a] ^ hs[b]).count("1")
+        for a in hs
+        for b in hs
+        if a < b
+    }
+    want = {
+        (pair, d) for pair, d in brute.items() if d <= 4
+    }
+    got = {
+        ((r["media_id_a"], r["media_id_b"]), r["hamming"])
+        for r in phash_near_dup(hashes, max_hamming=4).collect()
+    }
+    assert got == want
+    assert want  # the crafted corpus must actually exercise the join
+    assert any(d > 4 for d in brute.values())  # and the exact verify
+
+
+def test_phash_real_decoder_gated(spark):
+    from hadoop_map_reduce_spark.operators.multimodal import (
+        _HAS_PIL,
+        perceptual_hash,
+        with_binary_content,
+    )
+
+    if _HAS_PIL:
+        pytest.skip("PIL present; stub gate not applicable")
+    docs = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+    with pytest.raises(NotImplementedError):
+        perceptual_hash(with_binary_content(docs), use_real_decoder=True)
+
+
+def test_phash_real_decoder_when_pil_present(spark):
+    """Wherever PIL exists: the real dHash of an image and a 1-pixel
+    perturbation of it sit within a small Hamming distance, while a
+    structurally different image (gradient vs noise) is far; garbage
+    payloads hash to 0."""
+    from hadoop_map_reduce_spark.operators.multimodal import (
+        _HAS_PIL,
+        perceptual_hash,
+    )
+
+    if not _HAS_PIL:
+        pytest.skip("PIL not present; real dHash path unreachable here")
+    import io
+
+    import numpy as np
+    import PIL.Image
+
+    def png(arr) -> bytes:
+        out = io.BytesIO()
+        PIL.Image.fromarray(arr.astype("uint8"), mode="L").save(
+            out, format="PNG"
+        )
+        return out.getvalue()
+
+    rng = np.random.RandomState(7)
+    grad = np.tile(np.arange(0, 240, 240 // 48), (48, 1))
+    grad_tweak = grad.copy()
+    grad_tweak[5, 5] = 255
+    noise = rng.randint(0, 255, (48, 48))
+    rows = [
+        (1, "image", png(grad)),
+        (2, "image", png(grad_tweak)),
+        (3, "image", png(noise)),
+        (4, "image", b"not an image"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["media_id", "modality", "content"]
+    )
+    hs = {
+        r["media_id"]: r["phash"]
+        for r in perceptual_hash(df, use_real_decoder=True).collect()
+    }
+    assert bin(hs[1] ^ hs[2]).count("1") <= 4
+    assert bin(hs[1] ^ hs[3]).count("1") > 10
+    assert hs[4] == 0
+    assert all(0 <= h < 1 << 63 for h in hs.values())
+
+
 def test_audio_energy_plan_is_shuffle_free(spark, sf_dir):
     from hadoop_map_reduce_spark.plans import REGISTRY
 
