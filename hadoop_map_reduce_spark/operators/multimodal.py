@@ -153,7 +153,7 @@ PHASH_SCHEMA = StructType(
 def perceptual_hash(
     media: DataFrame,
     buckets: int = 64,
-    mult: int = 31,
+    mult: int = 30,
     use_real_decoder: bool = False,
 ) -> DataFrame:
     """63-bit histogram-gradient perceptual hash over binary payloads —
@@ -236,7 +236,7 @@ def perceptual_hash(
 
 
 def phash_near_dup(
-    hashes: DataFrame, max_hamming: int = 4, hash_bits: int = 63
+    hashes: DataFrame, max_hamming: int = 2, hash_bits: int = 63
 ) -> DataFrame:
     """Near-duplicate media pairs by perceptual-hash Hamming distance,
     banded so no all-pairs product ever forms.
@@ -248,7 +248,7 @@ def phash_near_dup(
     guaranteed superset of the answer; ``bit_count(xor)`` verifies the
     exact distance on candidates only. Band extraction is pure JVM
     column arithmetic (shift/mask); candidate volume scales with the
-    per-band collision rate (~2^-13 for the default 5x13-bit bands on
+    per-band collision rate (~2^-21 for the default 3x21-bit bands on
     well-mixed bits), not with corpus². Skewed band values (a corpus of
     near-identical media) degrade toward the true duplicate-pair count,
     which is the output size anyway.
@@ -257,6 +257,8 @@ def phash_near_dup(
     hamming)`` with ``media_id_a < media_id_b``, exact distance <=
     ``max_hamming``.
     """
+    from hadoop_map_reduce_spark.operators.caching import cache_one_slot
+
     bands = max_hamming + 1
     if bands > hash_bits:
         raise ValueError("max_hamming + 1 bands need at least that many bits")
@@ -264,20 +266,32 @@ def phash_near_dup(
     widths = [base + (1 if i < extra else 0) for i in range(bands)]
     offsets = [sum(widths[:i]) for i in range(bands)]
 
-    band_rows = [
-        hashes.select(
-            F.col("media_id"),
-            F.col("phash"),
-            F.lit(i).alias("band_no"),
-            F.shiftright(F.col("phash"), offsets[i])
-            .bitwiseAND(F.lit((1 << widths[i]) - 1))
-            .alias("band_val"),
-        )
-        for i in range(bands)
-    ]
-    banded = band_rows[0]
-    for br in band_rows[1:]:
-        banded = banded.unionAll(br)
+    # The hash table feeds both join sides — one-slot persist so the
+    # upstream mapInPandas decode/hash scan runs ONCE, not once per
+    # consumer branch (Catalyst never CSEs across branches; the
+    # round-3 re-inlining trap, BASELINE.md). Banding is a single
+    # explode over one struct array, not a per-band union of selects,
+    # so the cached 16-byte rows fan out to 5 in-flight rows without
+    # re-reading anything.
+    hashes = cache_one_slot(
+        hashes.select("media_id", "phash"), "phash_neardup_hashes"
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("band_no"),
+                F.shiftright(F.col("phash"), offsets[i])
+                .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                .alias("band_val"),
+            )
+            for i in range(bands)
+        ]
+    )
+    banded = hashes.select(
+        "media_id",
+        "phash",
+        F.explode(band_structs).alias("_b"),
+    ).select("media_id", "phash", "_b.band_no", "_b.band_val")
 
     a = banded.select(
         F.col("media_id").alias("media_id_a"),

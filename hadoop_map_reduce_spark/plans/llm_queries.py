@@ -397,7 +397,7 @@ def multimodal_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH buck AS (
             SELECT doc_id,
-                   (ord(substring(text, j, 1)) * 31
+                   (ord(substring(text, j, 1)) * 30
                     + ord(substring(text, j + 1, 1))) % 64 AS k
             FROM (
                 SELECT doc_id, text,
@@ -436,7 +436,7 @@ def multimodal_phash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
     description=(
         "Image/media near-duplicate pairs by perceptual-hash Hamming "
-        "distance <= 4: 5-band pigeonhole equi-join (no all-pairs "
+        "distance <= 2: 3-band pigeonhole equi-join (no all-pairs "
         "product) + bit_count(xor) exact verify on candidates; the "
         "banding is provably lossless for the threshold, so the oracle "
         "can afford the quadratic form at sf and still match exactly."
@@ -444,7 +444,7 @@ def multimodal_phash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH buck AS (
             SELECT doc_id,
-                   (ord(substring(text, j, 1)) * 31
+                   (ord(substring(text, j, 1)) * 30
                     + ord(substring(text, j + 1, 1))) % 64 AS k
             FROM (
                 SELECT doc_id, text,
@@ -474,17 +474,64 @@ def multimodal_phash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
         FROM h a
         JOIN h b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.phash, b.phash)) <= 4
+        WHERE bit_count(xor(a.phash, b.phash)) <= 2
     """,
 )
 def multimodal_phash_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale shape: one mapInPandas scan to hash, a 5x band explode of
-    16-byte rows (id, hash, band), an equi-join on 13-bit band values,
+    """Scale shape: one mapInPandas scan to hash, a 3x band explode of
+    16-byte rows (id, hash, band), an equi-join on 21-bit band values,
     and an exact verify on the candidate set only — the minhash-LSH
     cost profile applied to media fingerprints. The quadratic all-pairs
     form exists only in the DuckDB oracle."""
     media = with_binary_content(load_table(spark, sf_dir, "documents"))
-    return phash_near_dup(perceptual_hash(media), max_hamming=4)
+    return phash_near_dup(perceptual_hash(media), max_hamming=2)
+
+
+@register(
+    "multimodal_resize_audit",
+    tags=("llm", "multimodal"),
+    description=(
+        "Media resize stage audit: runs the real mapInPandas "
+        "stride-resize over every payload and emits per-media output "
+        "size plus the first and last sampled byte — the oracle "
+        "recomputes the exact sampling arithmetic in SQL (target 256 is "
+        "a power of two, so len/256.0 is dyadic and float stride "
+        "indexing equals integer floor division exactly)."
+    ),
+    oracle="""
+        SELECT doc_id AS media_id,
+               CAST(LEAST(octet_length(encode(text)), 256) AS BIGINT)
+                   AS resized_bytes,
+               CAST(ord(substring(text, 1, 1)) AS BIGINT) AS first_byte,
+               CAST(ord(substring(text,
+                   CASE WHEN octet_length(encode(text)) > 256
+                        THEN (255 * octet_length(encode(text))) // 256 + 1
+                        ELSE octet_length(encode(text)) END,
+                   1)) AS BIGINT) AS last_byte
+        FROM documents
+    """,
+)
+def multimodal_resize_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte values surface via ascii(cast(binary as string)) — sound
+    because the corpus is pure ASCII, the same bridge every multimodal
+    oracle here uses. ``last_byte`` pins the stride formula itself
+    (payload[int(255 * n/256)] for long payloads, the final byte for
+    passthrough), so an off-by-one in the sampling loop breaks the
+    hash match, not just the length column."""
+    from hadoop_map_reduce_spark.operators.multimodal import resize_media
+
+    media = with_binary_content(load_table(spark, sf_dir, "documents"))
+    resized = resize_media(media, target_px=256)
+    n = F.length("resized")
+    byte_at = lambda pos: F.ascii(  # noqa: E731
+        F.substring(F.col("resized"), pos, 1).cast("string")
+    ).cast("long")
+    return resized.select(
+        "media_id",
+        n.cast("long").alias("resized_bytes"),
+        byte_at(F.lit(1)).alias("first_byte"),
+        byte_at(n).alias("last_byte"),
+    )
 
 
 @register(

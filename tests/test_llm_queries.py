@@ -378,7 +378,7 @@ def test_phash_matches_pure_python_and_handles_degenerate(spark):
     def ref_hash(b: bytes) -> int:
         c = [0] * 64
         for j in range(len(b) - 1):
-            c[(b[j] * 31 + b[j + 1]) % 64] += 1
+            c[(b[j] * 30 + b[j + 1]) % 64] += 1
         h = 0
         for i in range(63):
             if c[i] > c[i + 1]:

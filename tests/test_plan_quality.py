@@ -664,3 +664,16 @@ def test_round4_rank_queries_no_unbounded_single_partition(spark, sf_dir):
         df.collect()
         offenders = unbounded_single_partition_exchanges(df)
         assert offenders == [], f"{name}: {offenders}"
+
+
+def test_phash_neardup_hash_scan_cached_and_banded_once(spark, sf_dir):
+    """phash_near_dup's hash table feeds both join sides: the executed
+    plan must read it through the one-slot cache (InMemoryTableScan on
+    every consumer) so the mapInPandas decode/hash scan runs once, and
+    banding must be a single explode, not a per-band union re-scan."""
+    df = REGISTRY["multimodal_phash_neardup"].fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    assert "Union" not in plan
+    assert plan.count("Generate explode") >= 2  # one banding per side

@@ -69,6 +69,7 @@ def test_headline_set_is_stable_and_timed():
         "dedup_ngram_jaccard",
         "embedding_neardup",
         "join_asof",
+        "multimodal_phash_neardup",
         "q1_pricing_summary",
         "q3_shipping_priority",
         "q5_local_supplier",
