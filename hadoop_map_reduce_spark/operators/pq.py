@@ -1,0 +1,298 @@
+"""Product quantization (PQ) for approximate nearest-neighbor search.
+
+The third classic ANN scale path alongside sign-bit LSH
+(``similarity.ann_topk_lsh``) and IVF coarse quantization
+(``similarity.ivf_topk``), and the one that attacks MEMORY rather than
+candidate count: each ``d``-dim float vector is split into ``m``
+subspaces and every subspace is vector-quantized against its own
+``ksub``-centroid codebook, so a vector stores as ``m`` small codes —
+64 float32 dims (256 B) compress to 8 four-bit codes packed in one
+INT (32 bits), a 64x reduction. A billion-vector corpus that cannot
+hold its floats in cluster memory holds its PQ codes easily; that is
+why IVF-PQ is the standard layout for web-scale vector indexes
+(Jégou et al., "Product Quantization for Nearest Neighbor Search",
+TPAMI 2011 — public literature, reimplemented here from the paper's
+description on Spark primitives).
+
+Search uses asymmetric distance computation (ADC): the query stays
+un-quantized; per query a lookup table of ``m x ksub`` partial inner
+products against the codebook centroids is computed ONCE (a pure
+Column expression over literal codebooks — tiny), and each corpus
+row's approximate score is ``m`` table lookups indexed by its codes.
+No Python touches the scan; the whole corpus pass is JVM codegen over
+the packed-code column, followed by a per-query top-R WindowGroupLimit
+and an exact re-rank of the R survivors.
+
+Everything is deterministic: codebooks come from
+``ml.kmeans_lloyd`` (lowest-id seeding, fixed iteration count) on a
+deterministic xxhash64-ordered training sample, so results are a pure
+function of the input — the property every test here leans on.
+
+Reference scope note: the reference engine (see SURVEY.md §0) has no
+vector search at all; this module is part of the demanded
+LLM-pipeline generalization (similarity-search pillar).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hadoop_map_reduce_spark.functions.vectors import cosine_similarity
+from hadoop_map_reduce_spark.operators.ml import kmeans_lloyd
+
+CODE_BITS = 4  # ksub <= 16 packs one code per nibble
+
+
+def _round_half_up(v: float) -> int:
+    """Spark's ROUND on doubles: half away from zero (not banker's) —
+    the semantics ``ml.kmeans_lloyd``'s exact-integer mean uses and
+    ``tests/test_ml_queries.py`` pins."""
+    import math
+
+    return int(math.floor(v + 0.5)) if v >= 0 else int(math.ceil(v - 0.5))
+
+
+def _lloyd_driver(
+    rows: list[tuple[int, list[float]]], k: int, n_iter: int
+) -> list[list[float]]:
+    """Driver-side replay of ``ml.kmeans_lloyd`` — bit-identical by
+    construction: same lowest-id seeding, same left-to-right squared-L2
+    fold, same first-occurrence argmin, same exact-integer centroid
+    mean (sum of round-half-up micro-units / n / SCALE), empty clusters
+    keeping their previous centroid. Parity with the distributed
+    trainer is test-pinned (``test_pq_driver_training_parity``)."""
+    from hadoop_map_reduce_spark.operators.ml import SCALE
+
+    rows = sorted(rows, key=lambda r: r[0])
+    centroids = [list(map(float, rows[i][1])) for i in range(k)]
+    for _ in range(n_iter):
+        sums = [[0] * len(centroids[0]) for _ in range(k)]
+        counts = [0] * k
+        for _vid, vec in rows:
+            dists = []
+            for c in centroids:
+                acc = 0.0
+                for x, y in zip(vec, c):
+                    acc = acc + (float(x) - y) * (float(x) - y)
+                dists.append(acc)
+            ci = dists.index(min(dists))
+            counts[ci] += 1
+            for p, x in enumerate(vec):
+                sums[ci][p] += _round_half_up(float(x) * SCALE)
+        for ci in range(k):
+            if counts[ci]:
+                for p in range(len(sums[ci])):
+                    centroids[ci][p] = sums[ci][p] / counts[ci] / SCALE
+    return centroids
+
+
+def pq_train_codebooks(
+    df: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    n_iter: int = 3,
+    train_rows: int = 4096,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    driver_train: bool = True,
+) -> list[list[list[float]]]:
+    """Train ``m`` subspace codebooks of ``ksub`` centroids each.
+
+    The training set is a deterministic ``train_rows``-row sample (the
+    smallest ``xxhash64(id)`` values — stable across partitionings,
+    the same device ``ivf_topk`` uses for its centroid sample): PQ
+    codebooks are trained on a bounded sample at ANY corpus scale, so
+    training cost is fixed while encode/search stay distributed.
+
+    ``driver_train=True`` (default) collects the bounded sample once
+    and runs the Lloyd iterations in-process — the sample is
+    driver-small BY CONTRACT (``train_rows`` caps it), so
+    ``m * n_iter`` distributed jobs over a few thousand rows would be
+    pure scheduler overhead (measured: 26 s -> ~2 s at sf0.01).
+    ``driver_train=False`` runs ``ml.kmeans_lloyd`` per subspace on
+    the cluster; both paths produce bit-identical codebooks
+    (test-pinned) because the driver path replays the distributed
+    trainer's exact arithmetic. Returned structure:
+    ``codebooks[j][c] = centroid c of subspace j`` (plain Python
+    lists — ``m * ksub * dsub`` floats, broadcast as literals).
+    """
+    if dim % m != 0:
+        raise ValueError("dim must divide into m equal subspaces")
+    if ksub > (1 << CODE_BITS):
+        raise ValueError(f"ksub must be <= {1 << CODE_BITS} to pack nibbles")
+    dsub = dim // m
+    vec = F.col(vec_col).cast("array<double>")
+    sample = (
+        df.select(F.col(id_col).alias("_id"), vec.alias("_v"))
+        .orderBy(F.xxhash64(F.col("_id").cast("string")), F.col("_id"))
+        .limit(train_rows)
+    )
+    if driver_train:
+        collected = [(r["_id"], list(r["_v"])) for r in sample.collect()]
+        return [
+            _lloyd_driver(
+                [(i, v[j * dsub : (j + 1) * dsub]) for i, v in collected],
+                ksub,
+                n_iter,
+            )
+            for j in range(m)
+        ]
+    # One materialized pass feeds all m subspace trainings.
+    from hadoop_map_reduce_spark.operators.caching import cache_one_slot
+
+    sample = cache_one_slot(sample, "pq_train_sample")
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        sliced = sample.select(
+            "_id", F.slice(F.col("_v"), j * dsub + 1, dsub).alias("_s")
+        )
+        _, cents = kmeans_lloyd(
+            sliced, vec_col="_s", id_col="_id", k=ksub, n_iter=n_iter
+        )
+        books.append(cents)
+    return books
+
+
+def _nearest_code(sub: Column, book: list[list[float]]) -> Column:
+    """Index of the nearest centroid by squared L2 — the struct-sort
+    argmin device (sort (distance, idx) structs ascending, take [0])."""
+    scored = []
+    for c, cent in enumerate(book):
+        cvec = F.array(*[F.lit(x) for x in cent])
+        d2 = F.aggregate(
+            F.zip_with(sub, cvec, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        scored.append(F.struct(d2.alias("d"), F.lit(c).alias("c")))
+    return F.array_sort(F.array(*scored))[0]["c"]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode every vector as one packed INT of ``m`` nibble codes.
+
+    Pure Column arithmetic against literal codebooks — a single
+    shuffle-free corpus scan (the 100-TB shape: encode once, store the
+    codes column, drop the floats). Code ``j`` occupies bits
+    ``[4j, 4j+4)``; ``pq_decode_col`` below unpacks them.
+    """
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    vec = F.col(vec_col).cast("array<double>")
+    packed = F.lit(0).cast("long")
+    for j, book in enumerate(codebooks):
+        sub = F.slice(vec, j * dsub + 1, dsub)
+        packed = packed + F.shiftleft(
+            _nearest_code(sub, book).cast("long"), CODE_BITS * j
+        )
+    return df.select(
+        F.col(id_col).alias("pq_id"), packed.alias("pq_codes")
+    )
+
+
+def _code_at(codes: Column, j: int) -> Column:
+    return F.shiftright(codes, CODE_BITS * j).bitwiseAND(
+        F.lit((1 << CODE_BITS) - 1)
+    )
+
+
+def pq_topk_adc(
+    corpus_codes: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ADC top-k: rank the packed-code corpus by lookup-table inner
+    product, keep the per-query top ``k * refine``, then re-rank those
+    survivors with EXACT cosine against the float corpus.
+
+    The scan side touches only ``(pq_id, pq_codes)`` — 12 bytes a row
+    regardless of dimensionality; the query side carries its
+    ``m * ksub`` LUT (built once per query row from literal codebook
+    centroids) through a broadcast. The candidate cut is a
+    ``Window.partitionBy(query)`` row_number — WindowGroupLimit, fully
+    parallel, never a single-partition sort — and only ``k * refine``
+    rows per query ever rejoin the float vectors, so the expensive
+    exact math runs on a constant-bounded set. Approximation error
+    (quantization) costs recall, pinned by tests against brute force;
+    returned sims are exact by construction of the re-rank.
+    """
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    qvec = F.col(vec_col).cast("array<double>")
+
+    # LUT entry (j, c): <query_sub_j, centroid_{j,c}> — flat array,
+    # element j*ksub + c (0-based; element_at is 1-based).
+    lut_entries = []
+    for j, book in enumerate(codebooks):
+        sub = F.slice(qvec, j * dsub + 1, dsub)
+        for cent in book:
+            cvec = F.array(*[F.lit(x) for x in cent])
+            lut_entries.append(
+                F.aggregate(
+                    F.zip_with(sub, cvec, lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        qvec.alias("_qvec"),
+        F.array(*lut_entries).alias("_lut"),
+    )
+
+    codes = F.col("pq_codes")
+    approx = None
+    for j in range(m):
+        term = F.element_at(
+            F.col("_lut"),
+            (F.lit(j * ksub) + _code_at(codes, j) + F.lit(1)).cast("int"),
+        )
+        approx = term if approx is None else approx + term
+
+    scored = (
+        corpus_codes.join(F.broadcast(q), F.col("pq_id") != F.col("_qid"))
+        .select(
+            F.col("_qid"),
+            F.col("_qvec"),
+            F.col("pq_id").alias("neighbor_id"),
+            approx.alias("_approx"),
+        )
+    )
+    w = Window.partitionBy("_qid").orderBy(
+        F.col("_approx").desc(), F.col("neighbor_id").asc()
+    )
+    cands = scored.withColumn("_rk", F.row_number().over(w)).filter(
+        F.col("_rk") <= k * refine
+    )
+
+    cvecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cvec"),
+    )
+    sim = F.round(cosine_similarity(F.col("_qvec"), F.col("_cvec")), 6)
+    exact = cands.join(cvecs, "neighbor_id").select(
+        F.col("_qid").alias("query_id"),
+        "neighbor_id",
+        sim.alias("sim"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return exact.withColumn(
+        "rank", F.row_number().over(w2).cast("long")
+    ).filter(F.col("rank") <= k)

@@ -111,6 +111,42 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=5, n_cells=16, n_probe=6)
 
 
+@register(
+    "similarity_pq",
+    tags=("llm", "similarity"),
+    description=(
+        "ANN via product quantization + asymmetric distance: 64-dim "
+        "float vectors encode to 8 nibble codes packed in one INT "
+        "(64x memory compression — the billion-vector index layout), "
+        "ADC lookup-table scan over the codes column, exact-cosine "
+        "re-rank of the per-query top-40 survivors (recall<1 by "
+        "quantization, so no SQL oracle — recall and exact-sim parity "
+        "pinned vs brute force in tests)."
+    ),
+    oracle=None,
+)
+def similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic end-to-end: codebooks from lowest-xxhash64 sample
+    + fixed-iteration exact-integer k-means, encode and ADC are pure
+    Column arithmetic. Plan shape (the 100-TB story): train on a
+    bounded sample, encode in one shuffle-free scan, search touches
+    12 bytes/row plus a broadcast of 10 LUT-carrying query rows, and
+    the only shuffles are the two WindowGroupLimit top-k cuts."""
+    from hadoop_map_reduce_spark.operators.pq import (
+        pq_encode,
+        pq_topk_adc,
+        pq_train_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    books = pq_train_codebooks(emb, m=8, ksub=16, n_iter=3)
+    codes = pq_encode(emb, books)
+    return pq_topk_adc(codes, emb, queries, books, k=5, refine=8)
+
+
 def _mix_case_sql() -> str:
     whens = " ".join(
         f"WHEN source = '{s}' THEN {w}" for s, w in sorted(_MIX_WEIGHTS.items())
