@@ -426,6 +426,81 @@ def frame_sample(
     )
 
 
+def frame_hash_matches(
+    media: DataFrame,
+    every_n_bytes: int = 128,
+    max_frames: int = 8,
+    hot_threshold: int = 50,
+) -> DataFrame:
+    """Video-style near-duplicate media pairs via frame fingerprints:
+    sample frames (``frame_sample``), perceptual-hash each frame, then
+    join media on IDENTICAL frame hashes through an inverted index —
+    the production video-dedup shape (per-frame pHash postings), where
+    two videos are near-dups when they share fingerprinted frames even
+    if their containers/paddings differ.
+
+    Scale discipline:
+    - frames per media are bounded (``max_frames``), so the hash table
+      is <= ``max_frames``x the media count at any corpus scale;
+    - frame hashes seen in more than ``hot_threshold`` distinct media
+      are dropped BEFORE the join (the stop-frame filter — black
+      frames, title cards; here: boilerplate passages). This is the
+      same hot-key discipline as tf-idf's df cut, and it bounds every
+      posting list, so no join key explodes;
+    - the hash table feeds three consumers (hot-count, both join
+      sides): one-slot persisted, computed once.
+
+    Output: ``(media_id_a, media_id_b, n_shared_frames)`` with
+    ``media_id_a < media_id_b``; ``n_shared_frames`` counts matching
+    frame PAIRS (a doc repeating a frame can contribute more than one
+    pair per partner frame — the postings-join semantics).
+
+    Frames shorter than 2 bytes cannot carry a bigram profile and are
+    excluded (their hash-0 would otherwise alias across media).
+    """
+    from hadoop_map_reduce_spark.operators.caching import cache_one_slot
+
+    frames = frame_sample(media, every_n_bytes, max_frames).filter(
+        F.length("frame") >= 2
+    )
+    # Synthetic per-frame id rides through perceptual_hash's
+    # (media_id, content) contract; decoded right back below.
+    fr = frames.select(
+        (F.col("media_id") * max_frames + F.col("frame_no")).alias(
+            "media_id"
+        ),
+        "modality",
+        F.col("frame").alias("content"),
+    )
+    h = perceptual_hash(fr).select(
+        F.floor(F.col("media_id") / max_frames)
+        .cast("long")
+        .alias("_mid"),
+        (F.col("media_id") % max_frames).alias("_fno"),
+        "phash",
+    )
+    h = cache_one_slot(h, "frame_hash_matches")
+    hot = (
+        h.groupBy("phash")
+        .agg(F.countDistinct("_mid").alias("_nd"))
+        .filter(F.col("_nd") > hot_threshold)
+        .select("phash")
+    )
+    kept = h.join(F.broadcast(hot), "phash", "left_anti")
+    a = kept.select(
+        F.col("_mid").alias("media_id_a"), F.col("phash")
+    )
+    b = kept.select(
+        F.col("_mid").alias("media_id_b"), F.col("phash")
+    )
+    return (
+        a.join(b, "phash")
+        .filter(F.col("media_id_a") < F.col("media_id_b"))
+        .groupBy("media_id_a", "media_id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_frames"))
+    )
+
+
 AUDIO_ENERGY_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),

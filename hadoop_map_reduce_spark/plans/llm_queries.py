@@ -488,6 +488,96 @@ def multimodal_phash_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_frame_hash_matches",
+    tags=("llm", "multimodal"),
+    description=(
+        "Video-style near-dup media pairs via per-frame perceptual "
+        "fingerprints: sample bounded frames, pHash each, drop "
+        "stop-frames (hashes in >50 media), join media on identical "
+        "frame hashes through an inverted index; the oracle recomputes "
+        "frame slicing, per-frame hash, hot filter, and postings join "
+        "in SQL."
+    ),
+    oracle="""
+        WITH fr AS (
+            SELECT doc_id, j, substring(text, j * 128 + 1, 128) AS f
+            FROM (
+                SELECT doc_id, text,
+                       unnest(generate_series(0, CAST(GREATEST(LEAST(
+                           CEIL(length(text) / 128.0) - 1, 7), 0)
+                           AS BIGINT))) AS j
+                FROM documents
+            )
+        ),
+        fr2 AS (SELECT doc_id, j, f FROM fr WHERE length(f) >= 2),
+        buck AS (
+            SELECT doc_id, j,
+                   (ord(substring(f, p, 1)) * 30
+                    + ord(substring(f, p + 1, 1))) % 64 AS k
+            FROM (
+                SELECT doc_id, j, f,
+                       unnest(generate_series(1, length(f) - 1)) AS p
+                FROM fr2
+            )
+        ),
+        cnt AS (
+            SELECT doc_id, j, k, COUNT(*) AS c FROM buck GROUP BY 1, 2, 3
+        ),
+        grid AS (
+            SELECT d.doc_id, d.j, i.i, COALESCE(cnt.c, 0) AS c
+            FROM (SELECT doc_id, j FROM fr2) d
+            CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) i
+            LEFT JOIN cnt ON cnt.doc_id = d.doc_id AND cnt.j = d.j
+                         AND cnt.k = i.i
+        ),
+        h AS (
+            SELECT g1.doc_id, g1.j,
+                   CAST(SUM(CASE WHEN g1.c > g2.c
+                                 THEN (CAST(1 AS BIGINT) << g1.i)
+                                 ELSE 0 END) AS BIGINT) AS phash
+            FROM grid g1
+            JOIN grid g2 ON g2.doc_id = g1.doc_id AND g2.j = g1.j
+                        AND g2.i = g1.i + 1
+            WHERE g1.i < 63
+            GROUP BY 1, 2
+        ),
+        keep AS (
+            SELECT h.doc_id, h.j, h.phash
+            FROM h
+            JOIN (
+                SELECT phash
+                FROM (
+                    SELECT phash, COUNT(DISTINCT doc_id) AS nd
+                    FROM h GROUP BY 1
+                ) WHERE nd <= 50
+            ) ok USING (phash)
+        )
+        SELECT a.doc_id AS media_id_a, b.doc_id AS media_id_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared_frames
+        FROM keep a
+        JOIN keep b ON a.phash = b.phash AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    """,
+)
+def multimodal_frame_hash_matches_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The composition query of the multimodal pillar: frame_sample
+    fan-out -> perceptual_hash -> stop-frame cut -> postings equi-join.
+    128-byte frames so this corpus's documents span multiple frames
+    (max text 553 bytes); near-dup docs share their prefix frames
+    exactly, which is what the inverted index catches."""
+    from hadoop_map_reduce_spark.operators.multimodal import (
+        frame_hash_matches,
+    )
+
+    media = with_binary_content(load_table(spark, sf_dir, "documents"))
+    return frame_hash_matches(
+        media, every_n_bytes=128, max_frames=8, hot_threshold=50
+    )
+
+
+@register(
     "multimodal_resize_audit",
     tags=("llm", "multimodal"),
     description=(

@@ -136,6 +136,59 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
         assert e[key] == i[key]  # re-rank is exact cosine
 
 
+def test_pq_recall_and_exact_rerank(spark, sf_dir):
+    """PQ-ADC with refine=8 keeps usable top-5 recall, and every
+    returned neighbor's sim is the exact operator's value (the re-rank
+    is exact cosine — quantization can only cost recall, never sim)."""
+    exact = REGISTRY["similarity_topk"].fn(spark, sf_dir)
+    pq = REGISTRY["similarity_pq"].fn(spark, sf_dir)
+    e = {(r.query_id, r.neighbor_id): r.sim for r in exact.collect()}
+    p = {(r.query_id, r.neighbor_id): r.sim for r in pq.collect()}
+    hits = set(e) & set(p)
+    assert len(hits) / len(e) >= 0.5, f"PQ recall collapsed: {len(hits)/len(e)}"
+    for key in hits:
+        assert e[key] == p[key]
+
+
+def test_pq_codes_pack_and_training_is_deterministic(spark, sf_dir):
+    """Every packed code fits the m-nibble domain, distinct codes
+    actually compress the corpus (quantization is not the identity),
+    and two independent trainings produce identical codebooks — the
+    determinism every other pin relies on."""
+    from hadoop_map_reduce_spark.operators.pq import (
+        pq_encode,
+        pq_train_codebooks,
+    )
+    from hadoop_map_reduce_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    b1 = pq_train_codebooks(emb, m=8, ksub=16, n_iter=2)
+    b2 = pq_train_codebooks(emb, m=8, ksub=16, n_iter=2)
+    assert b1 == b2
+    assert len(b1) == 8 and all(len(bk) == 16 for bk in b1)
+    codes = pq_encode(emb, b1)
+    rows = codes.collect()
+    n = len(rows)
+    assert n > 0
+    assert all(0 <= r.pq_codes < (1 << 32) for r in rows)  # 8 nibbles
+    for j in range(8):  # every subspace quantizer actually discriminates
+        sub_codes = {(r.pq_codes >> (4 * j)) & 15 for r in rows}
+        assert 1 < len(sub_codes) <= 16, f"subspace {j}: {sub_codes}"
+
+
+def test_pq_driver_training_parity(spark, sf_dir):
+    """The driver-side Lloyd replay must reproduce the distributed
+    ``kmeans_lloyd`` trainer bit-for-bit — the claim the default
+    driver_train path stands on."""
+    from hadoop_map_reduce_spark.operators.pq import pq_train_codebooks
+    from hadoop_map_reduce_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    drv = pq_train_codebooks(emb, m=4, ksub=8, n_iter=2, driver_train=True)
+    dist = pq_train_codebooks(emb, m=4, ksub=8, n_iter=2, driver_train=False)
+    assert drv == dist
+
+
 def test_blas_neardup_matches_exact(spark, sf_dir):
     """The vectorized (numpy matmul) near-dup path finds the same pair
     set as the exact fold-based operator, with sims within float noise."""
@@ -431,6 +484,40 @@ def test_phash_banding_is_lossless_vs_brute_force(spark):
     assert got == want
     assert want  # the crafted corpus must actually exercise the join
     assert any(d > 4 for d in brute.values())  # and the exact verify
+
+
+def test_frame_hash_matches_semantics_and_hot_filter(spark):
+    """Crafted corpus: two media share two 128-byte frames (counted),
+    one shares a frame plus a sub-2-byte tail frame (tail excluded, no
+    hash-0 aliasing), five media share a 'title card' frame that trips
+    the hot threshold (dropped before the join, so they pair with
+    nobody)."""
+    from hadoop_map_reduce_spark.operators.multimodal import (
+        frame_hash_matches,
+        with_binary_content,
+    )
+
+    c0 = ("alpha beta gamma delta " * 8)[:128]
+    c1 = ("epsilon zeta eta theta " * 8)[:128]
+    hot = ("title card frame black " * 8)[:128]
+    rows = [
+        (1, c0 + c1 + ("unique tail one " * 8)[:128]),
+        (2, c0 + c1 + ("other tail two " * 9)[:128]),
+        (3, c0 + "z"),  # second frame is 1 byte -> excluded
+    ]
+    rows += [
+        (10 + i, hot + (f"solo tail {i} " * 12)[:128]) for i in range(5)
+    ]
+    media = with_binary_content(
+        spark.createDataFrame(rows, ["doc_id", "text"])
+    )
+    got = {
+        (r.media_id_a, r.media_id_b): r.n_shared_frames
+        for r in frame_hash_matches(
+            media, every_n_bytes=128, max_frames=8, hot_threshold=3
+        ).collect()
+    }
+    assert got == {(1, 2): 2, (1, 3): 1, (2, 3): 1}
 
 
 def test_phash_real_decoder_gated(spark):
