@@ -511,6 +511,109 @@ AUDIO_ENERGY_SCHEMA = StructType(
 )
 
 
+WINDOW_ENERGY_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("win_no", LongType()),
+        StructField("energy", LongType()),
+    ]
+)
+
+
+def audio_window_energies(media: DataFrame, window: int = 256) -> DataFrame:
+    """Per-window signal energy as ROWS (1 media row -> n_windows rows)
+    — the fan-out twin of :func:`audio_energy`'s rollup, feeding
+    downstream window-level analysis (activity segmentation, VAD-style
+    gating). Same vectorized NumPy arithmetic (unsigned 8-bit PCM,
+    center 128, ``add.reduceat`` per frame), all-integer, engine-exact;
+    still a straight shuffle-free map — the fan-out happens inside the
+    Arrow batch, bounded by payload size / window."""
+    if window <= 0:
+        raise ValueError("window must be positive")
+
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list[int] = []
+            wins: list[int] = []
+            energies: list[int] = []
+            for mid, payload in zip(pdf["media_id"], pdf["content"]):
+                arr = np.frombuffer(
+                    bytes(payload), dtype=np.uint8
+                ).astype(np.int64)
+                if not len(arr):
+                    continue
+                sq = (arr - 128) ** 2
+                cuts = np.arange(0, len(sq), window)
+                sums = np.add.reduceat(sq, cuts)
+                ids.extend([int(mid)] * len(sums))
+                wins.extend(range(len(sums)))
+                energies.extend(int(s) for s in sums)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "win_no": pd.Series(wins, dtype="int64"),
+                    "energy": pd.Series(energies, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(batches, WINDOW_ENERGY_SCHEMA)
+
+
+def audio_activity_segments(
+    media: DataFrame, window: int = 256, threshold: int = 125_000
+) -> DataFrame:
+    """Activity segmentation over the windowed energy stream — the
+    VAD-ish gaps-and-islands rollup: windows with ``energy >=
+    threshold`` are active; consecutive active windows form a segment
+    (``win_no - row_number`` per media is the island key, the standard
+    O(1)-state formulation). Per media: window/active counts, segment
+    count, and the longest active run. Every window is partitioned by
+    ``media_id`` — bounded per media, never a global sort."""
+    from pyspark.sql.window import Window as W
+
+    from hadoop_map_reduce_spark.operators.caching import cache_one_slot
+
+    # The energy table feeds two consumers (island rollup + window
+    # totals) — one-slot persist so the mapInPandas scan runs once.
+    e = cache_one_slot(
+        audio_window_energies(media, window), "audio_activity_energies"
+    )
+    act = e.filter(F.col("energy") >= threshold)
+    grp = act.withColumn(
+        "_g",
+        F.col("win_no")
+        - F.row_number().over(
+            W.partitionBy("media_id").orderBy("win_no")
+        ),
+    )
+    seg = grp.groupBy("media_id", "_g").agg(
+        F.count(F.lit(1)).alias("_run")
+    )
+    seg_stats = seg.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.max("_run").alias("longest_run"),
+    )
+    win_stats = e.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(
+            F.when(F.col("energy") >= threshold, 1).otherwise(0)
+        ).alias("n_active"),
+    )
+    return win_stats.join(seg_stats, "media_id", "left").select(
+        "media_id",
+        "n_windows",
+        "n_active",
+        F.coalesce(F.col("n_segments"), F.lit(0))
+        .cast("long")
+        .alias("n_segments"),
+        F.coalesce(F.col("longest_run"), F.lit(0))
+        .cast("long")
+        .alias("longest_run"),
+    )
+
+
 def audio_energy(media: DataFrame, window: int = 256) -> DataFrame:
     """Windowed signal energy over binary payloads treated as unsigned
     8-bit PCM — REAL vectorized DSP, not a decode stub: NumPy

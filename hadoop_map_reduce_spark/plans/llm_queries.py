@@ -578,6 +578,77 @@ def multimodal_frame_hash_matches_q(
 
 
 @register(
+    "multimodal_audio_segments",
+    tags=("llm", "multimodal"),
+    description=(
+        "VAD-style activity segmentation over windowed signal energy "
+        "(64-byte frames as unsigned 8-bit PCM, integer sum-of-squares, "
+        "active >= 125000): consecutive active windows form segments "
+        "via the gaps-and-islands key; per media the window/active "
+        "counts, segment count, and longest run — the oracle recomputes "
+        "the exact byte arithmetic and islanding in SQL."
+    ),
+    oracle="""
+        WITH pos AS (
+            SELECT doc_id,
+                   (p - 1) // 64 AS w,
+                   ord(substring(text, p, 1)) AS b
+            FROM (
+                SELECT doc_id, text,
+                       unnest(generate_series(1, length(text))) AS p
+                FROM documents
+            )
+        ),
+        e AS (
+            SELECT doc_id, w,
+                   SUM((b - 128) * (b - 128)) AS energy
+            FROM pos GROUP BY 1, 2
+        ),
+        act AS (SELECT doc_id, w FROM e WHERE energy >= 125000),
+        grp AS (
+            SELECT doc_id, w,
+                   w - ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY w) AS g
+            FROM act
+        ),
+        seg AS (SELECT doc_id, g, COUNT(*) AS run FROM grp GROUP BY 1, 2),
+        seg_stats AS (
+            SELECT doc_id,
+                   COUNT(*) AS n_segments,
+                   MAX(run) AS longest_run
+            FROM seg GROUP BY 1
+        ),
+        win_stats AS (
+            SELECT doc_id,
+                   COUNT(*) AS n_windows,
+                   SUM(CASE WHEN energy >= 125000 THEN 1 ELSE 0 END)
+                       AS n_active
+            FROM e GROUP BY 1
+        )
+        SELECT w.doc_id AS media_id,
+               CAST(w.n_windows AS BIGINT) AS n_windows,
+               CAST(w.n_active AS BIGINT) AS n_active,
+               CAST(COALESCE(s.n_segments, 0) AS BIGINT) AS n_segments,
+               CAST(COALESCE(s.longest_run, 0) AS BIGINT) AS longest_run
+        FROM win_stats w
+        LEFT JOIN seg_stats s ON s.doc_id = w.doc_id
+    """,
+)
+def multimodal_audio_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus is pure ASCII, so text codepoints are payload bytes —
+    the same byte-arithmetic bridge as multimodal_audio_energy's
+    oracle; the islanding is the sessionization pattern applied to a
+    signal stream, partitioned per media (bounded windows, no global
+    sort anywhere)."""
+    from hadoop_map_reduce_spark.operators.multimodal import (
+        audio_activity_segments,
+    )
+
+    media = with_binary_content(load_table(spark, sf_dir, "documents"))
+    return audio_activity_segments(media, window=64, threshold=125_000)
+
+
+@register(
     "multimodal_resize_audit",
     tags=("llm", "multimodal"),
     description=(

@@ -582,6 +582,35 @@ def test_phash_real_decoder_when_pil_present(spark):
     assert all(0 <= h < 1 << 63 for h in hs.values())
 
 
+def test_audio_activity_segments_islands(spark):
+    """Crafted PCM: byte 0x00 windows are active ((0-128)^2 * 64 >>
+    threshold), byte 0x80 windows are silent (energy 0); the island
+    rollup must count runs, not windows — and an all-silent payload
+    reports zero segments while an empty payload emits no windows at
+    all."""
+    from hadoop_map_reduce_spark.operators.multimodal import (
+        audio_activity_segments,
+    )
+
+    hi, lo = b"\x00" * 64, b"\x80" * 64
+    payloads = [
+        (1, hi + lo + hi + hi + b"\x80" * 10),  # runs: [w0], [w2,w3]
+        (2, lo + lo),                            # all silent
+        (3, b""),                                # no windows at all
+    ]
+    df = spark.createDataFrame(
+        [(i, "audio", p) for i, p in payloads],
+        ["media_id", "modality", "content"],
+    )
+    got = {
+        r.media_id: (r.n_windows, r.n_active, r.n_segments, r.longest_run)
+        for r in audio_activity_segments(
+            df, window=64, threshold=125_000
+        ).collect()
+    }
+    assert got == {1: (5, 3, 2, 2), 2: (2, 0, 0, 0)}
+
+
 def test_audio_energy_plan_is_shuffle_free(spark, sf_dir):
     from hadoop_map_reduce_spark.plans import REGISTRY
 
