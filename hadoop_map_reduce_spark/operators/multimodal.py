@@ -235,6 +235,98 @@ def perceptual_hash(
     return media.mapInPandas(batches, PHASH_SCHEMA)
 
 
+def _band_layout(max_hamming: int, hash_bits: int) -> tuple[list[int], list[int]]:
+    """(widths, offsets) of the ``max_hamming + 1`` pigeonhole bands."""
+    bands = max_hamming + 1
+    if bands > hash_bits:
+        raise ValueError("max_hamming + 1 bands need at least that many bits")
+    base, extra = divmod(hash_bits, bands)
+    widths = [base + (1 if i < extra else 0) for i in range(bands)]
+    offsets = [sum(widths[:i]) for i in range(bands)]
+    return widths, offsets
+
+
+def _band_structs(max_hamming: int, hash_bits: int):
+    """Column: array of (band_no, band_val) structs over ``phash`` —
+    explode once per row instead of unioning per-band selects (a union
+    re-executes the upstream hash scan per branch)."""
+    widths, offsets = _band_layout(max_hamming, hash_bits)
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("band_no"),
+                F.shiftright(F.col("phash"), offsets[i])
+                .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                .alias("band_val"),
+            )
+            for i in range(len(widths))
+        ]
+    )
+
+
+def _banded(hashes: DataFrame, max_hamming: int, hash_bits: int) -> DataFrame:
+    return hashes.select(
+        "media_id",
+        "phash",
+        F.explode(_band_structs(max_hamming, hash_bits)).alias("_b"),
+    ).select("media_id", "phash", "_b.band_no", "_b.band_val")
+
+
+def phash_blocked_ids(
+    batch_hashes: DataFrame,
+    store_hashes: DataFrame | None,
+    max_hamming: int = 2,
+    hash_bits: int = 63,
+) -> DataFrame:
+    """Batch ids BLOCKED by a perceptual-hash partner (Hamming <=
+    ``max_hamming``) in the store, or by a lower-id partner within the
+    batch — the greedy, non-recursive admission rule of the streaming
+    near-dup admitters, factored over two ``(media_id, phash)`` tables.
+
+    Unlike the MinHash twin (``dedup.lsh_blocked_ids``), the pigeonhole
+    banding here is LOSSLESS for the threshold — no recall assumption
+    connects the engine to an exact-pair oracle. Plan shape: band
+    equi-joins batch x store plus a band self-join within the batch,
+    ``bit_count(xor)`` exact verify on candidates only; the store side
+    ships only 16-byte ``(id, hash)`` rows and cost is proportional to
+    the BATCH — the per-increment property streaming admission needs
+    against a 100-TB store."""
+    bb = _banded(batch_hashes, max_hamming, hash_bits)
+    hamming = F.bit_count(F.col("_hq").bitwiseXOR(F.col("_hb")))
+    b_side = bb.select(
+        F.col("media_id").alias("_blocked"),
+        F.col("phash").alias("_hb"),
+        "band_no",
+        "band_val",
+    )
+
+    self_q = bb.select(
+        F.col("media_id").alias("_q"),
+        F.col("phash").alias("_hq"),
+        "band_no",
+        "band_val",
+    )
+    blocked = (
+        b_side.join(self_q, ["band_no", "band_val"])
+        .filter(F.col("_q") < F.col("_blocked"))
+        .filter(hamming <= max_hamming)
+        .select("_blocked")
+    )
+    if store_hashes is not None:
+        sq = _banded(store_hashes, max_hamming, hash_bits).select(
+            F.col("media_id").alias("_q"),
+            F.col("phash").alias("_hq"),
+            "band_no",
+            "band_val",
+        )
+        blocked = blocked.unionAll(
+            b_side.join(sq, ["band_no", "band_val"])
+            .filter(hamming <= max_hamming)
+            .select("_blocked")
+        )
+    return blocked.distinct().select(F.col("_blocked").alias("media_id"))
+
+
 def phash_near_dup(
     hashes: DataFrame, max_hamming: int = 2, hash_bits: int = 63
 ) -> DataFrame:
@@ -259,39 +351,17 @@ def phash_near_dup(
     """
     from hadoop_map_reduce_spark.operators.caching import cache_one_slot
 
-    bands = max_hamming + 1
-    if bands > hash_bits:
-        raise ValueError("max_hamming + 1 bands need at least that many bits")
-    base, extra = divmod(hash_bits, bands)
-    widths = [base + (1 if i < extra else 0) for i in range(bands)]
-    offsets = [sum(widths[:i]) for i in range(bands)]
-
     # The hash table feeds both join sides — one-slot persist so the
     # upstream mapInPandas decode/hash scan runs ONCE, not once per
     # consumer branch (Catalyst never CSEs across branches; the
     # round-3 re-inlining trap, BASELINE.md). Banding is a single
     # explode over one struct array, not a per-band union of selects,
-    # so the cached 16-byte rows fan out to 5 in-flight rows without
-    # re-reading anything.
+    # so the cached 16-byte rows fan out to band_count in-flight rows
+    # without re-reading anything.
     hashes = cache_one_slot(
         hashes.select("media_id", "phash"), "phash_neardup_hashes"
     )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).cast("int").alias("band_no"),
-                F.shiftright(F.col("phash"), offsets[i])
-                .bitwiseAND(F.lit((1 << widths[i]) - 1))
-                .alias("band_val"),
-            )
-            for i in range(bands)
-        ]
-    )
-    banded = hashes.select(
-        "media_id",
-        "phash",
-        F.explode(band_structs).alias("_b"),
-    ).select("media_id", "phash", "_b.band_no", "_b.band_val")
+    banded = _banded(hashes, max_hamming, hash_bits)
 
     a = banded.select(
         F.col("media_id").alias("media_id_a"),

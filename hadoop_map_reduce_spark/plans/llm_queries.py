@@ -384,65 +384,12 @@ def multimodal_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "multimodal_phash",
-    tags=("llm", "multimodal"),
-    description=(
-        "63-bit histogram-gradient perceptual hash per media payload "
-        "(dHash family over the byte-bigram intensity profile, NumPy "
-        "bincount in a shuffle-free mapInPandas); the oracle recomputes "
-        "the identical integer arithmetic in SQL — bucket adjacent byte "
-        "pairs, gradient-compare adjacent bucket counts, pack bits."
-    ),
-    oracle="""
-        WITH buck AS (
-            SELECT doc_id,
-                   (ord(substring(text, j, 1)) * 30
-                    + ord(substring(text, j + 1, 1))) % 64 AS k
-            FROM (
-                SELECT doc_id, text,
-                       unnest(generate_series(1, length(text) - 1)) AS j
-                FROM documents
-            )
-        ),
-        cnt AS (SELECT doc_id, k, COUNT(*) AS c FROM buck GROUP BY 1, 2),
-        grid AS (
-            SELECT d.doc_id, i.i, COALESCE(cnt.c, 0) AS c
-            FROM (SELECT doc_id FROM documents) d
-            CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) i
-            LEFT JOIN cnt ON cnt.doc_id = d.doc_id AND cnt.k = i.i
-        )
-        SELECT g1.doc_id AS media_id,
-               CAST(SUM(CASE WHEN g1.c > g2.c
-                             THEN (CAST(1 AS BIGINT) << g1.i)
-                             ELSE 0 END) AS BIGINT) AS phash
-        FROM grid g1
-        JOIN grid g2 ON g2.doc_id = g1.doc_id AND g2.i = g1.i + 1
-        WHERE g1.i < 63
-        GROUP BY 1
-    """,
-)
-def multimodal_phash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Every document payload is >= 2 bytes in the corpus, so the
-    degenerate hash-0 branch never fires here; the oracle's pair
-    enumeration likewise always has at least one bigram per doc."""
-    media = with_binary_content(load_table(spark, sf_dir, "documents"))
-    return perceptual_hash(media)
-
-
-@register(
-    "multimodal_phash_neardup",
-    tags=("llm", "multimodal"),
-    headline=True,
-    description=(
-        "Image/media near-duplicate pairs by perceptual-hash Hamming "
-        "distance <= 2: 3-band pigeonhole equi-join (no all-pairs "
-        "product) + bit_count(xor) exact verify on candidates; the "
-        "banding is provably lossless for the threshold, so the oracle "
-        "can afford the quadratic form at sf and still match exactly."
-    ),
-    oracle="""
-        WITH buck AS (
+# Shared phash-recompute SQL: CTE body yielding h(doc_id, phash) — the
+# exact integer arithmetic of operators.multimodal.perceptual_hash
+# (byte-bigram buckets, mult 30, 64 buckets, 63 gradient bits). Reused
+# by the per-doc hash, pair, and streaming-admission oracles.
+_PHASH_H_SQL = """
+        buck AS (
             SELECT doc_id,
                    (ord(substring(text, j, 1)) * 30
                     + ord(substring(text, j + 1, 1))) % 64 AS k
@@ -469,6 +416,45 @@ def multimodal_phash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE g1.i < 63
             GROUP BY 1
         )
+"""
+
+
+@register(
+    "multimodal_phash",
+    tags=("llm", "multimodal"),
+    description=(
+        "63-bit histogram-gradient perceptual hash per media payload "
+        "(dHash family over the byte-bigram intensity profile, NumPy "
+        "bincount in a shuffle-free mapInPandas); the oracle recomputes "
+        "the identical integer arithmetic in SQL — bucket adjacent byte "
+        "pairs, gradient-compare adjacent bucket counts, pack bits."
+    ),
+    oracle=f"""
+        WITH {_PHASH_H_SQL}
+        SELECT doc_id AS media_id, phash FROM h
+    """,
+)
+def multimodal_phash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document payload is >= 2 bytes in the corpus, so the
+    degenerate hash-0 branch never fires here; the oracle's pair
+    enumeration likewise always has at least one bigram per doc."""
+    media = with_binary_content(load_table(spark, sf_dir, "documents"))
+    return perceptual_hash(media)
+
+
+@register(
+    "multimodal_phash_neardup",
+    tags=("llm", "multimodal"),
+    headline=True,
+    description=(
+        "Image/media near-duplicate pairs by perceptual-hash Hamming "
+        "distance <= 2: 3-band pigeonhole equi-join (no all-pairs "
+        "product) + bit_count(xor) exact verify on candidates; the "
+        "banding is provably lossless for the threshold, so the oracle "
+        "can afford the quadratic form at sf and still match exactly."
+    ),
+    oracle=f"""
+        WITH {_PHASH_H_SQL}
         SELECT a.doc_id AS media_id_a,
                b.doc_id AS media_id_b,
                CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming

@@ -29,22 +29,25 @@ from hadoop_map_reduce_spark.plans.reference_queries import (
     _ORACLE_TOKENS,
 )
 from hadoop_map_reduce_spark.plans.registry import register
+from hadoop_map_reduce_spark.plans.llm_queries import _PHASH_H_SQL
 from hadoop_map_reduce_spark.plans.relational_queries import _sql_sum, exact_sum
 from hadoop_map_reduce_spark.plans.timeseries_queries import _EWMA_ORACLE
 from hadoop_map_reduce_spark.session import load_table
 
-# stream_neardup_lsh one-slot state: the manifest result is eagerly
+# Streaming-admission one-slot state (stream_neardup_lsh and
+# stream_phash_neardup): each query's manifest result is eagerly
 # localCheckpointed before the invocation's working dir is deleted, so a
-# held result DataFrame stays valid after cleanup; the one-slot release
-# frees the PREVIOUS invocation's checkpoint blocks. Lock serializes
-# concurrent invocations (module-global slot).
+# held result DataFrame stays valid after cleanup; the per-query slot
+# release frees that query's PREVIOUS invocation's checkpoint blocks.
+# Lock serializes concurrent invocations (module-global slots).
 _NEARDUP_LOCK = threading.Lock()
-_NEARDUP_PREV_RELEASE: Callable[[], None] | None = None
+_NEARDUP_PREV_RELEASE: dict[str, Callable[[], None]] = {}
 
 
 def _cleanup_neardup_slot() -> None:
-    if _NEARDUP_PREV_RELEASE is not None:
-        _NEARDUP_PREV_RELEASE()
+    for release in _NEARDUP_PREV_RELEASE.values():
+        release()
+    _NEARDUP_PREV_RELEASE.clear()
 
 
 atexit.register(_cleanup_neardup_slot)
@@ -439,20 +442,41 @@ def stream_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     are one-slot: each invocation releases the previous one's (tracked
     via checkpoint.local_checkpoint), the last at interpreter exit; a
     module lock serializes concurrent invocations over that slot."""
+    from hadoop_map_reduce_spark.streaming.neardup import NearDupAdmitter
+
+    return _run_admission_harness(
+        spark,
+        sf_dir,
+        "neardup",
+        lambda store: NearDupAdmitter(store, threshold=0.5),
+    )
+
+
+def _run_admission_harness(
+    spark: SparkSession,
+    sf_dir: str,
+    slot: str,
+    make_admitter,
+) -> DataFrame:
+    """Shared harness for the streaming-admission queries: write the two
+    arrival increments (doc_id%4==0 then ==1, ascending mtimes so
+    maxFilesPerTrigger=1 + availableNow processes them in order), seed
+    the store with the rest of the corpus (%4 in (2,3)), drive the
+    foreachBatch stream, and return the eagerly-localCheckpointed
+    admitted manifest (the mkdtemp working set is deleted BEFORE
+    returning — a held result never dangles on removed parquet; the
+    per-``slot`` release frees the previous invocation's checkpoint
+    blocks)."""
     import shutil
     import tempfile
     import time
 
     from hadoop_map_reduce_spark.checkpoint import local_checkpoint
-    from hadoop_map_reduce_spark.streaming.neardup import (
-        NearDupAdmitter,
-        run_neardup_stream,
-    )
+    from hadoop_map_reduce_spark.streaming.neardup import run_neardup_stream
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    global _NEARDUP_PREV_RELEASE
     with _NEARDUP_LOCK:
-        base = tempfile.mkdtemp(prefix="hmrs_stream_neardup_")
+        base = tempfile.mkdtemp(prefix=f"hmrs_stream_{slot}_")
         try:
             arrivals = os.path.join(base, "arrivals")
             os.makedirs(arrivals)
@@ -475,9 +499,7 @@ def stream_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 docs.filter(F.col("doc_id") % 4 == 1), "b1", now - 60
             )
 
-            admitter = NearDupAdmitter(
-                os.path.join(base, "store"), threshold=0.5
-            )
+            admitter = make_admitter(os.path.join(base, "store"))
             admitter.seed(docs.filter((F.col("doc_id") % 4).isin(2, 3)))
             manifest = run_neardup_stream(
                 arrivals,
@@ -487,12 +509,82 @@ def stream_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 docs.schema,
             )
             result, release = local_checkpoint(manifest)
-            if _NEARDUP_PREV_RELEASE is not None:
-                _NEARDUP_PREV_RELEASE()
-            _NEARDUP_PREV_RELEASE = release
+            prev = _NEARDUP_PREV_RELEASE.get(slot)
+            if prev is not None:
+                prev()
+            _NEARDUP_PREV_RELEASE[slot] = release
             return result
         finally:
             shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "stream_phash_neardup",
+    tags=("streaming", "dedup", "multimodal"),
+    description=(
+        "Streaming MEDIA near-dup admission: the perceptual-hash twin "
+        "of stream_neardup_lsh — arriving micro-batches are admitted "
+        "iff no payload within Hamming 2 of their 63-bit pHash exists "
+        "in the append-only (id, phash) store or earlier in their own "
+        "batch; pigeonhole banding is lossless for the threshold, so "
+        "engine and exact-pair oracle agree with NO recall assumption. "
+        "The oracle replays the same greedy two-increment admission in "
+        "SQL over exact Hamming pairs."
+    ),
+    oracle=f"""
+        WITH {_PHASH_H_SQL},
+        near AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM h a
+            JOIN h b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 2
+        ),
+        dup AS (
+            SELECT id_b AS b, id_a AS q FROM near
+            UNION ALL
+            SELECT id_a AS b, id_b AS q FROM near
+        ),
+        a AS (
+            SELECT d.doc_id FROM documents d
+            WHERE d.doc_id % 4 = 0
+              AND NOT EXISTS (
+                SELECT 1 FROM dup
+                WHERE dup.b = d.doc_id
+                  AND (dup.q % 4 IN (2, 3)
+                       OR (dup.q % 4 = 0 AND dup.q < d.doc_id)))
+        ),
+        bb AS (
+            SELECT d.doc_id FROM documents d
+            WHERE d.doc_id % 4 = 1
+              AND NOT EXISTS (
+                SELECT 1 FROM dup
+                WHERE dup.b = d.doc_id
+                  AND (dup.q % 4 IN (2, 3)
+                       OR dup.q IN (SELECT doc_id FROM a)
+                       OR (dup.q % 4 = 1 AND dup.q < d.doc_id)))
+        )
+        SELECT doc_id, CAST(0 AS BIGINT) AS batch FROM a
+        UNION ALL
+        SELECT doc_id, CAST(1 AS BIGINT) AS batch FROM bb
+    """,
+)
+def stream_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same harness, working-set lifecycle, and AS-OF-batch replay
+    safety as stream_neardup_lsh (shared _run_admission_harness);
+    only the similarity family differs — the store holds 16-byte
+    (id, phash) rows instead of 64-hash MinHash signatures, blocking
+    is the lossless band join + bit_count(xor) verify
+    (streaming/neardup.PhashAdmitter). Greedy rule is non-recursive:
+    a batch doc is blocked by ANY lower-id batch partner within the
+    threshold, admitted or not, matching the oracle's NOT EXISTS."""
+    from hadoop_map_reduce_spark.streaming.neardup import PhashAdmitter
+
+    return _run_admission_harness(
+        spark,
+        sf_dir,
+        "phash",
+        lambda store: PhashAdmitter(store, max_hamming=2),
+    )
 
 
 @register(

@@ -1,5 +1,8 @@
-"""Streaming near-duplicate admission: MinHash-LSH in ``foreachBatch``
-against an append-only signature store.
+"""Streaming near-duplicate admission in ``foreachBatch`` against an
+append-only signature store — two similarity families behind one
+harness: MinHash-LSH over text shingles (``NearDupAdmitter``) and
+perceptual-hash Hamming blocking over media payloads
+(``PhashAdmitter``).
 
 Closes the loop between the batch incremental dedup
 (``plans/curation_queries.py::dedup_incremental``) and the streaming CDC
@@ -40,8 +43,13 @@ from hadoop_map_reduce_spark.operators.dedup import (
 )
 
 
-class NearDupAdmitter:
-    """The ``foreachBatch`` body plus its store bookkeeping.
+class IncrementalAdmitter:
+    """Shared ``foreachBatch`` body + store bookkeeping for greedy
+    streaming admission: subclasses define the per-document signature
+    table (``_sig``) and the blocking rule over (batch, store)
+    signature tables (``_blocked``); everything else — the append-only
+    increment store, AS-OF-batch replay safety, the per-batch admitted
+    manifest — is the same machinery whatever the similarity family.
 
     Admissions are written per batch as an idempotent parquet increment
     under ``<store_dir>/manifest/b<batch_id>`` — the same
@@ -51,23 +59,9 @@ class NearDupAdmitter:
     ``result()`` reads the manifest back as a DataFrame.
     """
 
-    def __init__(
-        self,
-        store_dir: str,
-        threshold: float = 0.5,
-        n: int = 3,
-        num_hashes: int = 64,
-        bands: int = 32,
-        id_col: str = "doc_id",
-        text_col: str = "text",
-    ) -> None:
+    def __init__(self, store_dir: str, id_col: str = "doc_id") -> None:
         self.store_dir = store_dir
-        self.threshold = threshold
-        self.n = n
-        self.num_hashes = num_hashes
-        self.bands = bands
         self.id_col = id_col
-        self.text_col = text_col
         self.manifest_dir = os.path.join(store_dir, "manifest")
         # Manifest id type: derived from the first seen batch/seed schema
         # so non-numeric (e.g. string) doc ids round-trip; "bigint" is
@@ -76,13 +70,14 @@ class NearDupAdmitter:
         os.makedirs(store_dir, exist_ok=True)
 
     def _sig(self, docs: DataFrame) -> DataFrame:
-        return minhash_sig_table(
-            docs,
-            n=self.n,
-            num_hashes=self.num_hashes,
-            text_col=self.text_col,
-            id_col=self.id_col,
-        )
+        raise NotImplementedError
+
+    def _blocked(
+        self, batch_sig: DataFrame, store_sig: DataFrame | None
+    ) -> DataFrame:
+        """Single-column DataFrame of blocked batch ids (named
+        ``id_col``)."""
+        raise NotImplementedError
 
     def _store_subdirs(self, before_batch: int | None = None) -> list[str]:
         """Committed store increments; with ``before_batch`` set, only
@@ -138,13 +133,9 @@ class NearDupAdmitter:
             # store-vs-batch band join (whose store side scans every
             # prior increment) runs once per batch, not once per
             # consumer.
-            blocked = lsh_blocked_ids(
+            blocked = self._blocked(
                 batch_sig,
                 self.read_store(spark, before_batch=int(batch_id)),
-                self.threshold,
-                bands=self.bands,
-                num_hashes=self.num_hashes,
-                id_col=self.id_col,
             ).persist()
             # Admission is decided over ALL batch ids: docs too short to
             # shingle have no signature, can never collide, and are
@@ -193,10 +184,106 @@ class NearDupAdmitter:
         return spark.read.parquet(*dirs)
 
 
+class NearDupAdmitter(IncrementalAdmitter):
+    """MinHash-LSH text admission: signatures are banded MinHash tables
+    (``dedup.minhash_sig_table``), blocking is the banded candidate
+    join + exact trigram-Jaccard verify (``dedup.lsh_blocked_ids``)."""
+
+    def __init__(
+        self,
+        store_dir: str,
+        threshold: float = 0.5,
+        n: int = 3,
+        num_hashes: int = 64,
+        bands: int = 32,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> None:
+        super().__init__(store_dir, id_col=id_col)
+        self.threshold = threshold
+        self.n = n
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.text_col = text_col
+
+    def _sig(self, docs: DataFrame) -> DataFrame:
+        return minhash_sig_table(
+            docs,
+            n=self.n,
+            num_hashes=self.num_hashes,
+            text_col=self.text_col,
+            id_col=self.id_col,
+        )
+
+    def _blocked(
+        self, batch_sig: DataFrame, store_sig: DataFrame | None
+    ) -> DataFrame:
+        return lsh_blocked_ids(
+            batch_sig,
+            store_sig,
+            self.threshold,
+            bands=self.bands,
+            num_hashes=self.num_hashes,
+            id_col=self.id_col,
+        )
+
+
+class PhashAdmitter(IncrementalAdmitter):
+    """Perceptual-hash media admission: signatures are 16-byte
+    ``(id, phash)`` rows (``multimodal.perceptual_hash`` over the
+    payload), blocking is the lossless pigeonhole band join + exact
+    ``bit_count(xor)`` Hamming verify
+    (``multimodal.phash_blocked_ids``) — so unlike the MinHash twin, NO
+    recall assumption connects the engine to an exact-pair oracle: the
+    banded candidates provably contain every pair within the
+    threshold. The store is 4x slimmer than the MinHash signature
+    store, which is the point at media-corpus scale."""
+
+    def __init__(
+        self,
+        store_dir: str,
+        max_hamming: int = 2,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> None:
+        super().__init__(store_dir, id_col=id_col)
+        self.max_hamming = max_hamming
+        self.text_col = text_col
+
+    def _sig(self, docs: DataFrame) -> DataFrame:
+        from hadoop_map_reduce_spark.operators.multimodal import (
+            perceptual_hash,
+            with_binary_content,
+        )
+
+        media = with_binary_content(
+            docs, text_col=self.text_col, id_col=self.id_col
+        )
+        return perceptual_hash(media).select(
+            F.col("media_id").alias(self.id_col), "phash"
+        )
+
+    def _blocked(
+        self, batch_sig: DataFrame, store_sig: DataFrame | None
+    ) -> DataFrame:
+        from hadoop_map_reduce_spark.operators.multimodal import (
+            phash_blocked_ids,
+        )
+
+        as_media = lambda df: df.select(  # noqa: E731
+            F.col(self.id_col).alias("media_id"), "phash"
+        )
+        return phash_blocked_ids(
+            as_media(batch_sig),
+            None if store_sig is None else as_media(store_sig),
+            max_hamming=self.max_hamming,
+        ).select(F.col("media_id").alias(self.id_col))
+
+
 def run_neardup_stream(
     arrivals_dir: str,
     checkpoint_dir: str,
-    admitter: NearDupAdmitter,
+    admitter: IncrementalAdmitter,
     spark: SparkSession,
     schema,
 ) -> DataFrame:

@@ -109,3 +109,63 @@ def test_blocking_plan_has_no_cartesian(spark, sf_dir):
     plan = blocked._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_phash_blocked_ids_matches_exact_hamming_rule(spark, sf_dir):
+    """The pigeonhole blocking must equal the exact greedy rule —
+    blocked iff a Hamming<=2 partner exists in the store or at a lower
+    id in the batch — with NO recall slack (banding is lossless for
+    the threshold)."""
+    from hadoop_map_reduce_spark.operators.multimodal import (
+        perceptual_hash,
+        phash_blocked_ids,
+        with_binary_content,
+    )
+    from hadoop_map_reduce_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    h = {
+        r.media_id: r.phash
+        for r in perceptual_hash(with_binary_content(docs)).collect()
+    }
+    batch_ids = {i for i in h if i % 4 == 0}
+    store_ids = set(h) - batch_ids
+    as_hashes = lambda ids: spark.createDataFrame(  # noqa: E731
+        [(i, h[i]) for i in sorted(ids)], "media_id long, phash long"
+    )
+    blocked = {
+        r.media_id
+        for r in phash_blocked_ids(
+            as_hashes(batch_ids), as_hashes(store_ids), max_hamming=2
+        ).collect()
+    }
+
+    def ham(a, b):
+        return bin(h[a] ^ h[b]).count("1")
+
+    expect = {
+        x
+        for x in batch_ids
+        if any(ham(x, q) <= 2 for q in store_ids)
+        or any(ham(x, q) <= 2 for q in batch_ids if q < x)
+    }
+    assert blocked == expect
+    assert expect  # planted near-dups cross the split
+
+
+def test_phash_blocking_plan_has_no_cartesian(spark, sf_dir):
+    from hadoop_map_reduce_spark.operators.multimodal import (
+        perceptual_hash,
+        phash_blocked_ids,
+        with_binary_content,
+    )
+    from hadoop_map_reduce_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hashes = perceptual_hash(with_binary_content(docs))
+    batch = hashes.filter(F.col("media_id") % 4 == 0)
+    store = hashes.filter(F.col("media_id") % 4 != 0)
+    blocked = phash_blocked_ids(batch, store, max_hamming=2)
+    plan = blocked._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
