@@ -193,3 +193,36 @@ def test_skyline_kernel_matches_brute_force(pts, chunk):
         if (float(a), float(b)) in expected_set
     )
     assert got == expected
+
+
+@settings(deadline=None)
+@given(
+    st.integers(min_value=0, max_value=(1 << 63) - 1),
+    st.sets(st.integers(min_value=0, max_value=62), max_size=2),
+    st.integers(min_value=1, max_value=6),
+)
+def test_phash_band_layout_pigeonhole(h, flips, max_hamming):
+    """The band layout must (a) partition all 63 bits disjointly and
+    (b) satisfy the pigeonhole guarantee: any two hashes differing in
+    <= max_hamming bits agree exactly on at least one band — the
+    property phash_near_dup's candidate join is lossless BECAUSE of."""
+    from hadoop_map_reduce_spark.operators.multimodal import _band_layout
+
+    widths, offsets = _band_layout(max_hamming, 63)
+    assert sum(widths) == 63
+    assert offsets == sorted(offsets)
+    covered = []
+    for w, o in zip(widths, offsets):
+        covered.extend(range(o, o + w))
+    assert sorted(covered) == list(range(63))  # disjoint, complete
+
+    if len(flips) > max_hamming:
+        flips = set(list(flips)[:max_hamming])
+    h2 = h
+    for b in flips:
+        h2 ^= 1 << b
+    bands_equal = [
+        ((h >> o) & ((1 << w) - 1)) == ((h2 >> o) & ((1 << w) - 1))
+        for w, o in zip(widths, offsets)
+    ]
+    assert any(bands_equal)
