@@ -568,6 +568,130 @@ def events_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_locf_segmented",
+    tags=("timeseries", "window"),
+    description=(
+        "Segmented (partition-parallel) twin of events_locf: the "
+        "carry/interpolate windows run per weekly spine SEGMENT, and "
+        "cross-segment carries are stitched through a segment-summary "
+        "table (the classic distributed prefix-scan decomposition) — "
+        "identical output, but the only unpartitioned window touches "
+        "one row per segment instead of one row per hour."
+    ),
+    oracle=_LOCF_ORACLE,
+)
+def events_locf_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_locf's hour spine is broadcast-sized for any sane time
+    range, so its unpartitioned window is fine; at minute/second grain
+    over decades it would not be. This twin shows the scale form:
+    per-segment windows (partitionBy seg — fully parallel), then a
+    summary row per segment (last/first known observation) through ONE
+    tiny unpartitioned window (rows = segments = spine/168), then the
+    per-hour carry is COALESCE(in-segment carry, segment carry-in).
+    Values are moved, never recomputed, so doubles are bit-identical
+    to events_locf and the shared oracle. Aggregates use
+    max_by/min_by keyed on known_h (null keys are skipped, so silent
+    hours never win the summary)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 10000).cast("long")).alias("v_e4"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("t0"), F.col("t1"), F.expr("interval 1 hour"))
+        ).alias("hour")
+    )
+    mean_v = F.col("v_e4") / F.col("n") / F.lit(10000.0)
+    j = spine.join(hourly, "hour", "left").select(
+        "hour",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        mean_v.alias("mean_v"),
+        F.when(
+            F.col("n").isNotNull(), F.unix_timestamp(F.col("hour"))
+        ).alias("known_h"),
+        F.floor(F.unix_timestamp(F.col("hour")) / (168 * 3600)).alias(
+            "seg"
+        ),
+    )
+    w_back = Window.partitionBy("seg").orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_fwd = Window.partitionBy("seg").orderBy("hour").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    local = j.select(
+        "hour",
+        "n_events",
+        "mean_v",
+        "known_h",
+        "seg",
+        F.last("mean_v", ignorenulls=True).over(w_back).alias("in_prev_v"),
+        F.last("known_h", ignorenulls=True).over(w_back).alias("in_prev_h"),
+        F.first("mean_v", ignorenulls=True).over(w_fwd).alias("in_next_v"),
+        F.first("known_h", ignorenulls=True).over(w_fwd).alias("in_next_h"),
+    )
+    seg_sum = j.filter(F.col("known_h").isNotNull()).groupBy("seg").agg(
+        F.max_by("mean_v", "known_h").alias("last_v"),
+        F.max("known_h").alias("last_h"),
+        F.min_by("mean_v", "known_h").alias("first_v"),
+        F.min("known_h").alias("first_h"),
+    )
+    # The ONLY unpartitioned windows: one pass over the spine's
+    # DISTINCT segments left-joined to the summaries (one row per week
+    # of spine — thousands of rows per century; empty segments carry
+    # nulls and are skipped by ignorenulls). Carry INTO a segment
+    # strictly excludes the segment's own observations (frame ends at
+    # -1 / starts at +1). last_v/last_h (and first_v/first_h) come
+    # from the same aggregation over known rows, so they are null
+    # together — no struct atomicity needed (events_locf's argument).
+    spine_segs = j.select("seg").distinct()
+    seg_join = spine_segs.join(seg_sum, "seg", "left")
+    sw_back = Window.orderBy("seg").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sw_fwd = Window.orderBy("seg").rowsBetween(1, Window.unboundedFollowing)
+    seg_carries = seg_join.select(
+        "seg",
+        F.last("last_v", ignorenulls=True).over(sw_back).alias("carry_v"),
+        F.last("last_h", ignorenulls=True).over(sw_back).alias("carry_h"),
+        F.first("first_v", ignorenulls=True).over(sw_fwd).alias("nxt_v"),
+        F.first("first_h", ignorenulls=True).over(sw_fwd).alias("nxt_h"),
+    )
+    stitched = local.join(seg_carries, "seg", "left").select(
+        "hour",
+        "n_events",
+        "mean_v",
+        F.coalesce(F.col("in_prev_v"), F.col("carry_v")).alias("prev_v"),
+        F.coalesce(F.col("in_prev_h"), F.col("carry_h")).alias("prev_h"),
+        F.coalesce(F.col("in_next_v"), F.col("nxt_v")).alias("next_v"),
+        F.coalesce(F.col("in_next_h"), F.col("nxt_h")).alias("next_h"),
+    )
+    interp = (
+        F.when(F.col("mean_v").isNotNull(), F.col("mean_v"))
+        .when(F.col("prev_v").isNull() | F.col("next_v").isNull(), F.lit(None))
+        .otherwise(
+            F.col("prev_v")
+            + (F.col("next_v") - F.col("prev_v"))
+            * (F.unix_timestamp(F.col("hour")) - F.col("prev_h"))
+            / (F.col("next_h") - F.col("prev_h"))
+        )
+    )
+    return stitched.select(
+        "hour",
+        "n_events",
+        F.col("prev_v").alias("locf_value"),
+        interp.alias("interp_value"),
+    )
+
+
+@register(
     "similarity_user_profiles",
     tags=("timeseries", "llm", "similarity"),
     description=(
