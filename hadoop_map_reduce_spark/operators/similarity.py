@@ -66,6 +66,67 @@ def cosine_topk(
     )
 
 
+def rp_sign_matrix(dim: int, out_dims: int) -> list[list[int]]:
+    """Deterministic ±1 (Achlioptas) JL sign matrix,
+    ``signs[i][j] = 1 - 2*(md5(f"{i}:{j}")[0] & 1)``. md5 gives true
+    equidistribution (measured on 64x16: column balance and Gram
+    off-diagonals match i.i.d. ±1 — every multiplicative-hash variant
+    tried produced near-duplicate columns); the matrix is a SOURCE
+    LITERAL derivable in any language, so the SQL oracle bakes the
+    identical constants (the Benford-constants precedent), not a
+    reimplementation of md5."""
+    import hashlib
+
+    return [
+        [
+            1 - 2 * (hashlib.md5(f"{i}:{j}".encode()).digest()[0] & 1)
+            for j in range(out_dims)
+        ]
+        for i in range(dim)
+    ]
+
+
+def random_projection_e6(
+    df: DataFrame,
+    out_dims: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection with a ±1 (Achlioptas)
+    sign matrix, in EXACT integer arithmetic: each input coordinate is
+    quantized to micro-units (``round(x*1e6)`` BIGINT, the
+    search_hybrid_rrf device) and each output coordinate is the signed
+    integer sum ``p_j = Σ_i e6(v_i) * s[i][j]`` — no float accumulates
+    across an engine boundary, so the projection is bit-oracle-able.
+
+    Plan shape: ONE shuffle-free projection per row — the per-j sums
+    are a fold over the zipped (vector, sign-column) arrays, all JVM
+    codegen against literal signs, no explode and no aggregation. At
+    100 TB the output is ``out_dims/dim`` of the input width (64→16
+    here: 4x narrower before any ANN/clustering stage consumes it). JL
+    distance preservation is verified empirically by the correlation
+    test, not assumed (this corpus is near-isotropic, so the
+    correlation is modest by nature and NN-recall pins do not apply).
+    """
+    signs = rp_sign_matrix(dim, out_dims)
+    vec = F.col(vec_col).cast("array<double>")
+    e6 = F.transform(vec, lambda x: F.round(x * 1e6).cast("long"))
+    cols = []
+    for j in range(out_dims):
+        s_col = F.array(
+            *[F.lit(signs[i][j]).cast("long") for i in range(dim)]
+        )
+        cols.append(
+            F.aggregate(
+                F.zip_with(e6, s_col, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias(f"p{j}")
+        )
+    return df.select(F.col(id_col), *cols)
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rng = random.Random(seed)
     planes = []

@@ -147,6 +147,65 @@ def similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk_adc(codes, emb, queries, books, k=5, refine=8)
 
 
+def _rp_oracle() -> str:
+    """SQL twin of random_projection_e6: the md5-derived sign matrix is
+    baked as per-output-dim array LITERALS (source constants, same
+    bytes as the Spark plan), summed against 1e6-quantized coordinates
+    — exact BIGINT on both engines."""
+    from hadoop_map_reduce_spark.operators.similarity import rp_sign_matrix
+
+    signs = rp_sign_matrix(64, 16)
+    projs = ",\n            ".join(
+        "CAST(list_sum([e6[i] * ([{lits}])[i] "
+        "for i in generate_series(1, 64)]) AS BIGINT) AS p{j}".format(
+            lits=", ".join(str(signs[i][j]) for i in range(64)), j=j
+        )
+        for j in range(16)
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id,
+                   [CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                    for x in embedding] AS e6
+            FROM embeddings
+        )
+        SELECT vec_id,
+            {projs}
+        FROM e
+    """
+
+
+@register(
+    "embedding_random_projection",
+    tags=("llm", "similarity"),
+    description=(
+        "Johnson-Lindenstrauss random projection 64 -> 16 dims with a "
+        "deterministic +/-1 Achlioptas sign matrix (md5-derived source "
+        "literals, identical constants in both engines): coordinates "
+        "quantized to round(x*1e6) BIGINT, outputs are exact signed "
+        "integer folds — no float crosses the engine boundary, no "
+        "shuffle anywhere in the plan."
+    ),
+    oracle=_rp_oracle(),
+)
+def embedding_random_projection_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One explode + one map-side-combined shuffle; the sign matrix
+    never materializes (inline hash of (i, j), constants shared
+    verbatim with the SQL). Output is 4x narrower than the input — the
+    cheap first stage before ANN/clustering at corpus scale. Distance
+    preservation is pinned empirically (test_random_projection_
+    preserves_distances), not assumed."""
+    from hadoop_map_reduce_spark.operators.similarity import (
+        random_projection_e6,
+    )
+
+    return random_projection_e6(
+        load_table(spark, sf_dir, "embeddings"), out_dims=16
+    )
+
+
 def _mix_case_sql() -> str:
     whens = " ".join(
         f"WHEN source = '{s}' THEN {w}" for s, w in sorted(_MIX_WEIGHTS.items())

@@ -189,6 +189,49 @@ def test_pq_driver_training_parity(spark, sf_dir):
     assert drv == dist
 
 
+def test_random_projection_preserves_distances(spark, sf_dir):
+    """JL sanity: squared distances in the 16-dim projected space must
+    correlate positively with the original 64-dim distances over
+    sampled pairs. The bound is modest BY NATURE of this corpus — the
+    synthetic embeddings are near-isotropic, so pairwise distances
+    concentrate and the JL eps at k=16 dominates the between-pair
+    signal (measured: corr ~0.34 here vs ~0.9 on clustered data);
+    what the pin guards is the failure mode actually seen during
+    development — a structured sign matrix with near-duplicate
+    columns drove the correlation toward 0."""
+    import itertools
+    import random
+
+    from hadoop_map_reduce_spark.plans import REGISTRY
+    from hadoop_map_reduce_spark.session import load_table
+
+    orig = {
+        r["vec_id"]: list(r["embedding"])
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    proj = {
+        r["vec_id"]: [r[f"p{j}"] / 1e6 for j in range(16)]
+        for r in REGISTRY["embedding_random_projection"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+
+    def d2(u, v):
+        return sum((a - b) ** 2 for a, b in zip(u, v))
+
+    rng = random.Random(3)
+    ids = sorted(orig)
+    pairs = rng.sample(list(itertools.combinations(ids, 2)), 1500)
+    xs = [d2(orig[a], orig[b]) for a, b in pairs]
+    ys = [d2(proj[a], proj[b]) for a, b in pairs]
+    mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+    cov = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    vx = sum((x - mx) ** 2 for x in xs)
+    vy = sum((y - my) ** 2 for y in ys)
+    corr = cov / (vx**0.5 * vy**0.5)
+    assert corr >= 0.25, f"JL distance correlation collapsed: {corr}"
+
+
 def test_blas_neardup_matches_exact(spark, sf_dir):
     """The vectorized (numpy matmul) near-dup path finds the same pair
     set as the exact fold-based operator, with sims within float noise."""
