@@ -435,3 +435,108 @@ def dq_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(orphans(events, "user_id", customer, "c_custkey",
                              "events->customer"))
     )
+
+
+_EMB_AUDIT_ORACLE = """
+    SELECT 'null_embedding' AS rule,
+           CAST(SUM(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_violations
+    FROM embeddings
+    UNION ALL
+    SELECT 'bad_dim',
+           CAST(SUM(CASE WHEN embedding IS NOT NULL
+                          AND len(embedding) <> 64
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM embeddings
+    UNION ALL
+    SELECT 'has_nan',
+           CAST(SUM(CASE WHEN embedding IS NOT NULL AND len(list_filter(
+                             embedding, x -> isnan(CAST(x AS DOUBLE)))) > 0
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM embeddings
+    UNION ALL
+    SELECT 'zero_vector',
+           CAST(SUM(CASE WHEN embedding IS NOT NULL AND list_sum(
+                             [abs(CASE WHEN isnan(CAST(x AS DOUBLE)) THEN 0
+                                   ELSE CAST(ROUND(CAST(x AS DOUBLE)
+                                             * 1000000) AS BIGINT)
+                                   END) for x in embedding]) = 0
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM embeddings
+    UNION ALL
+    SELECT 'norm_out_of_bounds',
+           CAST(SUM(CASE WHEN embedding IS NOT NULL AND list_sum(
+                             [CASE WHEN isnan(CAST(x AS DOUBLE)) THEN 0
+                               ELSE CAST(ROUND(CAST(x AS DOUBLE) * 1000000)
+                                         AS BIGINT)
+                                    * CAST(ROUND(CAST(x AS DOUBLE) * 1000000)
+                                           AS BIGINT)
+                               END for x in embedding])
+                             > 4096000000000000
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM embeddings
+    UNION ALL
+    SELECT 'dup_vec_id',
+           CAST(COUNT(vec_id) - COUNT(DISTINCT vec_id) AS BIGINT)
+    FROM embeddings
+"""
+
+
+@register(
+    "dq_embedding_audit",
+    tags=("llm", "dq", "similarity", "aggregation"),
+    description=(
+        "Embedding-store audit: null/mis-dimensioned/NaN vectors, exact "
+        "zero vectors and norm outliers (micro-unit BIGINT sum of "
+        "squares vs a literal bound, engine-exact), duplicate vec ids — "
+        "the refuse-bad-index gate before any ANN build, one aggregate "
+        "scan."
+    ),
+    oracle=_EMB_AUDIT_ORACLE,
+)
+def dq_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Norm rule: sum of squared micro-units > 64 * (8e6)^2 — i.e. an
+    RMS coordinate above 8.0 — flags mis-scaled ingests without any
+    float accumulation (the int8-quantization precheck). NaN detection
+    runs BEFORE quantization: round(NaN) would poison the integer
+    path, so the rules are ordered the way a real gate would run."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    # NaN coordinates must not reach the integer cast (ANSI overflow
+    # error) — they are has_nan's violations; the integer rules treat
+    # them as 0 so the audit REPORTS a poisoned ingest instead of
+    # crashing on it (exposed by the dirty-table test).
+    e6 = F.transform(
+        vec,
+        lambda x: F.when(F.isnan(x), F.lit(0))
+        .otherwise(F.round(x * 1e6))
+        .cast("long"),
+    )
+    nonnull = F.col("embedding").isNotNull()
+    return audit(
+        emb,
+        {
+            "null_embedding": F.col("embedding").isNull(),
+            "bad_dim": nonnull & (F.size("embedding") != 64),
+            "has_nan": nonnull & F.exists(vec, lambda x: F.isnan(x)),
+            "zero_vector": nonnull
+            & (
+                F.aggregate(
+                    F.transform(e6, F.abs),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                )
+                == 0
+            ),
+            "norm_out_of_bounds": nonnull
+            & (
+                F.aggregate(
+                    F.transform(e6, lambda x: x * x),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                )
+                > F.lit(4096000000000000)
+            ),
+        },
+        unique_keys={"dup_vec_id": ["vec_id"]},
+    )

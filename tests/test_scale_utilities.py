@@ -347,3 +347,72 @@ def test_dynamic_partition_overwrite(spark, tmp_path):
         spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         != "dynamic"
     )
+
+
+def test_embedding_audit_rules_fire_on_dirty_table(spark):
+    """Every dq_embedding_audit rule must actually detect its defect —
+    the registered query's counts are all zero on the clean corpus, so
+    this crafted dirty table is what makes the rules load-bearing."""
+    import math
+
+    from hadoop_map_reduce_spark.operators.dq import audit
+    from pyspark.sql import functions as F
+
+    ok = [0.5] * 64
+    rows = [
+        (1, ok),                      # clean
+        (2, None),                    # null_embedding
+        (3, [0.5] * 63),              # bad_dim
+        (4, [math.nan] + [0.5] * 63), # has_nan
+        (5, [0.0] * 64),              # zero_vector
+        (6, [9.5] * 64),              # norm_out_of_bounds (rms > 8)
+        (7, ok),                      # dup_vec_id with the next row
+        (7, ok),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    vec = F.col("embedding").cast("array<double>")
+    e6 = F.transform(
+        vec,
+        lambda x: F.when(F.isnan(x), F.lit(0))
+        .otherwise(F.round(x * 1e6))
+        .cast("long"),
+    )
+    nonnull = F.col("embedding").isNotNull()
+    got = {
+        r.rule: r.n_violations
+        for r in audit(
+            emb,
+            {
+                "null_embedding": F.col("embedding").isNull(),
+                "bad_dim": nonnull & (F.size("embedding") != 64),
+                "has_nan": nonnull & F.exists(vec, lambda x: F.isnan(x)),
+                "zero_vector": nonnull
+                & (
+                    F.aggregate(
+                        F.transform(e6, F.abs),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    )
+                    == 0
+                ),
+                "norm_out_of_bounds": nonnull
+                & (
+                    F.aggregate(
+                        F.transform(e6, lambda x: x * x),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    )
+                    > F.lit(4096000000000000)
+                ),
+            },
+            unique_keys={"dup_vec_id": ["vec_id"]},
+        ).collect()
+    }
+    assert got == {
+        "null_embedding": 1,
+        "bad_dim": 1,
+        "has_nan": 1,
+        "zero_vector": 1,
+        "norm_out_of_bounds": 1,
+        "dup_vec_id": 1,
+    }
