@@ -635,6 +635,60 @@ def multimodal_audio_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_phash_clusters",
+    tags=("llm", "multimodal", "dedup", "iterative"),
+    description=(
+        "Duplicate-media clusters: iterative connected components over "
+        "the perceptual-hash Hamming<=2 pair graph -> one "
+        "representative (min id) per cluster, singletons representing "
+        "themselves; oracle via recursive-CTE reachability over exact "
+        "recomputed Hamming pairs (lossless banding, so engine pair "
+        "set == oracle pair set with no recall assumption)."
+    ),
+    oracle=f"""
+        WITH RECURSIVE {_PHASH_H_SQL},
+        near AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM h a
+            JOIN h b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 2
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM near
+            UNION SELECT id_b, id_a FROM near
+        ),
+        reach AS (
+            SELECT src AS node, src AS r FROM edges
+            UNION
+            SELECT e.src AS node, reach.r
+            FROM edges e JOIN reach ON e.dst = reach.node
+        ),
+        comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+        SELECT d.doc_id AS media_id,
+               COALESCE(c.component, d.doc_id) AS representative
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    """,
+)
+def multimodal_phash_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup_clusters pipeline with the media similarity family:
+    pair generation is the lossless banded Hamming join (never
+    all-pairs), component resolution is the same min-label propagation
+    with tracked localCheckpoint release (operators/clustering.py)."""
+    from hadoop_map_reduce_spark.operators.clustering import (
+        dedup_representatives,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = with_binary_content(docs)
+    pairs = phash_near_dup(perceptual_hash(media), max_hamming=2).select(
+        F.col("media_id_a").alias("id_a"), F.col("media_id_b").alias("id_b")
+    )
+    return dedup_representatives(
+        pairs, docs.select("doc_id")
+    ).select(F.col("doc_id").alias("media_id"), "representative")
+
+
+@register(
     "multimodal_resize_audit",
     tags=("llm", "multimodal"),
     description=(
