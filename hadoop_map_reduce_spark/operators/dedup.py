@@ -710,3 +710,67 @@ def simhash_neardup_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def duplicated_substring_spans(
+    df: DataFrame,
+    k: int = 25,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Maximal character spans (length >= k) whose every k-gram repeats
+    corpus-wide — the distributed reformulation of suffix-array
+    exact-substring training-data dedup (reference: the "dedup training
+    data" pipeline op; generalizes /root/reference's n-gram counting,
+    WordCountV2.java, from tokens to raw character positions).
+
+    Plan, in one digest shuffle: (1) explode each char position 1..L-k+1
+    and md5 its k-gram in the SAME projection — the text column never
+    shuffles, only (id, pos, 16-byte digest) rows; (2) a window count
+    over the digest marks positions whose gram occurs >= 2 times — the
+    distributed analogue of the suffix-array sort, on uniform 16-byte
+    keys (no skew by construction); (3) a per-doc gaps-and-islands
+    window (pos - row_number over pos) merges consecutive duplicated
+    positions into maximal spans. Any duplicated span of length >= k
+    contains only duplicated k-grams, and every maximal span is exactly
+    the union of consecutive duplicated gram starts, so the
+    reconstruction is lossless.
+
+    The window-count form deliberately replaces groupBy-then-semi-join:
+    that shape consumes the gram table twice (Catalyst re-inlines the
+    substring/md5 pipeline per consumer — the round-3 one-slot-cache
+    trap) and shuffles twice; the window does it in one pass, no cache.
+    Gram rows ~= corpus bytes — the same order as tokenization. At
+    100 TB this is the exact-verify twin run on the suspect slice that
+    MinHash/LSH surfaces, not the whole corpus.
+    """
+    digs = (
+        df.filter(F.length(text_col) >= k)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.lit(1), F.length(text_col) - k + 1)
+            ).alias("pos"),
+            F.col(text_col).alias("_t"),
+        )
+        .select(
+            id_col,
+            "pos",
+            F.unhex(F.md5(F.expr(f"substring(_t, pos, {int(k)})"))).alias(
+                "dig"
+            ),
+        )
+    )
+    n_occ = F.count(F.lit(1)).over(Window.partitionBy("dig"))
+    island = Window.partitionBy(id_col).orderBy("pos")
+    return (
+        digs.withColumn("n_occ", n_occ)
+        .filter(F.col("n_occ") >= 2)
+        .withColumn("grp", F.col("pos") - F.row_number().over(island))
+        .groupBy(id_col, "grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") - F.min("pos") + k).cast("long").alias("span_len"),
+        )
+        .select(id_col, "span_start", "span_len")
+    )

@@ -644,3 +644,78 @@ def mix_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality",
         (F.lit(65536.0) / p_e16).alias("weight"),
     )
+
+
+# Character width of the exact-substring grams. Any duplicated span of
+# length >= _SSK contains only duplicated _SSK-grams, and every maximal
+# duplicated span is recovered exactly by merging consecutive duplicated
+# gram start positions (gaps-and-islands). 25 chars sits above the
+# corpus's incidental-collision floor (15-gram English has huge
+# accidental overlap) while still catching template boilerplate.
+_SSK = 25
+
+
+@register(
+    "dedup_substring_spans",
+    tags=("llm", "curation", "dedup"),
+    description=(
+        "Exact duplicated-substring spans (the suffix-array training-data "
+        "dedup shape): per doc, the maximal character spans of length >= "
+        f"{_SSK} whose every {_SSK}-gram occurs >= 2 times corpus-wide — "
+        "the span-level exact complement to the doc-level MinHash family, "
+        "locating WHERE the duplication lives so the span (not the doc) "
+        "can be cut."
+    ),
+    oracle=f"""
+        WITH grams AS (
+            SELECT doc_id,
+                   unnest(generate_series(1, length(text) - {_SSK} + 1))
+                       AS pos,
+                   text
+            FROM documents
+            WHERE length(text) >= {_SSK}
+        ), digs AS (
+            SELECT doc_id, pos, md5(substr(text, pos, {_SSK})) AS dig
+            FROM grams
+        ), hits AS (
+            SELECT doc_id, pos,
+                   pos - ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY pos) AS grp
+            FROM digs
+            WHERE dig IN (SELECT dig FROM digs
+                          GROUP BY dig HAVING COUNT(*) >= 2)
+        )
+        SELECT doc_id,
+               CAST(MIN(pos) AS BIGINT) AS span_start,
+               CAST(MAX(pos) - MIN(pos) + {_SSK} AS BIGINT) AS span_len
+        FROM hits
+        GROUP BY doc_id, grp
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed reformulation of suffix-array exact-substring dedup
+    (the "dedup training data" pipeline op): instead of one global
+    suffix array, (1) explode every char position into a 16-byte
+    md5 digest of its ``_SSK``-gram — explode is narrow, and the digest
+    is computed in the same projection, so the text column never
+    shuffles; (2) ONE shuffle keyed on the digest with a window count
+    marks positions whose gram repeats corpus-wide — the distributed
+    analogue of the suffix-array sort, on uniform 16-byte keys (no
+    skew); (3) a per-doc gaps-and-islands window merges consecutive
+    duplicated positions into maximal spans (doc-bounded partitions).
+
+    The window-count form deliberately replaces groupBy-then-semi-join:
+    that shape consumes the gram table twice (Catalyst re-inlines the
+    substring/md5 pipeline per consumer — the round-3 one-slot-cache
+    trap) and shuffles it twice; the window does it in one pass with no
+    cache. Gram rows ~= corpus bytes, the same order as tokenization —
+    the exact-verify twin of the MinHash/SimHash approximate family, to
+    be run on the suspect slice LSH surfaces at 100 TB. Core plan in
+    operators/dedup.duplicated_substring_spans (crafted-corpus tested).
+    """
+    from hadoop_map_reduce_spark.operators.dedup import (
+        duplicated_substring_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_substring_spans(docs, k=_SSK)

@@ -700,3 +700,73 @@ def test_containment_prefix_matches_brute_force(spark, sf_dir):
                 )
     assert got == want
     assert len(want) > 0
+
+
+def test_substring_spans_crafted_corpus(spark):
+    """duplicated_substring_spans on a crafted corpus with hand-known
+    structure — cross-doc shared span at different offsets, within-doc
+    repeat (two islands), sub-k doc (excluded), exact full-duplicate
+    pair — checked against BOTH a hand-written expectation and an
+    independent pure-Python gram-count + island-merge recomputation."""
+    from collections import Counter
+
+    from hadoop_map_reduce_spark.operators.dedup import (
+        duplicated_substring_spans,
+    )
+
+    k = 25
+    chars = iter(range(10000))
+
+    def uniq(nchars):
+        # Globally unique characters: no two fillers share ANY char, so
+        # duplicated regions cannot extend across a segment boundary.
+        return "".join(chr(0x4E00 + next(chars)) for _ in range(nchars))
+
+    S = uniq(40)   # shared across docs 1 and 2, different offsets
+    P = uniq(30)   # repeated twice inside doc 3
+    W = uniq(50)   # docs 5 and 6 are byte-identical
+    docs = [
+        (1, uniq(20) + S + uniq(20)),
+        (2, uniq(25) + S + uniq(10)),
+        (3, P + uniq(5) + P),
+        (4, uniq(20)),           # shorter than k: contributes nothing
+        (5, W),
+        (6, W),
+    ]
+
+    got = {
+        (r.doc_id, r.span_start, r.span_len)
+        for r in duplicated_substring_spans(
+            spark.createDataFrame(docs, "doc_id long, text string"), k=k
+        ).collect()
+    }
+
+    # Hand expectation: spans are maximal regions all of whose k-grams
+    # repeat corpus-wide (1-based starts, SQL substring convention).
+    want_hand = {
+        (1, 21, 40),             # S inside doc 1
+        (2, 26, 40),             # S inside doc 2, shifted offset
+        (3, 1, 30), (3, 36, 30),  # two islands of P, split by the gap
+        (5, 1, 50), (6, 1, 50),   # full-duplicate pair
+    }
+
+    # Independent recomputation: count every k-gram, mark repeated
+    # starts, merge consecutive starts into islands.
+    counts = Counter(
+        t[p:p + k] for _, t in docs for p in range(len(t) - k + 1)
+    )
+    want_py = set()
+    for doc_id, t in docs:
+        dup = [
+            p for p in range(len(t) - k + 1) if counts[t[p:p + k]] >= 2
+        ]
+        start = None
+        for i, p in enumerate(dup):
+            if start is None:
+                start = p
+            if i + 1 == len(dup) or dup[i + 1] != p + 1:
+                want_py.add((doc_id, start + 1, p - start + k))
+                start = None
+
+    assert want_py == want_hand  # the two oracles agree with each other
+    assert got == want_hand
