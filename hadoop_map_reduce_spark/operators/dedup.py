@@ -744,6 +744,26 @@ def duplicated_substring_spans(
     100 TB this is the exact-verify twin run on the suspect slice that
     MinHash/LSH surfaces, not the whole corpus.
     """
+    island = Window.partitionBy(id_col).orderBy("pos")
+    return (
+        _duplicated_gram_starts(df, k, text_col, id_col)
+        .withColumn("grp", F.col("pos") - F.row_number().over(island))
+        .groupBy(id_col, "grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") - F.min("pos") + k).cast("long").alias("span_len"),
+        )
+        .select(id_col, "span_start", "span_len")
+    )
+
+
+def _duplicated_gram_starts(
+    df: DataFrame, k: int, text_col: str, id_col: str
+) -> DataFrame:
+    """``(id_col, pos)`` of every 1-based char position whose k-gram
+    occurs >= 2 times corpus-wide — the shared first stage of the
+    exact-substring dedup family (one digest-window shuffle; the text
+    column never shuffles, only (id, pos, 16-byte digest) rows)."""
     digs = (
         df.filter(F.length(text_col) >= k)
         .select(
@@ -762,15 +782,55 @@ def duplicated_substring_spans(
         )
     )
     n_occ = F.count(F.lit(1)).over(Window.partitionBy("dig"))
-    island = Window.partitionBy(id_col).orderBy("pos")
     return (
         digs.withColumn("n_occ", n_occ)
         .filter(F.col("n_occ") >= 2)
-        .withColumn("grp", F.col("pos") - F.row_number().over(island))
-        .groupBy(id_col, "grp")
-        .agg(
-            F.min("pos").cast("long").alias("span_start"),
-            (F.max("pos") - F.min("pos") + k).cast("long").alias("span_len"),
+        .select(id_col, "pos")
+    )
+
+
+def duplicated_char_coverage(
+    df: DataFrame,
+    k: int = 25,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document count of characters covered by at least one
+    corpus-wide duplicated k-gram — the scalar curation signal behind
+    "drop documents more than X% duplicated" gates (the per-doc
+    aggregate of ``duplicated_substring_spans``; same first stage).
+
+    A duplicated gram start ``pos`` covers chars ``[pos, pos+k-1]``.
+    Two starts whose gap is <= k-1 cover overlapping char intervals, so
+    summing span lengths would double-count: instead a per-doc
+    gaps-and-islands window merges starts with gap <= k-1 into disjoint
+    char intervals (``lag`` + running sum of breaks — doc-bounded
+    partitions), and the union length is the exact sum of
+    ``max(pos) - min(pos) + k`` over the merged islands.
+
+    Returns ``(id_col, dup_chars)`` for docs with >= 1 duplicated gram
+    only — callers left-join and coalesce to 0 (docs shorter than k can
+    never appear). Scale shape is the span operator's: gram rows ~=
+    corpus bytes through ONE uniform 16-byte-digest shuffle, then
+    doc-bounded windows.
+    """
+    w = Window.partitionBy(id_col).orderBy("pos")
+    brk = (
+        F.when(F.col("pos") - F.lag("pos").over(w) <= k - 1, F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("brk")
+    )
+    return (
+        _duplicated_gram_starts(df, k, text_col, id_col)
+        .select(id_col, "pos", brk)
+        .withColumn(
+            "grp",
+            F.sum("brk").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
         )
-        .select(id_col, "span_start", "span_len")
+        .groupBy(id_col, "grp")
+        .agg((F.max("pos") - F.min("pos") + k).alias("ilen"))
+        .groupBy(id_col)
+        .agg(F.sum("ilen").cast("long").alias("dup_chars"))
     )

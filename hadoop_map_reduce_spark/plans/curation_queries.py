@@ -719,3 +719,88 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return duplicated_substring_spans(docs, k=_SSK)
+
+
+@register(
+    "dedup_span_coverage",
+    tags=("llm", "curation", "dedup"),
+    description=(
+        "Per-document duplicated-character coverage: how many of each "
+        f"doc's chars sit inside a corpus-wide duplicated {_SSK}-gram, "
+        "as an exact count and parts-per-million of doc length — the "
+        "scalar behind 'drop docs more than X% duplicated' curation "
+        "gates (the per-doc rollup of dedup_substring_spans)."
+    ),
+    oracle=f"""
+        WITH grams AS (
+            SELECT doc_id,
+                   unnest(generate_series(1, length(text) - {_SSK} + 1))
+                       AS pos,
+                   text
+            FROM documents
+            WHERE length(text) >= {_SSK}
+        ), digs AS (
+            SELECT doc_id, pos, md5(substr(text, pos, {_SSK})) AS dig
+            FROM grams
+        ), dup AS (
+            SELECT doc_id, pos
+            FROM digs
+            WHERE dig IN (SELECT dig FROM digs
+                          GROUP BY dig HAVING COUNT(*) >= 2)
+        ), brks AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos - LAG(pos) OVER (
+                            PARTITION BY doc_id ORDER BY pos)
+                        <= {_SSK} - 1
+                        THEN 0 ELSE 1 END AS brk
+            FROM dup
+        ), isl AS (
+            SELECT doc_id, pos,
+                   SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS UNBOUNDED PRECEDING) AS grp
+            FROM brks
+        ), merged AS (
+            SELECT doc_id, MAX(pos) - MIN(pos) + {_SSK} AS ilen
+            FROM isl GROUP BY doc_id, grp
+        ), cov AS (
+            SELECT doc_id, SUM(ilen) AS dup_chars
+            FROM merged GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(c.dup_chars, 0) AS BIGINT) AS dup_chars,
+               CAST((1000000 * COALESCE(c.dup_chars, 0))
+                    // length(d.text) AS BIGINT) AS dup_ppm
+        FROM documents d LEFT JOIN cov c USING (doc_id)
+        WHERE length(d.text) > 0
+    """,
+)
+def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-char count + exact integer ppm of doc length.
+
+    Plan: operators/dedup.duplicated_char_coverage (ONE corpus-wide
+    shuffle on uniform 16-byte gram digests, then doc-bounded
+    gaps-and-islands windows that merge overlapping gram char intervals
+    — summing raw span lengths would double-count chars shared by spans
+    whose gram starts sit closer than k), then a left join back onto
+    documents so never-duplicated docs report 0. The ratio is integer
+    DIV on 1e6-scaled counts — no float in either engine, so the hash
+    compare is exact. At 100 TB the coverage join is id-keyed and the
+    documents side prunes to (doc_id, length) at the scan.
+    """
+    from hadoop_map_reduce_spark.operators.dedup import (
+        duplicated_char_coverage,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    cov = duplicated_char_coverage(docs, k=_SSK)
+    return docs.select("doc_id", F.length("text").alias("_len")).join(
+        cov, "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("dup_chars", F.lit(0)).cast("long").alias("dup_chars"),
+        F.expr("1000000 * coalesce(dup_chars, 0) DIV _len")
+        .cast("long")
+        .alias("dup_ppm"),
+    )

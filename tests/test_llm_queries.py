@@ -770,3 +770,59 @@ def test_substring_spans_crafted_corpus(spark):
 
     assert want_py == want_hand  # the two oracles agree with each other
     assert got == want_hand
+
+
+def test_char_coverage_crafted_corpus(spark):
+    """duplicated_char_coverage on the span test's crafted corpus —
+    checked against a brute-force per-char recomputation (a char is
+    duplicated iff SOME duplicated k-gram covers it), plus a periodic
+    doc (10-char block x4) whose duplicated gram starts form two
+    islands with overlapping char intervals — raw span-length summing
+    would report 60 of its 40 chars; the interval merge must not."""
+    from collections import Counter
+
+    from hadoop_map_reduce_spark.operators.dedup import (
+        duplicated_char_coverage,
+    )
+
+    k = 25
+    chars = iter(range(10000))
+
+    def uniq(nchars):
+        return "".join(chr(0x4E00 + next(chars)) for _ in range(nchars))
+
+    S = uniq(40)
+    P = uniq(30)
+    W = uniq(50)
+    docs = [
+        (1, uniq(20) + S + uniq(20)),
+        (2, uniq(25) + S + uniq(10)),
+        (3, P + uniq(5) + P),
+        (4, uniq(20)),
+        (5, W),
+        (6, W),
+        (7, uniq(10) * 4),  # 10-periodic: duplicated starts {0..5,
+                            # 10..15} (0-based), gap 5 <= k-1 — char
+                            # intervals overlap, union = all 40 chars
+    ]
+
+    got = {
+        (r.doc_id, r.dup_chars)
+        for r in duplicated_char_coverage(
+            spark.createDataFrame(docs, "doc_id long, text string"), k=k
+        ).collect()
+    }
+
+    counts = Counter(
+        t[p:p + k] for _, t in docs for p in range(len(t) - k + 1)
+    )
+    want = set()
+    for doc_id, t in docs:
+        covered = set()
+        for p in range(len(t) - k + 1):
+            if counts[t[p:p + k]] >= 2:
+                covered.update(range(p, p + k))
+        if covered:
+            want.add((doc_id, len(covered)))
+    assert want == {(1, 40), (2, 40), (3, 60), (5, 50), (6, 50), (7, 40)}
+    assert got == want
