@@ -29,6 +29,10 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
 
     spark = get_spark(app_name="hmrs-bench")
+    # Keep the recorded output readable: bounded-input single-partition
+    # windows (e.g. ranking a fused 40-row candidate table) emit a WARN
+    # per execution that would otherwise drown the JSON result line.
+    spark.sparkContext.setLogLevel("ERROR")
     headline = [q for q in REGISTRY.values() if q.headline]
 
     # JVM/codegen warmup so the first timed query isn't paying startup.
