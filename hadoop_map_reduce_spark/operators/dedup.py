@@ -800,37 +800,27 @@ def duplicated_char_coverage(
     "drop documents more than X% duplicated" gates (the per-doc
     aggregate of ``duplicated_substring_spans``; same first stage).
 
-    A duplicated gram start ``pos`` covers chars ``[pos, pos+k-1]``.
-    Two starts whose gap is <= k-1 cover overlapping char intervals, so
-    summing span lengths would double-count: instead a per-doc
-    gaps-and-islands window merges starts with gap <= k-1 into disjoint
-    char intervals (``lag`` + running sum of breaks — doc-bounded
-    partitions), and the union length is the exact sum of
-    ``max(pos) - min(pos) + k`` over the merged islands.
+    A duplicated gram start ``pos`` covers chars ``[pos, pos+k-1]``, so
+    summing span lengths would double-count chars shared by starts
+    closer than k. The union length needs no explicit interval merge:
+    in per-doc pos order, the first start contributes k new chars and
+    every later start contributes ``min(pos - prev_pos, k)`` — one
+    ``lag`` window (doc-bounded partitions) and one sum.
 
     Returns ``(id_col, dup_chars)`` for docs with >= 1 duplicated gram
     only — callers left-join and coalesce to 0 (docs shorter than k can
     never appear). Scale shape is the span operator's: gram rows ~=
-    corpus bytes through ONE uniform 16-byte-digest shuffle, then
-    doc-bounded windows.
+    corpus bytes through ONE uniform 16-byte-digest shuffle, then a
+    doc-bounded window + doc-keyed aggregation.
     """
     w = Window.partitionBy(id_col).orderBy("pos")
-    brk = (
-        F.when(F.col("pos") - F.lag("pos").over(w) <= k - 1, F.lit(0))
-        .otherwise(F.lit(1))
-        .alias("brk")
+    new_chars = F.least(
+        F.coalesce(F.col("pos") - F.lag("pos").over(w), F.lit(k)),
+        F.lit(k),
     )
     return (
         _duplicated_gram_starts(df, k, text_col, id_col)
-        .select(id_col, "pos", brk)
-        .withColumn(
-            "grp",
-            F.sum("brk").over(
-                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-        )
-        .groupBy(id_col, "grp")
-        .agg((F.max("pos") - F.min("pos") + k).alias("ilen"))
+        .select(id_col, new_chars.alias("new_chars"))
         .groupBy(id_col)
-        .agg(F.sum("ilen").cast("long").alias("dup_chars"))
+        .agg(F.sum("new_chars").cast("long").alias("dup_chars"))
     )

@@ -747,24 +747,15 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM digs
             WHERE dig IN (SELECT dig FROM digs
                           GROUP BY dig HAVING COUNT(*) >= 2)
-        ), brks AS (
-            SELECT doc_id, pos,
-                   CASE WHEN pos - LAG(pos) OVER (
-                            PARTITION BY doc_id ORDER BY pos)
-                        <= {_SSK} - 1
-                        THEN 0 ELSE 1 END AS brk
+        ), contrib AS (
+            SELECT doc_id,
+                   LEAST(COALESCE(pos - LAG(pos) OVER (
+                             PARTITION BY doc_id ORDER BY pos),
+                         {_SSK}), {_SSK}) AS new_chars
             FROM dup
-        ), isl AS (
-            SELECT doc_id, pos,
-                   SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
-                                  ROWS UNBOUNDED PRECEDING) AS grp
-            FROM brks
-        ), merged AS (
-            SELECT doc_id, MAX(pos) - MIN(pos) + {_SSK} AS ilen
-            FROM isl GROUP BY doc_id, grp
         ), cov AS (
-            SELECT doc_id, SUM(ilen) AS dup_chars
-            FROM merged GROUP BY doc_id
+            SELECT doc_id, SUM(new_chars) AS dup_chars
+            FROM contrib GROUP BY doc_id
         )
         SELECT d.doc_id,
                CAST(COALESCE(c.dup_chars, 0) AS BIGINT) AS dup_chars,
@@ -778,11 +769,12 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc duplicated-char count + exact integer ppm of doc length.
 
     Plan: operators/dedup.duplicated_char_coverage (ONE corpus-wide
-    shuffle on uniform 16-byte gram digests, then doc-bounded
-    gaps-and-islands windows that merge overlapping gram char intervals
-    — summing raw span lengths would double-count chars shared by spans
-    whose gram starts sit closer than k), then a left join back onto
-    documents so never-duplicated docs report 0. The ratio is integer
+    shuffle on uniform 16-byte gram digests, then one doc-bounded lag
+    window summing min(gap, k) per duplicated gram start — the interval
+    union length without an explicit merge; summing raw span lengths
+    would double-count chars shared by spans whose gram starts sit
+    closer than k), then a left join back onto documents so
+    never-duplicated docs report 0. The ratio is integer
     DIV on 1e6-scaled counts — no float in either engine, so the hash
     compare is exact. At 100 TB the coverage join is id-keyed and the
     documents side prunes to (doc_id, length) at the scan.
