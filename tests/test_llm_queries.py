@@ -826,3 +826,58 @@ def test_char_coverage_crafted_corpus(spark):
             want.add((doc_id, len(covered)))
     assert want == {(1, 40), (2, 40), (3, 60), (5, 50), (6, 50), (7, 40)}
     assert got == want
+
+
+def test_span_family_random_corpus(spark):
+    """Both span-family operators against a brute-force recomputation on
+    a seeded random corpus over a 2-char alphabet (k=4) — tiny alphabet
+    so repeated grams, overlapping islands, whole-doc dups, and sub-k
+    docs all occur by chance rather than by construction."""
+    import random
+    from collections import Counter
+
+    from hadoop_map_reduce_spark.operators.dedup import (
+        duplicated_char_coverage,
+        duplicated_substring_spans,
+    )
+
+    k = 4
+    rng = random.Random(20260815)
+    docs = [
+        (i, "".join(rng.choice("ab") for _ in range(rng.randint(0, 40))))
+        for i in range(200)
+    ]
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got_spans = {
+        (r.doc_id, r.span_start, r.span_len)
+        for r in duplicated_substring_spans(df, k=k).collect()
+    }
+    got_cov = {
+        (r.doc_id, r.dup_chars)
+        for r in duplicated_char_coverage(df, k=k).collect()
+    }
+
+    counts = Counter(
+        t[p:p + k] for _, t in docs for p in range(len(t) - k + 1)
+    )
+    want_spans, want_cov = set(), set()
+    for doc_id, t in docs:
+        dup = [
+            p for p in range(len(t) - k + 1) if counts[t[p:p + k]] >= 2
+        ]
+        covered = set()
+        start = None
+        for i, p in enumerate(dup):
+            covered.update(range(p, p + k))
+            if start is None:
+                start = p
+            if i + 1 == len(dup) or dup[i + 1] != p + 1:
+                want_spans.add((doc_id, start + 1, p - start + k))
+                start = None
+        if covered:
+            want_cov.add((doc_id, len(covered)))
+
+    assert len(want_spans) > 50  # the corpus exercises the operators
+    assert got_spans == want_spans
+    assert got_cov == want_cov
