@@ -796,3 +796,82 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dup_ppm"),
     )
+
+
+@register(
+    "pack_length_buckets",
+    tags=("llm", "curation"),
+    description=(
+        "Length-bucketed batch sharding: assign each doc to the "
+        "smallest power-of-two token-capacity bucket (floor 16) and "
+        "report per-bucket doc count, real tokens, padded tokens, and "
+        "exact integer padding-waste ppm — the bucketing that decides "
+        "how much compute sequence-length-grouped training batches "
+        "save over one global max-length pad."
+    ),
+    oracle=f"""
+        WITH toks AS (
+            SELECT len({_DUCK_TOKS}) AS n_tokens FROM documents
+        ), b AS (
+            SELECT GREATEST(CAST(16 AS BIGINT),
+                            CAST(1 AS BIGINT)
+                                << length(bin(n_tokens - 1))) AS bucket_cap,
+                   n_tokens
+            FROM toks WHERE n_tokens >= 1
+        )
+        SELECT CAST(bucket_cap AS BIGINT) AS bucket_cap,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(bucket_cap * COUNT(*) AS BIGINT) AS padded_tokens,
+               CAST(((bucket_cap * COUNT(*) - SUM(n_tokens)) * 1000000)
+                    // (bucket_cap * COUNT(*)) AS BIGINT) AS waste_ppm
+        FROM b GROUP BY bucket_cap
+    """,
+)
+def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per power-of-two length bucket: docs, real vs padded tokens, and
+    padding waste in exact integer ppm.
+
+    The bucket capacity is 2^ceil(log2(n_tokens)) floored at 16,
+    computed WITHOUT float log: both engines take the binary-digit
+    count of n_tokens - 1 (``length(bin(x))``) and shift — bit-exact,
+    no libm rounding risk at exact powers of two. One token-count scan
+    (the tokenizer pipeline shared with doc_token_stats /
+    curation_passage_dedup) into a partial-aggregated groupBy on a
+    ~log(max_len)-cardinality key — map-side combine collapses each
+    partition to a handful of rows, so the shuffle is trivially small
+    at any corpus size; the report itself is bounded by the number of
+    buckets, not the corpus.
+    """
+    from hadoop_map_reduce_spark.functions.text import sanitize, tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(tokenize(sanitize(F.col("text"))))
+    cap = F.greatest(
+        F.lit(16).cast("long"),
+        F.expr("shiftleft(cast(1 as bigint), length(bin(n_tokens - 1)))"),
+    )
+    padded = F.col("bucket_cap") * F.col("n_docs")
+    return (
+        docs.select(n.alias("n_tokens"))
+        .filter(F.col("n_tokens") >= 1)
+        .select(cap.alias("bucket_cap"), "n_tokens")
+        .groupBy("bucket_cap")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .select(
+            "bucket_cap",
+            "n_docs",
+            "total_tokens",
+            padded.cast("long").alias("padded_tokens"),
+        )
+        .withColumn(
+            "waste_ppm",
+            F.expr(
+                "(padded_tokens - total_tokens) * 1000000"
+                " DIV padded_tokens"
+            ).cast("long"),
+        )
+    )
