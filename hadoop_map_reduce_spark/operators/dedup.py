@@ -824,3 +824,74 @@ def duplicated_char_coverage(
         .groupBy(id_col)
         .agg(F.sum("new_chars").cast("long").alias("dup_chars"))
     )
+
+
+def cut_duplicated_spans(
+    df: DataFrame,
+    k: int = 25,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(id_col, cleaned)``: each document's text with every character
+    covered by a corpus-wide duplicated k-gram removed — the actual cut
+    step of exact-substring training-data dedup (the span/coverage
+    reports locate the duplication; this emits the deduplicated text).
+
+    Stage 1 is the family's shared digest shuffle
+    (``_duplicated_gram_starts``). Stage 2 merges gram starts into
+    disjoint covered char intervals: starts p1, p2 overlap-or-touch iff
+    ``p2 <= p1 + k``, so a gaps-and-islands window breaks at gap > k
+    and each island covers ``[min(pos), max(pos) + k - 1]``
+    (doc-bounded windows). Stage 3 aggregates each doc's intervals into
+    ONE sorted array row, joins the text back (one row per doc — the
+    text is never duplicated per interval), and reconstructs the kept
+    text with a single ``aggregate`` fold over the interval array
+    (JVM-side lambda, no UDF): carry (next_kept_pos, acc), append the
+    kept slice before each interval, finish with the tail.
+
+    Docs with no duplicated grams pass through unchanged (left join +
+    coalesce). Output rows are <= input text size by construction —
+    run AFTER doc-level dedup, this is the span-level residue cut.
+    """
+    starts = _duplicated_gram_starts(df, k, text_col, id_col)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    brk = (
+        F.when(F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0))
+        .otherwise(F.lit(1))
+    )
+    intervals = (
+        starts.withColumn("brk", brk)
+        .withColumn(
+            "grp",
+            F.sum("brk").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy(id_col, "grp")
+        .agg(
+            F.min("pos").alias("a"),
+            (F.max("pos") + k - 1).alias("b"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(F.collect_list(F.struct("a", "b"))).alias("iv")
+        )
+    )
+    cleaned = F.expr(
+        f"""
+        aggregate(
+            iv,
+            named_struct('pos', 1, 'acc', ''),
+            (s, x) -> named_struct(
+                'pos', x.b + 1,
+                'acc', concat(s.acc, substring({text_col}, s.pos,
+                                               x.a - s.pos))),
+            s -> concat(s.acc, substring({text_col}, s.pos,
+                                         length({text_col}) - s.pos + 1))
+        )
+        """
+    )
+    return df.join(intervals, id_col, "left").select(
+        id_col,
+        F.coalesce(cleaned, F.col(text_col)).alias("cleaned"),
+    )

@@ -875,3 +875,101 @@ def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long"),
         )
     )
+
+
+@register(
+    "curation_cut_dup_spans",
+    tags=("llm", "curation", "dedup"),
+    description=(
+        "Exact-substring dedup CUT: each doc's text with every char "
+        f"covered by a corpus-wide duplicated {_SSK}-gram removed — the "
+        "transform step behind the span/coverage reports (cut the "
+        "duplicated spans, keep the rest), emitted as cleaned length, "
+        "cut chars, and an md5 fingerprint of the cleaned text."
+    ),
+    oracle=f"""
+        WITH grams AS (
+            SELECT doc_id,
+                   unnest(generate_series(1, length(text) - {_SSK} + 1))
+                       AS pos,
+                   text
+            FROM documents
+            WHERE length(text) >= {_SSK}
+        ), digs AS (
+            SELECT doc_id, pos, md5(substr(text, pos, {_SSK})) AS dig
+            FROM grams
+        ), dup AS (
+            SELECT doc_id, pos
+            FROM digs
+            WHERE dig IN (SELECT dig FROM digs
+                          GROUP BY dig HAVING COUNT(*) >= 2)
+        ), brks AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos - LAG(pos) OVER (
+                            PARTITION BY doc_id ORDER BY pos) <= {_SSK}
+                        THEN 0 ELSE 1 END AS brk
+            FROM dup
+        ), isl AS (
+            SELECT doc_id, pos,
+                   SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS UNBOUNDED PRECEDING) AS grp
+            FROM brks
+        ), iv AS (
+            SELECT doc_id, MIN(pos) AS a, MAX(pos) + {_SSK} - 1 AS b
+            FROM isl GROUP BY doc_id, grp
+        ), segs AS (
+            SELECT i.doc_id, i.a,
+                   substr(d.text,
+                          COALESCE(LAG(i.b) OVER (
+                              PARTITION BY i.doc_id ORDER BY i.a), 0) + 1,
+                          i.a - COALESCE(LAG(i.b) OVER (
+                              PARTITION BY i.doc_id ORDER BY i.a), 0) - 1)
+                       AS seg
+            FROM iv i JOIN documents d USING (doc_id)
+        ), heads AS (
+            SELECT doc_id, string_agg(seg, '' ORDER BY a) AS head
+            FROM segs GROUP BY doc_id
+        ), tails AS (
+            SELECT i.doc_id, substr(d.text, MAX(i.b) + 1) AS tail
+            FROM iv i JOIN documents d USING (doc_id)
+            GROUP BY i.doc_id, d.text
+        ), cut AS (
+            SELECT h.doc_id, h.head || t.tail AS cleaned
+            FROM heads h JOIN tails t USING (doc_id)
+        )
+        SELECT d.doc_id,
+               CAST(length(COALESCE(c.cleaned, d.text)) AS BIGINT)
+                   AS cleaned_len,
+               CAST(length(d.text) - length(COALESCE(c.cleaned, d.text))
+                    AS BIGINT) AS cut_chars,
+               md5(COALESCE(c.cleaned, d.text)) AS cleaned_fp
+        FROM documents d LEFT JOIN cut c USING (doc_id)
+    """,
+)
+def curation_cut_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lee-et-al exact-substring dedup transform: remove every char
+    covered by a corpus-wide duplicated k-gram, keep the rest in order.
+
+    Plan: operators/dedup.cut_duplicated_spans — the family's ONE
+    digest shuffle, doc-bounded interval-merge windows (break at gap >
+    k, where covered char intervals stop touching), intervals packed
+    into one sorted array row per doc so the text joins back exactly
+    once (never duplicated per interval), and the kept text rebuilt by
+    a single JVM-side ``aggregate`` lambda fold — no UDF, no Python.
+    The comparison surface is (lengths, md5 fingerprint) rather than
+    the raw cleaned text so the driver hashes bounded cells; the
+    crafted tests compare the actual strings. Conservation law
+    cut_chars = dedup_span_coverage.dup_chars is test-pinned.
+    """
+    from hadoop_map_reduce_spark.operators.dedup import cut_duplicated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    cut = cut_duplicated_spans(docs, k=_SSK)
+    return docs.select("doc_id", F.length("text").alias("_len")).join(
+        cut, "doc_id"
+    ).select(
+        "doc_id",
+        F.length("cleaned").cast("long").alias("cleaned_len"),
+        (F.col("_len") - F.length("cleaned")).cast("long").alias("cut_chars"),
+        F.md5(F.col("cleaned").cast("binary")).alias("cleaned_fp"),
+    )

@@ -881,3 +881,47 @@ def test_span_family_random_corpus(spark):
     assert len(want_spans) > 50  # the corpus exercises the operators
     assert got_spans == want_spans
     assert got_cov == want_cov
+
+
+def test_cut_duplicated_spans_random_corpus(spark):
+    """cut_duplicated_spans against a brute-force per-char recomputation
+    (keep exactly the chars no duplicated k-gram covers) on the same
+    seeded 2-char-alphabet corpus as the span-family test, plus the
+    conservation law cleaned_len = len - dup_chars against
+    duplicated_char_coverage."""
+    import random
+    from collections import Counter
+
+    from hadoop_map_reduce_spark.operators.dedup import (
+        cut_duplicated_spans,
+        duplicated_char_coverage,
+    )
+
+    k = 4
+    rng = random.Random(20260815)
+    docs = [
+        (i, "".join(rng.choice("ab") for _ in range(rng.randint(0, 40))))
+        for i in range(200)
+    ]
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.cleaned for r in cut_duplicated_spans(df, k=k).collect()}
+    cov = {
+        r.doc_id: r.dup_chars
+        for r in duplicated_char_coverage(df, k=k).collect()
+    }
+
+    counts = Counter(
+        t[p:p + k] for _, t in docs for p in range(len(t) - k + 1)
+    )
+    changed = 0
+    for doc_id, t in docs:
+        covered = set()
+        for p in range(len(t) - k + 1):
+            if counts[t[p:p + k]] >= 2:
+                covered.update(range(p, p + k))
+        want = "".join(c for i, c in enumerate(t) if i not in covered)
+        assert got[doc_id] == want, doc_id
+        assert len(t) - len(got[doc_id]) == cov.get(doc_id, 0), doc_id
+        changed += want != t
+    assert changed > 100  # the cut actually fires across the corpus
