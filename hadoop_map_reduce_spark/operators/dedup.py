@@ -757,14 +757,14 @@ def duplicated_substring_spans(
     )
 
 
-def _duplicated_gram_starts(
+def _gram_digest_table(
     df: DataFrame, k: int, text_col: str, id_col: str
 ) -> DataFrame:
-    """``(id_col, pos)`` of every 1-based char position whose k-gram
-    occurs >= 2 times corpus-wide — the shared first stage of the
-    exact-substring dedup family (one digest-window shuffle; the text
-    column never shuffles, only (id, pos, 16-byte digest) rows)."""
-    digs = (
+    """``(id_col, pos, dig)``: one 16-byte md5 digest per 1-based char
+    position's k-gram — the exact-substring family's fan-out stage.
+    Explode is narrow and the digest is computed in the same
+    projection, so the text column never shuffles downstream."""
+    return (
         df.filter(F.length(text_col) >= k)
         .select(
             F.col(id_col),
@@ -781,9 +781,18 @@ def _duplicated_gram_starts(
             ),
         )
     )
+
+
+def _duplicated_gram_starts(
+    df: DataFrame, k: int, text_col: str, id_col: str
+) -> DataFrame:
+    """``(id_col, pos)`` of every 1-based char position whose k-gram
+    occurs >= 2 times corpus-wide — ONE digest-keyed window count over
+    the gram digest table (uniform 16-byte keys, no skew)."""
     n_occ = F.count(F.lit(1)).over(Window.partitionBy("dig"))
     return (
-        digs.withColumn("n_occ", n_occ)
+        _gram_digest_table(df, k, text_col, id_col)
+        .withColumn("n_occ", n_occ)
         .filter(F.col("n_occ") >= 2)
         .select(id_col, "pos")
     )
@@ -854,6 +863,51 @@ def cut_duplicated_spans(
     run AFTER doc-level dedup, this is the span-level residue cut.
     """
     starts = _duplicated_gram_starts(df, k, text_col, id_col)
+    return _cut_from_starts(df, starts, k, text_col, id_col)
+
+
+def cut_matching_gram_spans(
+    df: DataFrame,
+    ref: DataFrame,
+    k: int = 25,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(id_col, cleaned)``: each document's text with every char
+    covered by a k-gram that ALSO occurs anywhere in ``ref`` removed —
+    surgical benchmark decontamination (cut the contaminated span, keep
+    the document) instead of the drop-the-whole-doc gate.
+
+    Same machinery as :func:`cut_duplicated_spans` with one change:
+    the cut predicate is a semi-join of the corpus gram digest table
+    against ``ref``'s DISTINCT gram digests rather than a corpus-wide
+    count. The ref side is broadcast — benchmarks are small by nature
+    (a few MB of eval text versus a 100-TB train corpus), so the train
+    gram table never shuffles at all on this path: broadcast semi-join,
+    then doc-bounded interval-merge windows.
+    """
+    ref_digs = F.broadcast(
+        _gram_digest_table(ref, k, text_col, id_col).select("dig").distinct()
+    )
+    starts = (
+        _gram_digest_table(df, k, text_col, id_col)
+        .join(ref_digs, "dig", "left_semi")
+        .select(id_col, "pos")
+    )
+    return _cut_from_starts(df, starts, k, text_col, id_col)
+
+
+def _cut_from_starts(
+    df: DataFrame,
+    starts: DataFrame,
+    k: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Shared cut stitch: merge cut gram starts into disjoint covered
+    char intervals, pack each doc's intervals into one sorted array
+    row, join the text back once per doc, rebuild the kept text with a
+    JVM-side ``aggregate`` fold."""
     w = Window.partitionBy(id_col).orderBy("pos")
     brk = (
         F.when(F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0))

@@ -973,3 +973,107 @@ def curation_cut_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("_len") - F.length("cleaned")).cast("long").alias("cut_chars"),
         F.md5(F.col("cleaned").cast("binary")).alias("cleaned_fp"),
     )
+
+
+@register(
+    "curation_decontaminate_cut",
+    tags=("llm", "curation", "dedup"),
+    description=(
+        "Surgical benchmark decontamination: in every train doc "
+        "(doc_id % 10 != 0), remove each char covered by a "
+        f"{_SSK}-gram that also occurs in the held-out set "
+        "(doc_id % 10 = 0) — the cut alternative to dropping whole "
+        "contaminated docs, keeping the clean remainder in the mix."
+    ),
+    oracle=f"""
+        WITH train AS (
+            SELECT * FROM documents WHERE doc_id % 10 <> 0
+        ), ref AS (
+            SELECT * FROM documents WHERE doc_id % 10 = 0
+        ), rd AS (
+            SELECT DISTINCT md5(substr(text, pos, {_SSK})) AS dig
+            FROM (
+                SELECT text,
+                       unnest(generate_series(1,
+                           length(text) - {_SSK} + 1)) AS pos
+                FROM ref WHERE length(text) >= {_SSK})
+        ), tg AS (
+            SELECT doc_id, pos, md5(substr(text, pos, {_SSK})) AS dig
+            FROM (
+                SELECT doc_id, text,
+                       unnest(generate_series(1,
+                           length(text) - {_SSK} + 1)) AS pos
+                FROM train WHERE length(text) >= {_SSK})
+        ), dup AS (
+            SELECT doc_id, pos FROM tg
+            WHERE dig IN (SELECT dig FROM rd)
+        ), brks AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos - LAG(pos) OVER (
+                            PARTITION BY doc_id ORDER BY pos) <= {_SSK}
+                        THEN 0 ELSE 1 END AS brk
+            FROM dup
+        ), isl AS (
+            SELECT doc_id, pos,
+                   SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS UNBOUNDED PRECEDING) AS grp
+            FROM brks
+        ), iv AS (
+            SELECT doc_id, MIN(pos) AS a, MAX(pos) + {_SSK} - 1 AS b
+            FROM isl GROUP BY doc_id, grp
+        ), segs AS (
+            SELECT i.doc_id, i.a,
+                   substr(d.text,
+                          COALESCE(LAG(i.b) OVER (
+                              PARTITION BY i.doc_id ORDER BY i.a), 0) + 1,
+                          i.a - COALESCE(LAG(i.b) OVER (
+                              PARTITION BY i.doc_id ORDER BY i.a), 0) - 1)
+                       AS seg
+            FROM iv i JOIN train d USING (doc_id)
+        ), heads AS (
+            SELECT doc_id, string_agg(seg, '' ORDER BY a) AS head
+            FROM segs GROUP BY doc_id
+        ), tails AS (
+            SELECT i.doc_id, substr(d.text, MAX(i.b) + 1) AS tail
+            FROM iv i JOIN train d USING (doc_id)
+            GROUP BY i.doc_id, d.text
+        ), cut AS (
+            SELECT h.doc_id, h.head || t.tail AS cleaned
+            FROM heads h JOIN tails t USING (doc_id)
+        )
+        SELECT d.doc_id,
+               CAST(length(COALESCE(c.cleaned, d.text)) AS BIGINT)
+                   AS cleaned_len,
+               CAST(length(d.text) - length(COALESCE(c.cleaned, d.text))
+                    AS BIGINT) AS cut_chars,
+               md5(COALESCE(c.cleaned, d.text)) AS cleaned_fp
+        FROM train d LEFT JOIN cut c USING (doc_id)
+    """,
+)
+def curation_decontaminate_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cut-don't-drop decontamination against a held-out split.
+
+    Plan: operators/dedup.cut_matching_gram_spans — the held-out set's
+    DISTINCT gram digests broadcast into a semi-join against the train
+    gram table (benchmarks are tiny next to a 100-TB train corpus, so
+    the train grams never shuffle on the match path), then the family's
+    doc-bounded interval-merge + one-join aggregate-fold stitch. The
+    13-gram REPORT twin is curation_decontaminate_13gram; this emits
+    the surgically cleaned text surface (lengths + md5 fingerprint).
+    """
+    from hadoop_map_reduce_spark.operators.dedup import (
+        cut_matching_gram_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    ref = docs.filter(F.col("doc_id") % 10 == 0)
+    cut = cut_matching_gram_spans(train, ref, k=_SSK)
+    return train.select("doc_id", F.length("text").alias("_len")).join(
+        cut, "doc_id"
+    ).select(
+        "doc_id",
+        F.length("cleaned").cast("long").alias("cleaned_len"),
+        (F.col("_len") - F.length("cleaned")).cast("long").alias("cut_chars"),
+        F.md5(F.col("cleaned").cast("binary")).alias("cleaned_fp"),
+    )

@@ -925,3 +925,46 @@ def test_cut_duplicated_spans_random_corpus(spark):
         assert len(t) - len(got[doc_id]) == cov.get(doc_id, 0), doc_id
         changed += want != t
     assert changed > 100  # the cut actually fires across the corpus
+
+
+def test_cut_matching_gram_spans_random_corpus(spark):
+    """cut_matching_gram_spans against brute force: chars covered by a
+    k-gram present anywhere in the ref split are removed; ref-absent
+    duplication within train must survive (it is NOT contamination)."""
+    import random
+
+    from hadoop_map_reduce_spark.operators.dedup import (
+        cut_matching_gram_spans,
+    )
+
+    k = 4
+    rng = random.Random(20260816)
+    docs = [
+        (i, "".join(rng.choice("ab") for _ in range(rng.randint(0, 40))))
+        for i in range(200)
+    ]
+    ref_docs = [d for d in docs if d[0] % 10 == 0]
+    train_docs = [d for d in docs if d[0] % 10 != 0]
+
+    train = spark.createDataFrame(train_docs, "doc_id long, text string")
+    ref = spark.createDataFrame(ref_docs, "doc_id long, text string")
+    got = {
+        r.doc_id: r.cleaned
+        for r in cut_matching_gram_spans(train, ref, k=k).collect()
+    }
+
+    ref_grams = {
+        t[p:p + k] for _, t in ref_docs for p in range(len(t) - k + 1)
+    }
+    changed = survivors = 0
+    for doc_id, t in train_docs:
+        covered = set()
+        for p in range(len(t) - k + 1):
+            if t[p:p + k] in ref_grams:
+                covered.update(range(p, p + k))
+        want = "".join(c for i, c in enumerate(t) if i not in covered)
+        assert got[doc_id] == want, doc_id
+        changed += want != t
+        survivors += bool(want)
+    assert changed > 100      # contamination cutting actually fires
+    assert survivors > 10     # and does not erase every document
