@@ -784,12 +784,25 @@ def _gram_digest_table(
 
 
 def _duplicated_gram_starts(
-    df: DataFrame, k: int, text_col: str, id_col: str
+    df: DataFrame,
+    k: int,
+    text_col: str,
+    id_col: str,
+    within_doc: bool = False,
 ) -> DataFrame:
     """``(id_col, pos)`` of every 1-based char position whose k-gram
-    occurs >= 2 times corpus-wide — ONE digest-keyed window count over
-    the gram digest table (uniform 16-byte keys, no skew)."""
-    n_occ = F.count(F.lit(1)).over(Window.partitionBy("dig"))
+    occurs >= 2 times — corpus-wide by default, or inside its own
+    document with ``within_doc=True`` (the self-repetition variant;
+    the count window then partitions by (id, digest), so partitions
+    are doc-bounded and the shuffle key carries the doc id). ONE
+    digest-keyed window count over the gram digest table (uniform
+    16-byte keys, no skew)."""
+    part = (
+        Window.partitionBy(id_col, "dig")
+        if within_doc
+        else Window.partitionBy("dig")
+    )
+    n_occ = F.count(F.lit(1)).over(part)
     return (
         _gram_digest_table(df, k, text_col, id_col)
         .withColumn("n_occ", n_occ)
@@ -803,6 +816,7 @@ def duplicated_char_coverage(
     k: int = 25,
     text_col: str = "text",
     id_col: str = "doc_id",
+    within_doc: bool = False,
 ) -> DataFrame:
     """Per-document count of characters covered by at least one
     corpus-wide duplicated k-gram — the scalar curation signal behind
@@ -828,7 +842,7 @@ def duplicated_char_coverage(
         F.lit(k),
     )
     return (
-        _duplicated_gram_starts(df, k, text_col, id_col)
+        _duplicated_gram_starts(df, k, text_col, id_col, within_doc)
         .select(id_col, new_chars.alias("new_chars"))
         .groupBy(id_col)
         .agg(F.sum("new_chars").cast("long").alias("dup_chars"))
@@ -948,4 +962,66 @@ def _cut_from_starts(
     return df.join(intervals, id_col, "left").select(
         id_col,
         F.coalesce(cleaned, F.col(text_col)).alias("cleaned"),
+    )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    k: int = 25,
+    w: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm): from every window of ``w`` consecutive k-gram
+    hashes, select the minimal one (ties to the leftmost position);
+    the distinct selected ``(pos, hash)`` set is the fingerprint.
+    Guarantee: any shared substring of length >= w + k - 1 between two
+    docs yields at least one shared fingerprint, at ~2/(w+1) the
+    density of the full gram set.
+
+    Spark shape: the gram fan-out projection (text never shuffles),
+    then ONE doc-bounded sliding window taking ``min(struct(dig,
+    pos))`` over the trailing w rows — struct comparison is
+    lexicographic (digest, then position) in both Spark and the DuckDB
+    oracle, so the leftmost-minimum tie-break is engine-identical —
+    then a distinct on the selected rows. Digests stay hex STRINGS
+    end-to-end: string ordering is the cross-engine contract (binary
+    columns also compare lexicographically but round-trip differently
+    through driver canonicalization).
+
+    Only full windows select (``pos >= w``): docs with fewer than w
+    grams (length < k + w - 1) emit no fingerprints.
+    """
+    if w < 1:
+        raise ValueError("window w must be >= 1")
+    digs = (
+        df.filter(F.length(text_col) >= k)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.lit(1), F.length(text_col) - k + 1)
+            ).alias("pos"),
+            F.col(text_col).alias("_t"),
+        )
+        .select(
+            id_col,
+            "pos",
+            F.md5(
+                F.expr(f"substring(_t, pos, {int(k)})").cast("binary")
+            ).alias("dig"),
+        )
+    )
+    sel = F.min(F.struct("dig", "pos")).over(
+        Window.partitionBy(id_col).orderBy("pos").rowsBetween(-(w - 1), 0)
+    )
+    return (
+        digs.withColumn("sel", sel)
+        .filter(F.col("pos") >= w)
+        .select(
+            id_col,
+            F.col("sel.pos").cast("long").alias("pos"),
+            F.col("sel.dig").alias("dig"),
+        )
+        .distinct()
     )

@@ -1077,3 +1077,142 @@ def curation_decontaminate_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("_len") - F.length("cleaned")).cast("long").alias("cut_chars"),
         F.md5(F.col("cleaned").cast("binary")).alias("cleaned_fp"),
     )
+
+
+# Within-doc self-repetition gram width: 16 chars (~3 tokens) sits where
+# genuine template/spam self-repetition shows up in this corpus while
+# the corpus-wide 25-char family width finds none (measured: 0 docs at
+# k=25, 60 at k=16 at sf0.01).
+_SRK = 16
+
+
+@register(
+    "curation_selfrepeat_coverage",
+    tags=("llm", "curation"),
+    description=(
+        "Within-document self-repetition coverage: chars covered by a "
+        f"{_SRK}-gram occurring >= 2 times INSIDE the same doc, as an "
+        "exact count and integer ppm of doc length — the char-level "
+        "complement to the token distinct-ratio repetition signal "
+        "(catches verbatim repeated passages that token ratios blur)."
+    ),
+    oracle=f"""
+        WITH grams AS (
+            SELECT doc_id,
+                   unnest(generate_series(1, length(text) - {_SRK} + 1))
+                       AS pos,
+                   text
+            FROM documents
+            WHERE length(text) >= {_SRK}
+        ), digs AS (
+            SELECT doc_id, pos, md5(substr(text, pos, {_SRK})) AS dig
+            FROM grams
+        ), dup AS (
+            SELECT doc_id, pos FROM (
+                SELECT doc_id, pos,
+                       COUNT(*) OVER (PARTITION BY doc_id, dig) AS c
+                FROM digs)
+            WHERE c >= 2
+        ), contrib AS (
+            SELECT doc_id,
+                   LEAST(COALESCE(pos - LAG(pos) OVER (
+                             PARTITION BY doc_id ORDER BY pos),
+                         {_SRK}), {_SRK}) AS new_chars
+            FROM dup
+        ), cov AS (
+            SELECT doc_id, SUM(new_chars) AS dup_chars
+            FROM contrib GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(c.dup_chars, 0) AS BIGINT) AS selfdup_chars,
+               CAST((1000000 * COALESCE(c.dup_chars, 0))
+                    // length(d.text) AS BIGINT) AS selfdup_ppm
+        FROM documents d LEFT JOIN cov c USING (doc_id)
+        WHERE length(d.text) > 0
+    """,
+)
+def curation_selfrepeat_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc self-repetition coverage: the span family's coverage
+    plan with the duplication count partitioned by (doc_id, digest)
+    instead of digest alone — so even the count window is doc-bounded
+    and the whole pipeline shuffles on keys that carry the doc id (no
+    corpus-wide hot digest can exist by construction). Same sum-of-
+    min(gap, k) interval-union arithmetic, exact integer ppm.
+    """
+    from hadoop_map_reduce_spark.operators.dedup import (
+        duplicated_char_coverage,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") > 0
+    )
+    cov = duplicated_char_coverage(docs, k=_SRK, within_doc=True)
+    return docs.select("doc_id", F.length("text").alias("_len")).join(
+        cov, "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("dup_chars", F.lit(0)).cast("long").alias(
+            "selfdup_chars"
+        ),
+        F.expr("1000000 * coalesce(dup_chars, 0) DIV _len")
+        .cast("long")
+        .alias("selfdup_ppm"),
+    )
+
+
+# Winnowing parameters: 25-char grams (the span family's width), window
+# 8 -> fingerprint density ~2/9 of the gram set; shared substrings of
+# length >= 32 chars are guaranteed a shared fingerprint.
+_WIN_W = 8
+
+
+@register(
+    "text_winnowing",
+    tags=("llm", "curation"),
+    description=(
+        "Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the "
+        f"MOSS algorithm): per doc, the minimal {_SSK}-gram digest of "
+        f"every {_WIN_W}-gram window (leftmost tie-break), distinct — "
+        "the position-robust document fingerprint set that guarantees "
+        f"any shared substring of >= {_WIN_W + _SSK - 1} chars yields "
+        "a shared fingerprint at ~2/(w+1) storage."
+    ),
+    oracle=f"""
+        WITH grams AS (
+            SELECT doc_id,
+                   unnest(generate_series(1, length(text) - {_SSK} + 1))
+                       AS pos,
+                   text
+            FROM documents
+            WHERE length(text) >= {_SSK}
+        ), digs AS (
+            SELECT doc_id, pos, md5(substr(text, pos, {_SSK})) AS dig
+            FROM grams
+        ), sel AS (
+            SELECT doc_id, pos,
+                   min({{'d': dig, 'p': pos}}) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN {_WIN_W - 1} PRECEDING
+                                AND CURRENT ROW) AS s
+            FROM digs
+        )
+        SELECT DISTINCT doc_id,
+               CAST(s.p AS BIGINT) AS pos,
+               s.d AS dig
+        FROM sel WHERE pos >= {_WIN_W}
+    """,
+)
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan: operators/dedup.winnowing_fingerprints — gram fan-out
+    projection (text never shuffles), ONE doc-bounded sliding window
+    taking min(struct(digest, pos)) over the trailing w rows (struct
+    comparison is lexicographic in both engines, so the leftmost-min
+    tie-break is engine-identical), then distinct. Digests stay hex
+    strings end-to-end: string ordering is the cross-engine contract.
+    """
+    from hadoop_map_reduce_spark.operators.dedup import (
+        winnowing_fingerprints,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnowing_fingerprints(docs, k=_SSK, w=_WIN_W)

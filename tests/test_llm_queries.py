@@ -968,3 +968,85 @@ def test_cut_matching_gram_spans_random_corpus(spark):
         survivors += bool(want)
     assert changed > 100      # contamination cutting actually fires
     assert survivors > 10     # and does not erase every document
+
+
+def test_selfrepeat_coverage_random_corpus(spark):
+    """within_doc=True coverage against brute force: chars covered by a
+    k-gram repeating inside the SAME doc; cross-doc duplication alone
+    must contribute nothing."""
+    import random
+    from collections import Counter
+
+    from hadoop_map_reduce_spark.operators.dedup import (
+        duplicated_char_coverage,
+    )
+
+    k = 4
+    rng = random.Random(20260817)
+    docs = [
+        (i, "".join(rng.choice("ab") for _ in range(rng.randint(0, 40))))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.dup_chars)
+        for r in duplicated_char_coverage(df, k=k, within_doc=True).collect()
+    }
+
+    want = set()
+    for doc_id, t in docs:
+        counts = Counter(t[p:p + k] for p in range(len(t) - k + 1))
+        covered = set()
+        for p in range(len(t) - k + 1):
+            if counts[t[p:p + k]] >= 2:
+                covered.update(range(p, p + k))
+        if covered:
+            want.add((doc_id, len(covered)))
+    assert len(want) > 50
+    assert got == want
+
+
+def test_winnowing_random_corpus(spark):
+    """winnowing_fingerprints against a pure-Python winnow (hashlib md5
+    hex, leftmost minimum by (digest, position) per trailing window),
+    plus the coverage guarantee: any two docs sharing a substring of
+    length >= w + k - 1 share at least one fingerprint digest."""
+    import hashlib
+    import random
+
+    from hadoop_map_reduce_spark.operators.dedup import (
+        winnowing_fingerprints,
+    )
+
+    k, w = 4, 3
+    rng = random.Random(20260818)
+    shared = "".join(rng.choice("ab") for _ in range(k + w - 1))
+    docs = [
+        (i, "".join(rng.choice("ab") for _ in range(rng.randint(0, 40))))
+        for i in range(100)
+    ]
+    # Plant the guarantee case: two docs embedding the same >= w+k-1
+    # substring at different offsets.
+    docs += [(100, "bbbbbbbb" + shared), (101, shared + "aaaaaaaa")]
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.pos, r.dig)
+        for r in winnowing_fingerprints(df, k=k, w=w).collect()
+    }
+
+    want = set()
+    for doc_id, t in docs:
+        grams = [
+            (hashlib.md5(t[p:p + k].encode()).hexdigest(), p + 1)
+            for p in range(len(t) - k + 1)
+        ]
+        for i in range(w - 1, len(grams)):
+            d, p = min(grams[i - w + 1:i + 1])
+            want.add((doc_id, p, d))
+    assert got == want
+    assert len(want) > 100
+
+    fp100 = {d for (i, p, d) in want if i == 100}
+    fp101 = {d for (i, p, d) in want if i == 101}
+    assert fp100 & fp101  # the winnowing guarantee fires
