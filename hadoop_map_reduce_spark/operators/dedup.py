@@ -1025,3 +1025,62 @@ def winnowing_fingerprints(
         )
         .distinct()
     )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    k: int = 25,
+    w: int = 8,
+    min_shared: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The MOSS match step over :func:`winnowing_fingerprints`: doc
+    pairs sharing >= ``min_shared`` distinct fingerprint digests, with
+    the shared count and an exact integer containment score
+    (``n_shared * 1e6 DIV min(n_a, n_b)`` — 1e6 means one side's
+    fingerprint set is contained in the other's).
+
+    Inverted-index shape, not a cross join: distinct (doc, digest)
+    postings self-join on the digest and count co-occurrences — the
+    same Σ posting-list² cost model as the shingle Jaccard family, but
+    over a fingerprint set winnowed to ~2/(w+1) of the grams, which is
+    the algorithm's point: candidate generation cost shrinks
+    quadratically in the winnowing density while the >= w + k - 1
+    shared-substring guarantee holds. Boilerplate-heavy corpora still
+    produce hot fingerprint digests — cap or prefix-filter them exactly
+    as the Jaccard twin does (measured here: hottest posting list 4).
+
+    The fingerprint table feeds BOTH join sides, so it goes through the
+    one-slot cache — Catalyst re-inlines the explode/md5/window
+    pipeline per consumer otherwise (the round-3 regression class).
+    """
+    fp = cache_one_slot(
+        winnowing_fingerprints(df, k=k, w=w, text_col=text_col, id_col=id_col)
+        .select(id_col, "dig")
+        .distinct(),
+        "winnow-fingerprints",
+    )
+    sizes = fp.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    postings = fp.join(sizes, id_col)
+    a, b = postings.alias("a"), postings.alias("b")
+    return (
+        a.join(b, F.col("a.dig") == F.col("b.dig"))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a._n").alias("_na"),
+            F.col("b._n").alias("_nb"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            F.expr("n_shared * 1000000 DIV least(_na, _nb)")
+            .cast("long")
+            .alias("containment_ppm"),
+        )
+    )

@@ -1216,3 +1216,68 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return winnowing_fingerprints(docs, k=_SSK, w=_WIN_W)
+
+
+@register(
+    "dedup_winnow_pairs",
+    tags=("llm", "curation", "dedup"),
+    description=(
+        "MOSS match step: doc pairs sharing >= 3 distinct winnowing "
+        "fingerprints, with the shared count and exact integer "
+        "containment ppm vs the smaller fingerprint set — near-dup "
+        "candidate generation over the ~2/(w+1)-density fingerprint "
+        "index instead of the full gram table."
+    ),
+    oracle=f"""
+        WITH grams AS (
+            SELECT doc_id,
+                   unnest(generate_series(1, length(text) - {_SSK} + 1))
+                       AS pos,
+                   text
+            FROM documents
+            WHERE length(text) >= {_SSK}
+        ), digs AS (
+            SELECT doc_id, pos, md5(substr(text, pos, {_SSK})) AS dig
+            FROM grams
+        ), sel AS (
+            SELECT doc_id, pos,
+                   min({{'d': dig, 'p': pos}}) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN {_WIN_W - 1} PRECEDING
+                                AND CURRENT ROW) AS s
+            FROM digs
+        ), fp AS (
+            SELECT DISTINCT doc_id, s.d AS dig
+            FROM sel WHERE pos >= {_WIN_W}
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS n FROM fp GROUP BY doc_id
+        ), pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   COUNT(*) AS n_shared
+            FROM fp a JOIN fp b
+              ON a.dig = b.dig AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT p.id_a, p.id_b,
+               CAST(p.n_shared AS BIGINT) AS n_shared,
+               CAST((p.n_shared * 1000000)
+                    // LEAST(sa.n, sb.n) AS BIGINT) AS containment_ppm
+        FROM pairs p
+        JOIN sizes sa ON sa.doc_id = p.id_a
+        JOIN sizes sb ON sb.doc_id = p.id_b
+        WHERE p.n_shared >= 3
+    """,
+)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan: operators/dedup.winnow_pairs — inverted-index self-join
+    over the winnowed fingerprint postings (one-slot-cached: the
+    fingerprint pipeline feeds both join sides), co-occurrence count as
+    the shared-fingerprint score, integer containment ppm against the
+    smaller set. The Σ posting-list² candidate cost shrinks
+    quadratically with winnowing density vs the raw gram index, while
+    the w + k - 1 shared-substring guarantee bounds what can be missed.
+    """
+    from hadoop_map_reduce_spark.operators.dedup import winnow_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_pairs(docs, k=_SSK, w=_WIN_W, min_shared=3)

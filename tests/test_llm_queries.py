@@ -1050,3 +1050,49 @@ def test_winnowing_random_corpus(spark):
     fp100 = {d for (i, p, d) in want if i == 100}
     fp101 = {d for (i, p, d) in want if i == 101}
     assert fp100 & fp101  # the winnowing guarantee fires
+
+
+def test_winnow_pairs_random_corpus(spark):
+    """winnow_pairs against a pure-Python recomputation (winnow each
+    doc, count shared distinct fingerprint digests per pair, exact
+    integer containment vs the smaller set)."""
+    import hashlib
+    import random
+    from itertools import combinations
+
+    from hadoop_map_reduce_spark.operators.dedup import winnow_pairs
+
+    k, w, m = 4, 3, 2
+    rng = random.Random(20260819)
+    docs = [
+        (i, "".join(rng.choice("ab") for _ in range(rng.randint(0, 30))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b, r.n_shared, r.containment_ppm)
+        for r in winnow_pairs(df, k=k, w=w, min_shared=m).collect()
+    }
+
+    fps = {}
+    for doc_id, t in docs:
+        grams = [
+            (hashlib.md5(t[p:p + k].encode()).hexdigest(), p + 1)
+            for p in range(len(t) - k + 1)
+        ]
+        sel = {
+            min(grams[i - w + 1:i + 1])[0]
+            for i in range(w - 1, len(grams))
+        }
+        if sel:
+            fps[doc_id] = sel
+    want = set()
+    for a, b in combinations(sorted(fps), 2):
+        shared = len(fps[a] & fps[b])
+        if shared >= m:
+            want.add(
+                (a, b, shared,
+                 shared * 1000000 // min(len(fps[a]), len(fps[b])))
+            )
+    assert len(want) > 20
+    assert got == want
