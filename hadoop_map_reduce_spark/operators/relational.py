@@ -435,3 +435,41 @@ def apply_cdc(
         ~F.col(op_col).eqNullSafe(F.lit(delete_op))
     ).drop(op_col)
     return upserts.unionByName(survivors)
+
+
+def salted_equi_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    salts: int = 8,
+    salt_by: str | None = None,
+) -> DataFrame:
+    """Skew-safe inner equi-join: salt-and-replicate when one join key
+    dominates the shuffle (the manual fallback for skew AQE cannot fix,
+    e.g. a single key holding >1 task's worth of rows on BOTH stages of
+    a sort-merge join).
+
+    The big side gets a deterministic salt in [0, salts) derived from
+    ``salt_by`` (default: the join key's row — pass the table's PK so
+    rows of ONE hot key spread across all ``salts`` reducers); the small
+    side is replicated ``salts`` times via one ``explode(sequence)``.
+    Joining on (key, salt) splits each hot key's rows into ``salts``
+    independent tasks; the result is row-identical to the plain inner
+    join because every (key, salt) pair exists exactly once on the
+    replicated side.
+
+    Cost model: small side ships ``salts`` copies — use for
+    big-×-medium joins where the medium side is above the broadcast
+    threshold but << big (broadcast would solve skew outright below
+    it). ``salts`` should be ~ hot-key rows / healthy-task rows.
+    """
+    if salts < 1:
+        raise ValueError("salts must be >= 1")
+    src = F.col(salt_by if salt_by is not None else on)
+    salted_big = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(src), F.lit(salts)).cast("int")
+    )
+    replicated = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
+    )
+    return salted_big.join(replicated, [on, "_salt"]).drop("_salt")

@@ -1218,17 +1218,12 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_fingerprints(docs, k=_SSK, w=_WIN_W)
 
 
-@register(
-    "dedup_winnow_pairs",
-    tags=("llm", "curation", "dedup"),
-    description=(
-        "MOSS match step: doc pairs sharing >= 3 distinct winnowing "
-        "fingerprints, with the shared count and exact integer "
-        "containment ppm vs the smaller fingerprint set — near-dup "
-        "candidate generation over the ~2/(w+1)-density fingerprint "
-        "index instead of the full gram table."
-    ),
-    oracle=f"""
+def _winnow_pairs_sql(min_shared: int) -> str:
+    """DuckDB recomputation of :func:`operators.dedup.winnow_pairs` at a
+    given ``min_shared`` — shared so the eval report below runs the
+    candidate generator at density 1 against the same SQL body the
+    registered query pins at 3."""
+    return f"""
         WITH grams AS (
             SELECT doc_id,
                    unnest(generate_series(1, length(text) - {_SSK} + 1))
@@ -1265,8 +1260,21 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pairs p
         JOIN sizes sa ON sa.doc_id = p.id_a
         JOIN sizes sb ON sb.doc_id = p.id_b
-        WHERE p.n_shared >= 3
-    """,
+        WHERE p.n_shared >= {min_shared}
+    """
+
+
+@register(
+    "dedup_winnow_pairs",
+    tags=("llm", "curation", "dedup"),
+    description=(
+        "MOSS match step: doc pairs sharing >= 3 distinct winnowing "
+        "fingerprints, with the shared count and exact integer "
+        "containment ppm vs the smaller fingerprint set — near-dup "
+        "candidate generation over the ~2/(w+1)-density fingerprint "
+        "index instead of the full gram table."
+    ),
+    oracle=_winnow_pairs_sql(3),
 )
 def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Plan: operators/dedup.winnow_pairs — inverted-index self-join
@@ -1281,3 +1289,303 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return winnow_pairs(docs, k=_SSK, w=_WIN_W, min_shared=3)
+
+
+@register(
+    "dedup_winnow_eval",
+    tags=("llm", "curation", "dedup"),
+    description=(
+        "Fingerprint-index evaluation: confusion counts of the winnow "
+        "candidate pairs (any shared fingerprint) against the exact "
+        "trigram-shingle Jaccard >= 0.5 truth set, with integer "
+        "precision/recall ppm — the measurement harness that justifies "
+        "running the cheap MOSS index before the expensive verify."
+    ),
+    oracle=f"""
+        WITH truth AS ({_JACCARD_PAIRS_SQL}),
+        cand AS ({_winnow_pairs_sql(1)}),
+        conf AS (
+            SELECT CAST(COUNT(t.id_a) AS BIGINT) AS n_truth,
+                   CAST(COUNT(c.id_a) AS BIGINT) AS n_cand,
+                   CAST(COUNT(CASE WHEN t.id_a IS NOT NULL
+                                    AND c.id_a IS NOT NULL
+                              THEN 1 END) AS BIGINT) AS n_tp
+            FROM truth t FULL OUTER JOIN cand c
+              ON t.id_a = c.id_a AND t.id_b = c.id_b
+        )
+        SELECT n_truth, n_cand, n_tp,
+               CASE WHEN n_cand > 0
+                    THEN CAST(n_tp * 1000000 // n_cand AS BIGINT) END
+                   AS precision_ppm,
+               CASE WHEN n_truth > 0
+                    THEN CAST(n_tp * 1000000 // n_truth AS BIGINT) END
+                   AS recall_ppm
+        FROM conf
+    """,
+)
+def dedup_winnow_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan: run both pair generators (each already bucketed/prefix-
+    filtered — no cross join anywhere), full-outer equi-join the two
+    pair tables on (id_a, id_b), one single-row aggregate. At 100 TB
+    the truth side is the verified near-dup output you already
+    materialize; the confusion join is pair-table-sized (<< corpus) and
+    the report is 1 row. Integer ppm via DIV — no float division.
+    """
+    from hadoop_map_reduce_spark.operators.dedup import (
+        ngram_jaccard_pairs_prefix,
+        winnow_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    truth = ngram_jaccard_pairs_prefix(docs, threshold=0.5, n=3).select(
+        "id_a", "id_b", F.lit(1).alias("_t")
+    )
+    cand = winnow_pairs(docs, k=_SSK, w=_WIN_W, min_shared=1).select(
+        "id_a", "id_b", F.lit(1).alias("_c")
+    )
+    conf = truth.join(cand, ["id_a", "id_b"], "full_outer").agg(
+        F.count("_t").cast("long").alias("n_truth"),
+        F.count("_c").cast("long").alias("n_cand"),
+        F.count(
+            F.when(F.col("_t").isNotNull() & F.col("_c").isNotNull(), 1)
+        )
+        .cast("long")
+        .alias("n_tp"),
+    )
+    return conf.select(
+        "n_truth",
+        "n_cand",
+        "n_tp",
+        F.expr(
+            "CASE WHEN n_cand > 0 THEN n_tp * 1000000 DIV n_cand END"
+        ).alias("precision_ppm"),
+        F.expr(
+            "CASE WHEN n_truth > 0 THEN n_tp * 1000000 DIV n_truth END"
+        ).alias("recall_ppm"),
+    )
+
+
+@register(
+    "dedup_source_overlap",
+    tags=("llm", "curation", "dedup", "aggregation"),
+    description=(
+        "Cross-source duplication matrix: exact near-dup pair counts "
+        "per unordered source pair — the report that tells you which "
+        "ingestion feeds are mirroring each other."
+    ),
+    oracle=f"""
+        WITH truth AS ({_JACCARD_PAIRS_SQL}),
+        j AS (
+            SELECT LEAST(da.source, db.source) AS source_a,
+                   GREATEST(da.source, db.source) AS source_b
+            FROM truth p
+            JOIN documents da ON da.doc_id = p.id_a
+            JOIN documents db ON db.doc_id = p.id_b
+        )
+        SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM j GROUP BY 1, 2
+    """,
+)
+def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan: near-dup pairs (prefix-filtered exact Jaccard; at 100 TB
+    you'd feed the LSH-verified pair table — same schema) joined twice
+    to the (doc_id, source) projection, unordered-pair normalization
+    via least/greatest, one small aggregate keyed by source pair. The
+    pair table is tiny next to the corpus, so both meta joins shuffle
+    only pair-sized data against a two-column projection of documents;
+    output is #sources² at most.
+    """
+    from hadoop_map_reduce_spark.operators.dedup import (
+        ngram_jaccard_pairs_prefix,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs_prefix(docs, threshold=0.5, n=3)
+    meta_a = docs.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("src_a")
+    )
+    meta_b = docs.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("src_b")
+    )
+    return (
+        pairs.join(meta_a, "id_a")
+        .join(meta_b, "id_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+@register(
+    "dedup_source_rate",
+    tags=("llm", "curation", "dedup", "aggregation"),
+    description=(
+        "Per-source duplication rate: docs participating in >= 1 exact "
+        "near-dup pair, as count and integer ppm of the source's docs — "
+        "the per-feed health metric a crawl pipeline tracks over time."
+    ),
+    oracle=f"""
+        WITH truth AS ({_JACCARD_PAIRS_SQL}),
+        dup_ids AS (
+            SELECT DISTINCT doc_id FROM (
+                SELECT id_a AS doc_id FROM truth
+                UNION ALL SELECT id_b FROM truth
+            )
+        )
+        SELECT d.source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(x.doc_id) AS BIGINT) AS n_dup_docs,
+               CAST(COUNT(x.doc_id) * 1000000 // COUNT(*) AS BIGINT)
+                   AS dup_ppm
+        FROM documents d LEFT JOIN dup_ids x ON x.doc_id = d.doc_id
+        GROUP BY d.source
+    """,
+)
+def dedup_source_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan: pair table → explode both endpoints → distinct dup-doc
+    ids (pair-sized, tiny) → LEFT join onto the (doc_id, source)
+    projection → one aggregate keyed by source. The distinct dup-id
+    set is far below any broadcast threshold in practice; integer ppm
+    keeps the rate exact on both engines.
+    """
+    from hadoop_map_reduce_spark.operators.dedup import (
+        ngram_jaccard_pairs_prefix,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs_prefix(docs, threshold=0.5, n=3)
+    dup_ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("_d", F.lit(1))
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(dup_ids, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count("_d").cast("long").alias("n_dup_docs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dup_docs",
+            F.expr("n_dup_docs * 1000000 DIV n_docs").alias("dup_ppm"),
+        )
+    )
+
+
+# DSIR-style importance scoring (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): hashed-bigram bucket
+# distributions for a target domain vs the raw corpus, each doc scored
+# by how much its gram mass sits in buckets over-represented in the
+# target. The published method uses log-ratios; this engine keeps the
+# score integer-exact cross-engine by scoring with ppm DIFFERENCES
+# (target_ppm - raw_ppm per bucket, weighted by the doc's bucket
+# counts) — same ordering intent (positive = target-like), no libm.
+_DSIR_BUCKET = "substr(md5(g), 1, 2)"  # 256 buckets, md5 agrees engine-wise
+
+
+@register(
+    "curation_dsir_score",
+    tags=("llm", "curation", "stats"),
+    description=(
+        "DSIR-style domain-alignment score: hashed-bigram bucket "
+        "distribution of the English-doc target vs the raw corpus "
+        "(256 md5-prefix buckets, integer ppm), each doc scored by "
+        "sum(count * (target_ppm - raw_ppm)) over its bigrams — the "
+        "importance-resampling signal for domain-targeted data selection."
+    ),
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, lang, {_DUCK_TOKS} AS t FROM documents
+        ), bg AS (
+            SELECT doc_id, lang,
+                   unnest([t[i] || ' ' || t[i+1]
+                           for i in range(1, len(t))]) AS g
+            FROM toks WHERE len(t) >= 2
+        ), dbc AS (
+            SELECT doc_id, lang, {_DSIR_BUCKET} AS b, COUNT(*) AS cnt
+            FROM bg GROUP BY 1, 2, 3
+        ), rawp AS (
+            SELECT b, CAST(SUM(cnt) * 1000000
+                           // (SELECT SUM(cnt) FROM dbc) AS BIGINT)
+                          AS raw_ppm
+            FROM dbc GROUP BY b
+        ), tgtp AS (
+            SELECT b, CAST(SUM(cnt) * 1000000
+                           // (SELECT SUM(cnt) FROM dbc
+                               WHERE lang = 'en') AS BIGINT) AS tgt_ppm
+            FROM dbc WHERE lang = 'en' GROUP BY b
+        )
+        SELECT d.doc_id,
+               CAST(SUM(d.cnt) AS BIGINT) AS n_grams,
+               CAST(SUM(d.cnt * (COALESCE(t.tgt_ppm, 0) - r.raw_ppm))
+                    AS BIGINT) AS dsir_score
+        FROM dbc d
+        JOIN rawp r ON r.b = d.b
+        LEFT JOIN tgtp t ON t.b = d.b
+        GROUP BY d.doc_id
+    """,
+)
+def curation_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan: one gram fan-out projection (text never shuffles) → per-doc
+    bucket counts (ONE corpus-keyed aggregation, one-slot-cached: it
+    feeds the raw distribution, the target distribution, and the score
+    join) → two 256-row distribution tables crossed with their one-row
+    totals and BROADCAST into the scoring join → per-doc aggregate.
+    Everything after the first aggregation is bucket-table-sized; at
+    100 TB the only corpus-scale shuffle is the (doc_id, bucket) count.
+    ppm numerators stay under 2^63 until corpus gram counts reach ~9e12
+    per bucket; past that, widen to DECIMAL — noted, not hit here.
+    """
+    from hadoop_map_reduce_spark.functions.text import (
+        ngrams,
+        sanitize,
+        tokenize,
+    )
+    from hadoop_map_reduce_spark.operators.caching import cache_one_slot
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(sanitize(F.col("text")))
+    g = docs.select(
+        "doc_id", "lang", F.explode(ngrams(toks, 2, " ")).alias("g")
+    )
+    dbc = cache_one_slot(
+        g.select(
+            "doc_id", "lang", F.substring(F.md5("g"), 1, 2).alias("b")
+        )
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt")),
+        "dsir-doc-bucket",
+    )
+    raw = dbc.groupBy("b").agg(F.sum("cnt").alias("rc"))
+    rawp = raw.crossJoin(
+        F.broadcast(dbc.agg(F.sum("cnt").alias("rtot")))
+    ).select("b", F.expr("rc * 1000000 DIV rtot").alias("raw_ppm"))
+    tgt = dbc.filter(F.col("lang") == "en")
+    tgtp = (
+        tgt.groupBy("b")
+        .agg(F.sum("cnt").alias("tc"))
+        .crossJoin(F.broadcast(tgt.agg(F.sum("cnt").alias("ttot"))))
+        .select("b", F.expr("tc * 1000000 DIV ttot").alias("tgt_ppm"))
+    )
+    return (
+        dbc.join(F.broadcast(rawp), "b")
+        .join(F.broadcast(tgtp), "b", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_grams"),
+            F.sum(
+                F.col("cnt")
+                * (F.coalesce(F.col("tgt_ppm"), F.lit(0)) - F.col("raw_ppm"))
+            )
+            .cast("long")
+            .alias("dsir_score"),
+        )
+    )

@@ -1021,3 +1021,54 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         exact_sum(F.col("value"), "total_value"),
     )
+
+
+@register(
+    "join_salted_skew",
+    tags=("relational", "join", "skew"),
+    description=(
+        "Skew-safe salted equi-join: lineitem x part with the big side "
+        "salted by its PK and the part side replicated 8x, joined on "
+        "(key, salt) — row-identical to the plain join, but a hot "
+        "partkey's rows spread over 8 reducers instead of one."
+    ),
+    oracle="""
+        SELECT p.p_brand AS brand,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                   AS revenue_cents
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan: operators/relational.salted_equi_join — the manual fallback
+    for join skew AQE cannot split (one key too hot for a single task on
+    both sort-merge stages). Salt from xxhash64(l_orderkey) spreads each
+    hot l_partkey across 8 (key, salt) reducer groups; part replicates
+    8x via one explode(sequence). At this SF Catalyst may still pick a
+    broadcast join (part is tiny) — the answer is identical either way;
+    the technique targets the medium-dim regime above the broadcast
+    threshold. Exact-cents aggregation keeps the parity bit-exact.
+    """
+    from hadoop_map_reduce_spark.operators.relational import (
+        salted_equi_join,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_orderkey", "l_extendedprice"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    return (
+        salted_equi_join(li, part, on="l_partkey", salts=8,
+                         salt_by="l_orderkey")
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("revenue_cents"),
+        )
+    )

@@ -1096,3 +1096,52 @@ def test_winnow_pairs_random_corpus(spark):
             )
     assert len(want) > 20
     assert got == want
+
+
+def test_winnow_eval_confusion_invariants(spark, sf_dir):
+    """The eval report's counts obey the confusion-matrix algebra and
+    its ppm fields stay in [0, 1e6]."""
+    row = REGISTRY["dedup_winnow_eval"].fn(spark, sf_dir).collect()[0]
+    assert 0 <= row.n_tp <= min(row.n_truth, row.n_cand)
+    for ppm in (row.precision_ppm, row.recall_ppm):
+        assert ppm is None or 0 <= ppm <= 1_000_000
+    # The planted near-dups make both sides non-trivial on testdata.
+    assert row.n_truth > 0 and row.n_cand > 0
+
+
+def test_dsir_score_gram_accounting(spark, sf_dir):
+    """Every doc with >= 2 sanitize-tokens appears exactly once with
+    n_grams = n_tokens - 1 (bigram conservation), and English docs in
+    aggregate score at least as target-like as the corpus mean, which
+    is ~0 by construction (sum over all docs of cnt*(tgt-raw) tracks
+    the ppm rounding, bounded by total gram count)."""
+    from pyspark.sql import functions as F
+
+    from hadoop_map_reduce_spark.functions.text import sanitize, tokenize
+    from hadoop_map_reduce_spark.session import load_table
+
+    got = {
+        r.doc_id: (r.n_grams, r.dsir_score)
+        for r in REGISTRY["curation_dsir_score"].fn(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", F.size(tokenize(sanitize(F.col("text")))).alias("n")
+        ).collect()
+    }
+    langs = {
+        r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()
+    }
+    for doc_id, n in ntok.items():
+        if n >= 2:
+            assert got[doc_id][0] == n - 1
+        else:
+            assert doc_id not in got
+    # Aggregate alignment: the gram-weighted mean score of the target
+    # (English) docs exceeds that of the rest — the signal DSIR selects
+    # on. Deterministic for this corpus.
+    en = [s for d, (g, s) in got.items() if langs[d] == "en"]
+    rest = [s for d, (g, s) in got.items() if langs[d] != "en"]
+    assert sum(en) / len(en) > sum(rest) / len(rest)

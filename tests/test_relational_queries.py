@@ -15,3 +15,41 @@ RELATIONAL = sorted(
 @pytest.mark.parametrize("name", RELATIONAL)
 def test_oracle_match(spark, sf_dir, name):
     compare_query(spark, sf_dir, name)
+
+
+def test_salted_join_parity_and_spread(spark, sf_dir):
+    """salted_equi_join is row-identical to the plain inner join, and
+    the salt actually spreads one key's rows across multiple groups."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hadoop_map_reduce_spark.operators.relational import (
+        salted_equi_join,
+    )
+    from hadoop_map_reduce_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_orderkey", "l_quantity"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    salted = salted_equi_join(li, part, "l_partkey", salts=4,
+                              salt_by="l_orderkey")
+    plain = li.join(part, "l_partkey")
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    # The hottest partkey's rows land in >1 salt group (spread works).
+    spread = (
+        li.withColumn(
+            "_salt", F.pmod(F.xxhash64("l_orderkey"), F.lit(4))
+        )
+        .groupBy("l_partkey")
+        .agg(F.countDistinct("_salt").alias("ns"), F.count("*").alias("n"))
+        .orderBy(F.desc("n"))
+        .first()
+    )
+    assert spread.ns > 1
+    with pytest.raises(ValueError):
+        salted_equi_join(li, part, "l_partkey", salts=0)
