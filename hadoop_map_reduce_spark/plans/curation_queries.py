@@ -1493,6 +1493,7 @@ _DSIR_BUCKET = "substr(md5(g), 1, 2)"  # 256 buckets, md5 agrees engine-wise
 
 @register(
     "curation_dsir_score",
+    headline=True,
     tags=("llm", "curation", "stats"),
     description=(
         "DSIR-style domain-alignment score: hashed-bigram bucket "
@@ -1588,4 +1589,243 @@ def curation_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("dsir_score"),
         )
+    )
+
+
+@register(
+    "pack_global_shuffle",
+    headline=True,
+    tags=("llm", "curation", "window"),
+    description=(
+        "Deterministic global training-order shuffle: every doc's exact "
+        "0-based position under the md5('s1:' || doc_id) pseudorandom "
+        "total order, computed WITHOUT a global sort — two-level "
+        "bucketed prefix scan (the scale-safe zipWithIndex shape)."
+    ),
+    oracle="""
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY md5('s1:' || CAST(doc_id AS VARCHAR)), doc_id
+               ) - 1 AS BIGINT) AS pos
+        FROM documents
+    """,
+)
+def pack_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global positions with NO single-partition exchange:
+
+    - rank within each of 65536 md5-prefix buckets (window partitioned
+      by the 4-hex-char prefix — at 100 TB each partition holds
+      ~corpus/65536, comfortably one task's sort);
+    - bucket offsets within each 256-way super-bucket (window over the
+      65536-row bucket-size table, partitioned by super);
+    - super-bucket offsets via a 256x256 broadcast self-join (no
+      unpartitioned window anywhere — the plan sweep stays clean);
+    - pos = super_offset + bucket_offset + in-bucket rank.
+
+    The md5 key is uniform, so bucket skew is binomial-tight; the same
+    seed string reproduces the permutation bit-for-bit on any engine
+    (the DuckDB oracle is a plain global ROW_NUMBER). Changing 's1:'
+    reshuffles every epoch deterministically.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("s1:"), F.col("doc_id").cast("string"))).alias(
+            "_k"
+        ),
+    ).select(
+        "doc_id",
+        "_k",
+        F.substring("_k", 1, 4).alias("_b"),
+        F.substring("_k", 1, 2).alias("_s"),
+    )
+    in_bucket = F.row_number().over(
+        Window.partitionBy("_b").orderBy("_k", "doc_id")
+    ) - 1
+    ranked = keyed.select(
+        "doc_id", "_b", "_s", in_bucket.cast("long").alias("_r")
+    )
+    sizes = keyed.groupBy("_s", "_b").agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    bucket_off = sizes.select(
+        "_b",
+        "_s",
+        (
+            F.sum("_n").over(
+                Window.partitionBy("_s")
+                .orderBy("_b")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            - F.col("_n")
+        ).alias("_boff"),
+    )
+    sup = sizes.groupBy("_s").agg(F.sum("_n").alias("_sn"))
+    sup_off = (
+        sup.alias("a")
+        .join(
+            F.broadcast(sup.alias("b")),
+            F.col("b._s") < F.col("a._s"),
+            "left",
+        )
+        .groupBy(F.col("a._s").alias("_s"))
+        .agg(F.coalesce(F.sum("b._sn"), F.lit(0)).alias("_soff"))
+    )
+    return (
+        ranked.join(F.broadcast(bucket_off), ["_s", "_b"])
+        .join(F.broadcast(sup_off), "_s")
+        .select(
+            "doc_id",
+            (F.col("_soff") + F.col("_boff") + F.col("_r"))
+            .cast("long")
+            .alias("pos"),
+        )
+    )
+
+
+@register(
+    "quality_score_calibration",
+    tags=("llm", "curation", "window"),
+    description=(
+        "Per-source quality calibration: each doc's stopword-density "
+        "score rank-normalized to a [0, 1e6] percentile WITHIN its "
+        "source (FineWeb-style practice — a global quality threshold is "
+        "biased by source register, so gates are applied on per-source "
+        "percentiles). Integer rank arithmetic, deterministic tie-break."
+    ),
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, source,
+                   len(regexp_extract_all(lower(text), '{_TOKEN_RE}'))
+                       AS n_tok,
+                   len(regexp_extract_all(lower(text),
+                       '\\b(the|a|of|to|and)\\b')) AS hits
+            FROM documents
+        ), scored AS (
+            SELECT doc_id, source,
+                   CAST(hits * 1000000 // n_tok AS BIGINT) AS dens_ppm
+            FROM t WHERE n_tok > 0
+        ), ranked AS (
+            SELECT doc_id, source, dens_ppm,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source ORDER BY dens_ppm, doc_id
+                   ) AS rk,
+                   COUNT(*) OVER (PARTITION BY source) AS n
+            FROM scored
+        )
+        SELECT doc_id, source, dens_ppm,
+               CASE WHEN n > 1
+                    THEN CAST((rk - 1) * 1000000 // (n - 1) AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS pct_ppm
+        FROM ranked
+    """,
+)
+def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan: one projection computing the integer stopword-density
+    score, ONE window shuffle keyed by source (rank + partition count
+    in the same window spec — one exchange), integer percentile. At
+    100 TB a skewed source partition splits under AQE; the score stays
+    a per-row expression, so nothing else shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(_tokens(F.col("text")))
+    hits = F.size(
+        F.regexp_extract_all(
+            F.lower("text"), F.lit(r"\b(the|a|of|to|and)\b"), 0
+        )
+    )
+    scored = docs.select(
+        "doc_id",
+        "source",
+        n_tok.alias("n_tok"),
+        hits.alias("hits"),
+    ).filter(F.col("n_tok") > 0).select(
+        "doc_id",
+        "source",
+        F.expr("hits * 1000000 DIV n_tok").alias("dens_ppm"),
+    )
+    w = Window.partitionBy("source")
+    ranked = scored.select(
+        "doc_id",
+        "source",
+        "dens_ppm",
+        F.row_number().over(w.orderBy("dens_ppm", "doc_id")).alias("rk"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    return ranked.select(
+        "doc_id",
+        "source",
+        "dens_ppm",
+        F.expr(
+            "CASE WHEN n > 1 THEN CAST((rk - 1) * 1000000 DIV (n - 1) "
+            "AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        ).alias("pct_ppm"),
+    )
+
+
+# Exact integer sqrt: float sqrt + one-step correction (float rounding
+# near perfect squares is the classic trap — 10^2 coming back 9.999...).
+# Identical expression on both engines; exact for n < 2^52.
+_ISQRT = (
+    "CASE WHEN (_s0 + 1) * (_s0 + 1) <= {n} THEN _s0 + 1 "
+    "WHEN _s0 * _s0 > {n} THEN _s0 - 1 ELSE _s0 END"
+)
+
+
+@register(
+    "mix_temperature_quota",
+    tags=("llm", "curation", "aggregation"),
+    description=(
+        "Temperature-0.5 mixture quotas: per-source sampling quota "
+        "proportional to sqrt(n_docs) (the multilingual-LLM rebalance "
+        "that upweights small sources), with an EXACT integer sqrt — "
+        "float sqrt + one-step correction — and integer quota division; "
+        "budget 200 docs."
+    ),
+    oracle=f"""
+        WITH c AS (
+            SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+        ), s AS (
+            SELECT source, n,
+                   CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT) AS _s0
+            FROM c
+        ), w AS (
+            SELECT source, n,
+                   CAST({_ISQRT.format(n='n')} AS BIGINT) AS weight
+            FROM s
+        )
+        SELECT source,
+               CAST(n AS BIGINT) AS n_docs,
+               weight,
+               CAST(200 * weight // (SELECT SUM(weight) FROM w)
+                    AS BIGINT) AS quota
+        FROM w
+    """,
+)
+def mix_temperature_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan: one count aggregation keyed by source, exact isqrt as a
+    row expression, total weight as a one-row broadcast cross join.
+    Output is #sources rows. Largest-remainder top-up is deliberately
+    omitted — it needs a global rank over sources; the floor quota
+    undershoots the budget by < #sources, which the caller absorbs.
+    At temperature 1/2 the weight is exactly isqrt; other rational
+    temperatures p/q would use the same correction pattern on the
+    q-th root.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    s = c.withColumn(
+        "_s0", F.floor(F.sqrt(F.col("n").cast("double"))).cast("long")
+    )
+    w = s.select(
+        "source",
+        "n",
+        F.expr(_ISQRT.format(n="n")).cast("long").alias("weight"),
+    )
+    tot = w.agg(F.sum("weight").alias("_tw"))
+    return w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        "weight",
+        F.expr("200 * weight DIV _tw").alias("quota"),
     )

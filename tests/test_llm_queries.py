@@ -1145,3 +1145,13 @@ def test_dsir_score_gram_accounting(spark, sf_dir):
     en = [s for d, (g, s) in got.items() if langs[d] == "en"]
     rest = [s for d, (g, s) in got.items() if langs[d] != "en"]
     assert sum(en) / len(en) > sum(rest) / len(rest)
+
+
+def test_global_shuffle_is_permutation(spark, sf_dir):
+    """pack_global_shuffle emits exactly the positions 0..n-1, once
+    each — the bucketed prefix scan reconstructs the global order with
+    no gap or collision."""
+    rows = REGISTRY["pack_global_shuffle"].fn(spark, sf_dir).collect()
+    pos = sorted(r.pos for r in rows)
+    assert pos == list(range(len(rows)))
+    assert len({r.doc_id for r in rows}) == len(rows)
