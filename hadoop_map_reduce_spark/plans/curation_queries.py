@@ -1742,7 +1742,11 @@ def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("n_tok") > 0).select(
         "doc_id",
         "source",
-        F.expr("hits * 1000000 DIV n_tok").alias("dens_ppm"),
+        # hits is int32 from size(); widen before *1e6 — a >2147-hit
+        # doc would trip ANSI overflow otherwise.
+        F.expr("CAST(hits AS BIGINT) * 1000000 DIV n_tok").alias(
+            "dens_ppm"
+        ),
     )
     w = Window.partitionBy("source")
     ranked = scored.select(
@@ -1756,9 +1760,12 @@ def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         "dens_ppm",
+        # rk is int32 from row_number — widen BEFORE the *1e6 (ANSI
+        # overflow at ~2147 rows per source otherwise; caught by the
+        # 10x audit, invisible at sf0.01).
         F.expr(
-            "CASE WHEN n > 1 THEN CAST((rk - 1) * 1000000 DIV (n - 1) "
-            "AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+            "CASE WHEN n > 1 THEN CAST(rk - 1 AS BIGINT) * 1000000 "
+            "DIV (n - 1) ELSE CAST(0 AS BIGINT) END"
         ).alias("pct_ppm"),
     )
 
@@ -1828,4 +1835,188 @@ def mix_temperature_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_docs"),
         "weight",
         F.expr("200 * weight DIV _tw").alias("quota"),
+    )
+
+
+@register(
+    "curation_gopher_rules",
+    tags=("llm", "curation"),
+    description=(
+        "Gopher-style rule gate (Rae et al. 2021 adapted to integer "
+        "arithmetic): word count in [40, 100000], mean word length in "
+        "[3, 10] via cross-multiplication, non-alphanumeric character "
+        "ratio < 10%, stopword presence — per-doc flags plus the "
+        "conjunction, no float thresholds anywhere."
+    ),
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '{_TOKEN_RE}') AS toks,
+                   LENGTH(text) AS n_chars_raw,
+                   LENGTH(regexp_replace(text, '[a-z0-9A-Z ]', '', 'g'))
+                       AS n_sym,
+                   len(regexp_extract_all(lower(text),
+                       '\\b(the|a|of|to|and)\\b')) AS stop_hits
+            FROM documents
+        ), m AS (
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_words,
+                   CAST(len(list_filter(toks, x -> x <> '')) AS BIGINT)
+                       AS n_nonempty,
+                   CAST(list_sum([CAST(LENGTH(x) AS BIGINT)
+                                  for x in toks]) AS BIGINT) AS sum_len,
+                   n_chars_raw, n_sym, stop_hits
+            FROM t
+        )
+        SELECT doc_id,
+               n_words,
+               COALESCE(sum_len, 0) AS sum_wordlen,
+               n_words BETWEEN 40 AND 100000 AS pass_wordcount,
+               n_words > 0 AND COALESCE(sum_len, 0) >= 3 * n_words
+                   AND COALESCE(sum_len, 0) <= 10 * n_words
+                   AS pass_meanlen,
+               n_sym * 10 < n_chars_raw AS pass_symbols,
+               stop_hits >= 2 AS pass_stopwords,
+               (n_words BETWEEN 40 AND 100000)
+                   AND n_words > 0
+                   AND COALESCE(sum_len, 0) >= 3 * n_words
+                   AND COALESCE(sum_len, 0) <= 10 * n_words
+                   AND n_sym * 10 < n_chars_raw
+                   AND stop_hits >= 2 AS keep
+        FROM m
+    """,
+)
+def curation_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan: pure per-row Column expressions (codegen, embarrassingly
+    parallel — the 100-TB shape for a rule gate); the mean-word-length
+    bound is the cross-multiplied 3*n <= sum_len <= 10*n so no division
+    happens at all. aggregate(...) folds token lengths left-to-right in
+    both engines (exact integer sum).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_words = F.size(toks).cast("long")
+    sum_len = F.coalesce(
+        F.aggregate(
+            toks,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.length(x).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+    )
+    n_sym = F.length(
+        F.regexp_replace(F.col("text"), "[a-z0-9A-Z ]", "")
+    ).cast("long")
+    n_chars_raw = F.length("text").cast("long")
+    stop_hits = F.size(
+        F.regexp_extract_all(
+            F.lower("text"), F.lit(r"\b(the|a|of|to|and)\b"), 0
+        )
+    ).cast("long")
+    t = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        sum_len.alias("sum_wordlen"),
+        n_sym.alias("n_sym"),
+        n_chars_raw.alias("n_chars_raw"),
+        stop_hits.alias("stop_hits"),
+    )
+    pass_wordcount = F.col("n_words").between(40, 100000)
+    pass_meanlen = (
+        (F.col("n_words") > 0)
+        & (F.col("sum_wordlen") >= 3 * F.col("n_words"))
+        & (F.col("sum_wordlen") <= 10 * F.col("n_words"))
+    )
+    pass_symbols = F.col("n_sym") * 10 < F.col("n_chars_raw")
+    pass_stopwords = F.col("stop_hits") >= 2
+    return t.select(
+        "doc_id",
+        "n_words",
+        "sum_wordlen",
+        pass_wordcount.alias("pass_wordcount"),
+        pass_meanlen.alias("pass_meanlen"),
+        pass_symbols.alias("pass_symbols"),
+        pass_stopwords.alias("pass_stopwords"),
+        (
+            pass_wordcount & pass_meanlen & pass_symbols & pass_stopwords
+        ).alias("keep"),
+    )
+
+
+@register(
+    "manifest_diff",
+    tags=("llm", "pipeline", "setop"),
+    description=(
+        "Dataset-version diff: the doc-level delta between two gate "
+        "configurations (min length 100 vs 120 chars AND repetition "
+        "ratio gate tightened) — added/removed/kept counts plus the "
+        "per-status doc lists' id-sum as a checksum; the release-notes "
+        "report for a training-set version bump."
+    ),
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, n_chars,
+                   len(regexp_extract_all(lower(text), '{_TOKEN_RE}'))
+                       AS n_tok,
+                   len(list_distinct(
+                       regexp_extract_all(lower(text), '{_TOKEN_RE}')))
+                       AS n_dist
+            FROM documents
+        ), v1 AS (
+            SELECT doc_id FROM t
+            WHERE n_chars >= 100 AND n_dist * 2 >= n_tok
+        ), v2 AS (
+            SELECT doc_id FROM t
+            WHERE n_chars >= 120 AND n_dist * 5 >= n_tok * 3
+        ), d AS (
+            SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+                   CASE WHEN v1.doc_id IS NULL THEN 'added'
+                        WHEN v2.doc_id IS NULL THEN 'removed'
+                        ELSE 'kept' END AS status
+            FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        )
+        SELECT status,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+        FROM d GROUP BY status
+    """,
+)
+def manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan: both manifests from ONE scan projection (the gate columns
+    are computed once; the two filters are pushed over the same cached
+    narrow table), full-outer equi-join on doc_id, 3-row aggregate with
+    an id-sum checksum so the diff is value-verifiable, not just
+    count-verifiable. At 100 TB both manifests are id-projections —
+    the join ships two long columns, nothing wider.
+    """
+    from hadoop_map_reduce_spark.operators.caching import cache_one_slot
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    t = cache_one_slot(
+        docs.select(
+            "doc_id",
+            "n_chars",
+            F.size(toks).alias("n_tok"),
+            F.size(F.array_distinct(toks)).alias("n_dist"),
+        ),
+        "manifest-gates",
+    )
+    v1 = t.filter(
+        (F.col("n_chars") >= 100) & (F.col("n_dist") * 2 >= F.col("n_tok"))
+    ).select(F.col("doc_id").alias("_id1"))
+    v2 = t.filter(
+        (F.col("n_chars") >= 120)
+        & (F.col("n_dist") * 5 >= F.col("n_tok") * 3)
+    ).select(F.col("doc_id").alias("_id2"))
+    d = v1.join(v2, v1["_id1"] == v2["_id2"], "full_outer").select(
+        F.coalesce("_id1", "_id2").alias("doc_id"),
+        F.when(F.col("_id1").isNull(), "added")
+        .when(F.col("_id2").isNull(), "removed")
+        .otherwise("kept")
+        .alias("status"),
+    )
+    return d.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
     )

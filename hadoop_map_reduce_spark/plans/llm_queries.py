@@ -868,3 +868,61 @@ def multimodal_audio_energy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), modality="audio"
     )
     return audio_energy(media, window=256)
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    tags=("llm", "text", "aggregation", "tokenizer"),
+    description=(
+        "Tokenizer fertility per language: corpus-level BPE-ish tokens "
+        "per whitespace token as integer ppm (the multilingual "
+        "tokenizer-efficiency metric — fertility >> 1e6 means a "
+        "language fragments into many subwords per word), plus both "
+        "raw sums."
+    ),
+    oracle=f"""
+        WITH t AS (
+            SELECT lang,
+                   len({_TOKS}) AS ws,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS bpe
+            FROM documents
+        )
+        SELECT lang,
+               SUM(CAST(ws AS BIGINT)) AS ws_tokens,
+               SUM(CAST(bpe AS BIGINT)) AS bpe_tokens,
+               CAST(SUM(CAST(bpe AS BIGINT)) * 1000000
+                    // SUM(CAST(ws AS BIGINT)) AS BIGINT)
+                   AS fertility_ppm
+        FROM t GROUP BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan: two per-row counts (codegen'd regex, no explode — the gram
+    arrays never materialize), one aggregation keyed by lang. The ppm
+    ratio divides corpus-level sums, so the result is exact and
+    order-independent; per-language token totals are the numbers a
+    tokenizer-budget planner actually consumes.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(sanitize(F.col("text")))
+    t = docs.select(
+        "lang",
+        ws_token_count(toks).alias("ws"),
+        bpe_token_count(F.col("text")).alias("bpe"),
+    )
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("bpe").alias("bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "ws_tokens",
+            "bpe_tokens",
+            F.expr("bpe_tokens * 1000000 DIV ws_tokens").alias(
+                "fertility_ppm"
+            ),
+        )
+    )

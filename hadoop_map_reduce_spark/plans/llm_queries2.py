@@ -257,3 +257,65 @@ def agg_salted_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_cnt").alias("n_events"),
         (F.sum("_pcents") / F.lit(1e2)).alias("total_value"),
     )
+
+
+@register(
+    "split_leakage_report",
+    tags=("llm", "pipeline", "dedup"),
+    description=(
+        "Train/val/test leakage report: near-dup pair counts per "
+        "unordered split pair under the deterministic md5 split "
+        "assignment — off-diagonal rows (train,val / train,test / "
+        "val,test) are evaluation leakage an intra-split dedup pass "
+        "cannot see."
+    ),
+    oracle=f"""
+        WITH truth AS ({_JACCARD_PAIRS_SQL}),
+        s AS (
+            SELECT doc_id,
+                   CASE WHEN {_md5_bucket_sql('doc_id', 100)} < 80
+                        THEN 'train'
+                        WHEN {_md5_bucket_sql('doc_id', 100)} < 90
+                        THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        ), j AS (
+            SELECT LEAST(sa.split, sb.split) AS split_a,
+                   GREATEST(sa.split, sb.split) AS split_b
+            FROM truth p
+            JOIN s sa ON sa.doc_id = p.id_a
+            JOIN s sb ON sb.doc_id = p.id_b
+        )
+        SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM j GROUP BY 1, 2
+    """,
+)
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan: the exact near-dup pair table (at 100 TB: the verified LSH
+    output you already materialize — same schema) joined twice against
+    the split_assign expression (a per-row md5, no extra shuffle beyond
+    the pair-sized equi-joins), unordered-pair normalization, <=6-row
+    aggregate. This is the dataset-release gate: a nonzero
+    (train, test) row means your held-out set is contaminated however
+    clean each split looks in isolation.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs_prefix(docs, threshold=0.5, n=3)
+    b = _md5_bucket_spark(F.col("doc_id"), 100)
+    s = docs.select(
+        "doc_id",
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+        .alias("split"),
+    )
+    sa = s.select(F.col("doc_id").alias("id_a"), F.col("split").alias("_sa"))
+    sb = s.select(F.col("doc_id").alias("id_b"), F.col("split").alias("_sb"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.least("_sa", "_sb").alias("split_a"),
+            F.greatest("_sa", "_sb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )

@@ -64,12 +64,14 @@ def test_headline_set_is_stable_and_timed():
     headline = sorted(n for n, q in REGISTRY.items() if q.headline)
     assert headline == [
         "bigram_count",
+        "curation_dsir_score",
         "dedup_containment",
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
         "embedding_neardup",
         "join_asof",
         "multimodal_phash_neardup",
+        "pack_global_shuffle",
         "q1_pricing_summary",
         "q3_shipping_priority",
         "q5_local_supplier",
