@@ -1084,3 +1084,38 @@ def winnow_pairs(
             .alias("containment_ppm"),
         )
     )
+
+
+def pair_attr_matrix(
+    pairs: DataFrame,
+    attrs: DataFrame,
+    attr_col: str,
+    out_a: str,
+    out_b: str,
+    id_col: str = "doc_id",
+    count_col: str = "n_pairs",
+) -> DataFrame:
+    """Aggregate a near-dup pair table into an unordered attribute
+    matrix: join ``pairs`` (id_a, id_b) twice against the per-doc
+    ``attrs`` projection, normalize each pair with least/greatest, and
+    count per attribute pair. One shape serves every 'which X are
+    duplicating into which Y' report (source overlap, split leakage);
+    the joins ship only pair-sized data and the output is bounded by
+    |attr domain|².
+    """
+    a = attrs.select(
+        F.col(id_col).alias("id_a"), F.col(attr_col).alias("_aa")
+    )
+    b = attrs.select(
+        F.col(id_col).alias("id_b"), F.col(attr_col).alias("_ab")
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            F.least("_aa", "_ab").alias(out_a),
+            F.greatest("_aa", "_ab").alias(out_b),
+        )
+        .groupBy(out_a, out_b)
+        .agg(F.count(F.lit(1)).cast("long").alias(count_col))
+    )

@@ -145,40 +145,38 @@ def curation_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "curation_quality_funnel",
-    tags=("llm", "curation"),
-    description=(
-        "Curation funnel report: cumulative survival counts through "
-        "length → token-count → repetition → language gates, one "
-        "aggregate pass over the corpus (all thresholds integer-exact)."
-    ),
-    oracle=f"""
-        WITH t AS (
-            SELECT n_chars, lang,
-                   len(regexp_extract_all(lower(text), '{_TOKEN_RE}'))
-                       AS n_tok,
-                   len(list_distinct(
-                       regexp_extract_all(lower(text), '{_TOKEN_RE}')))
-                       AS n_dist
-            FROM documents)
-        SELECT COUNT(*) AS n_docs,
-               CAST(SUM(CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END)
-                    AS BIGINT) AS pass_len,
-               CAST(SUM(CASE WHEN n_chars >= 100 AND n_tok >= 30
-                             THEN 1 ELSE 0 END) AS BIGINT) AS pass_tokens,
-               CAST(SUM(CASE WHEN n_chars >= 100 AND n_tok >= 30
-                             AND n_dist * 2 >= n_tok
-                             THEN 1 ELSE 0 END) AS BIGINT)
-                   AS pass_repetition,
-               CAST(SUM(CASE WHEN n_chars >= 100 AND n_tok >= 30
-                             AND n_dist * 2 >= n_tok AND lang = 'en'
-                             THEN 1 ELSE 0 END) AS BIGINT) AS pass_lang
-        FROM t
-    """,
-)
-def curation_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+# Funnel gates and oracle shared with the streaming twin
+# (streaming_queries.stream_quality_funnel): ONE definition of the gate
+# chain so a threshold tweak can never desynchronize the pair.
+FUNNEL_ORACLE = f"""
+    WITH t AS (
+        SELECT n_chars, lang,
+               len(regexp_extract_all(lower(text), '{_TOKEN_RE}'))
+                   AS n_tok,
+               len(list_distinct(
+                   regexp_extract_all(lower(text), '{_TOKEN_RE}')))
+                   AS n_dist
+        FROM documents)
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END)
+                AS BIGINT) AS pass_len,
+           CAST(SUM(CASE WHEN n_chars >= 100 AND n_tok >= 30
+                         THEN 1 ELSE 0 END) AS BIGINT) AS pass_tokens,
+           CAST(SUM(CASE WHEN n_chars >= 100 AND n_tok >= 30
+                         AND n_dist * 2 >= n_tok
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS pass_repetition,
+           CAST(SUM(CASE WHEN n_chars >= 100 AND n_tok >= 30
+                         AND n_dist * 2 >= n_tok AND lang = 'en'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS pass_lang
+    FROM t
+"""
+
+
+def funnel_agg(docs: DataFrame) -> DataFrame:
+    """The cumulative gate-survival aggregate over a documents-shaped
+    DataFrame (batch or streaming — per-row gates are stateless and the
+    only state is the single aggregate row)."""
     toks = _tokens(F.col("text"))
     t = docs.select(
         "n_chars",
@@ -201,6 +199,20 @@ def curation_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cnt(g3).alias("pass_repetition"),
         _cnt(g4).alias("pass_lang"),
     )
+
+
+@register(
+    "curation_quality_funnel",
+    tags=("llm", "curation"),
+    description=(
+        "Curation funnel report: cumulative survival counts through "
+        "length → token-count → repetition → language gates, one "
+        "aggregate pass over the corpus (all thresholds integer-exact)."
+    ),
+    oracle=FUNNEL_ORACLE,
+)
+def curation_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return funnel_agg(load_table(spark, sf_dir, "documents"))
 
 
 # PII patterns meaning the same thing in Java regex (Spark) and RE2
@@ -1399,23 +1411,13 @@ def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_jaccard_pairs_prefix,
     )
 
+    from hadoop_map_reduce_spark.operators.dedup import pair_attr_matrix
+
     docs = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs_prefix(docs, threshold=0.5, n=3)
-    meta_a = docs.select(
-        F.col("doc_id").alias("id_a"), F.col("source").alias("src_a")
-    )
-    meta_b = docs.select(
-        F.col("doc_id").alias("id_b"), F.col("source").alias("src_b")
-    )
-    return (
-        pairs.join(meta_a, "id_a")
-        .join(meta_b, "id_b")
-        .select(
-            F.least("src_a", "src_b").alias("source_a"),
-            F.greatest("src_a", "src_b").alias("source_b"),
-        )
-        .groupBy("source_a", "source_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    return pair_attr_matrix(
+        pairs, docs.select("doc_id", "source"), "source",
+        "source_a", "source_b",
     )
 
 
@@ -1683,6 +1685,12 @@ def pack_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Stopword-presence regex shared by the calibration and Gopher-rule
+# gates below — ONE spelling for Spark (Java regex) and the oracles
+# (RE2), so the stopword list cannot drift between engine and oracle.
+_STOP_RE = r"\b(the|a|of|to|and)\b"
+
+
 @register(
     "quality_score_calibration",
     tags=("llm", "curation", "window"),
@@ -1699,7 +1707,7 @@ def pack_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
                    len(regexp_extract_all(lower(text), '{_TOKEN_RE}'))
                        AS n_tok,
                    len(regexp_extract_all(lower(text),
-                       '\\b(the|a|of|to|and)\\b')) AS hits
+                       '{_STOP_RE}')) AS hits
             FROM documents
         ), scored AS (
             SELECT doc_id, source,
@@ -1730,9 +1738,7 @@ def quality_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     n_tok = F.size(_tokens(F.col("text")))
     hits = F.size(
-        F.regexp_extract_all(
-            F.lower("text"), F.lit(r"\b(the|a|of|to|and)\b"), 0
-        )
+        F.regexp_extract_all(F.lower("text"), F.lit(_STOP_RE), 0)
     )
     scored = docs.select(
         "doc_id",
@@ -1856,13 +1862,11 @@ def mix_temperature_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
                    LENGTH(regexp_replace(text, '[a-z0-9A-Z ]', '', 'g'))
                        AS n_sym,
                    len(regexp_extract_all(lower(text),
-                       '\\b(the|a|of|to|and)\\b')) AS stop_hits
+                       '{_STOP_RE}')) AS stop_hits
             FROM documents
         ), m AS (
             SELECT doc_id,
                    CAST(len(toks) AS BIGINT) AS n_words,
-                   CAST(len(list_filter(toks, x -> x <> '')) AS BIGINT)
-                       AS n_nonempty,
                    CAST(list_sum([CAST(LENGTH(x) AS BIGINT)
                                   for x in toks]) AS BIGINT) AS sum_len,
                    n_chars_raw, n_sym, stop_hits
@@ -1909,9 +1913,7 @@ def curation_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     n_chars_raw = F.length("text").cast("long")
     stop_hits = F.size(
-        F.regexp_extract_all(
-            F.lower("text"), F.lit(r"\b(the|a|of|to|and)\b"), 0
-        )
+        F.regexp_extract_all(F.lower("text"), F.lit(_STOP_RE), 0)
     ).cast("long")
     t = docs.select(
         "doc_id",

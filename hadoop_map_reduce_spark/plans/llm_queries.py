@@ -889,8 +889,8 @@ def multimodal_audio_energy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents
         )
         SELECT lang,
-               SUM(CAST(ws AS BIGINT)) AS ws_tokens,
-               SUM(CAST(bpe AS BIGINT)) AS bpe_tokens,
+               CAST(SUM(CAST(ws AS BIGINT)) AS BIGINT) AS ws_tokens,
+               CAST(SUM(CAST(bpe AS BIGINT)) AS BIGINT) AS bpe_tokens,
                CAST(SUM(CAST(bpe AS BIGINT)) * 1000000
                     // SUM(CAST(ws AS BIGINT)) AS BIGINT)
                    AS fertility_ppm

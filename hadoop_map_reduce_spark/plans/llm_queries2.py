@@ -299,6 +299,8 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (train, test) row means your held-out set is contaminated however
     clean each split looks in isolation.
     """
+    from hadoop_map_reduce_spark.operators.dedup import pair_attr_matrix
+
     docs = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs_prefix(docs, threshold=0.5, n=3)
     b = _md5_bucket_spark(F.col("doc_id"), 100)
@@ -307,15 +309,4 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
         .alias("split"),
     )
-    sa = s.select(F.col("doc_id").alias("id_a"), F.col("split").alias("_sa"))
-    sb = s.select(F.col("doc_id").alias("id_b"), F.col("split").alias("_sb"))
-    return (
-        pairs.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            F.least("_sa", "_sb").alias("split_a"),
-            F.greatest("_sa", "_sb").alias("split_b"),
-        )
-        .groupBy("split_a", "split_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
-    )
+    return pair_attr_matrix(pairs, s, "split", "split_a", "split_b")

@@ -1035,8 +1035,8 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT p.p_brand AS brand,
                CAST(COUNT(*) AS BIGINT) AS n_items,
-               SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
-                   AS revenue_cents
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         GROUP BY 1
     """,

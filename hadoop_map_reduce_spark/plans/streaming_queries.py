@@ -30,6 +30,10 @@ from hadoop_map_reduce_spark.plans.reference_queries import (
 )
 from hadoop_map_reduce_spark.plans.registry import register
 from hadoop_map_reduce_spark.plans.llm_queries import _PHASH_H_SQL
+from hadoop_map_reduce_spark.plans.curation_queries import (
+    FUNNEL_ORACLE,
+    funnel_agg,
+)
 from hadoop_map_reduce_spark.plans.relational_queries import _sql_sum, exact_sum
 from hadoop_map_reduce_spark.plans.timeseries_queries import _EWMA_ORACLE
 from hadoop_map_reduce_spark.session import load_table
@@ -637,60 +641,19 @@ def stream_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(per-row gates are stateless; the only state is one aggregate "
         "row), run to completion with availableNow."
     ),
-    oracle="""
-        WITH t AS (
-            SELECT n_chars, lang,
-                   len(regexp_extract_all(lower(text), '[a-z0-9]+'))
-                       AS n_tok,
-                   len(list_distinct(
-                       regexp_extract_all(lower(text), '[a-z0-9]+')))
-                       AS n_dist
-            FROM documents)
-        SELECT COUNT(*) AS n_docs,
-               CAST(SUM(CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END)
-                    AS BIGINT) AS pass_len,
-               CAST(SUM(CASE WHEN n_chars >= 100 AND n_tok >= 30
-                             THEN 1 ELSE 0 END) AS BIGINT) AS pass_tokens,
-               CAST(SUM(CASE WHEN n_chars >= 100 AND n_tok >= 30
-                             AND n_dist * 2 >= n_tok
-                             THEN 1 ELSE 0 END) AS BIGINT)
-                   AS pass_repetition,
-               CAST(SUM(CASE WHEN n_chars >= 100 AND n_tok >= 30
-                             AND n_dist * 2 >= n_tok AND lang = 'en'
-                             THEN 1 ELSE 0 END) AS BIGINT) AS pass_lang
-        FROM t
-    """,
+    oracle=FUNNEL_ORACLE,
 )
 def stream_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same gate expressions as the batch `curation_quality_funnel`
-    (one tokenizer regex, integer thresholds), but over `readStream` —
-    the shape a live ingestion pipeline runs: per-row gates evaluate
-    map-side in each micro-batch and the stream's ONLY state is the
-    single aggregate row, so corpus size never accumulates anywhere.
-    Complete mode + availableNow drains the file source and must equal
-    the batch oracle exactly.
+    """SAME gate chain as the batch twin — both the aggregate and the
+    oracle are imported from curation_queries (one definition, so a
+    threshold tweak can never desynchronize the pair). Over
+    `readStream` the per-row gates evaluate map-side in each
+    micro-batch and the stream's ONLY state is the single aggregate
+    row, so corpus size never accumulates anywhere. Complete mode +
+    availableNow drains the file source and must equal the batch
+    oracle exactly.
     """
     docs = _read_stream(spark, sf_dir, "documents")
-    toks = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
-    t = docs.select(
-        "n_chars",
-        "lang",
-        F.size(toks).alias("n_tok"),
-        F.size(F.array_distinct(toks)).alias("n_dist"),
+    return _run_to_table(
+        funnel_agg(docs), "_hmrs_stream_quality_funnel", "complete"
     )
-    g1 = F.col("n_chars") >= 100
-    g2 = g1 & (F.col("n_tok") >= 30)
-    g3 = g2 & (F.col("n_dist") * 2 >= F.col("n_tok"))
-    g4 = g3 & (F.col("lang") == "en")
-
-    def _cnt(cond):
-        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
-
-    agg = t.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        _cnt(g1).alias("pass_len"),
-        _cnt(g2).alias("pass_tokens"),
-        _cnt(g3).alias("pass_repetition"),
-        _cnt(g4).alias("pass_lang"),
-    )
-    return _run_to_table(agg, "_hmrs_stream_quality_funnel", "complete")

