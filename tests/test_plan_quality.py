@@ -677,3 +677,44 @@ def test_phash_neardup_hash_scan_cached_and_banded_once(spark, sf_dir):
     assert "InMemoryTableScan" in plan
     assert "Union" not in plan
     assert plan.count("Generate explode") >= 2  # one banding per side
+
+
+def test_dsir_broadcasts_distributions_and_prunes(spark, sf_dir):
+    """curation_dsir_score: the 256-row ppm tables broadcast into the
+    scoring join (never shuffle the corpus against them) and the scan
+    reads only the three needed columns."""
+    p = plan_of(spark, sf_dir, "curation_dsir_score")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "ReadSchema: struct<doc_id:bigint,text:string,lang:string>" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p or "Inner" not in p.split(
+        "BroadcastNestedLoopJoin"
+    )[1][:40]
+
+
+def test_global_shuffle_partitioned_windows_only(spark, sf_dir):
+    """pack_global_shuffle: every window is partitioned (the whole
+    point — no global sort), offsets broadcast, scan pruned to doc_id."""
+    p = plan_of(spark, sf_dir, "pack_global_shuffle")
+    assert "SinglePartition" not in p
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "ReadSchema: struct<doc_id:bigint>" in p
+
+
+def test_salted_join_salts_both_sides(spark, sf_dir):
+    """join_salted_skew: the join condition includes the salt column on
+    both sides and the replicated side explodes a sequence."""
+    p = plan_of(spark, sf_dir, "join_salted_skew")
+    assert "_salt" in p
+    assert "Generate explode" in p or "explode(sequence" in p
+
+
+def test_manifest_diff_single_gate_scan(spark, sf_dir):
+    """manifest_diff: the gate projection is computed once (one-slot
+    cache), so exactly one InMemoryTableScan pair feeds the diff join —
+    not two re-derivations of the tokenizer pipeline."""
+    p = plan_of(spark, sf_dir, "manifest_diff")
+    assert "InMemoryTableScan" in p
+    # The expensive tokenizer regex must not appear in the join plan
+    # itself (it lives only inside the cached relation).
+    assert "regexp_extract_all" not in p.split("InMemoryRelation")[0]
