@@ -158,17 +158,17 @@ FUNNEL_ORACLE = f"""
                    AS n_dist
         FROM documents)
     SELECT COUNT(*) AS n_docs,
-           CAST(SUM(CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END)
-                AS BIGINT) AS pass_len,
-           CAST(SUM(CASE WHEN n_chars >= 100 AND n_tok >= 30
-                         THEN 1 ELSE 0 END) AS BIGINT) AS pass_tokens,
-           CAST(SUM(CASE WHEN n_chars >= 100 AND n_tok >= 30
+           CAST(COALESCE(SUM(CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END),
+                         0) AS BIGINT) AS pass_len,
+           CAST(COALESCE(SUM(CASE WHEN n_chars >= 100 AND n_tok >= 30
+                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS pass_tokens,
+           CAST(COALESCE(SUM(CASE WHEN n_chars >= 100 AND n_tok >= 30
                          AND n_dist * 2 >= n_tok
-                         THEN 1 ELSE 0 END) AS BIGINT)
+                         THEN 1 ELSE 0 END), 0) AS BIGINT)
                AS pass_repetition,
-           CAST(SUM(CASE WHEN n_chars >= 100 AND n_tok >= 30
+           CAST(COALESCE(SUM(CASE WHEN n_chars >= 100 AND n_tok >= 30
                          AND n_dist * 2 >= n_tok AND lang = 'en'
-                         THEN 1 ELSE 0 END) AS BIGINT) AS pass_lang
+                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS pass_lang
     FROM t
 """
 
@@ -190,7 +190,11 @@ def funnel_agg(docs: DataFrame) -> DataFrame:
     g4 = g3 & (F.col("lang") == "en")
 
     def _cnt(cond):
-        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+        # COALESCE so a zero-row day reports 0s, not NULLs (mirrored in
+        # FUNNEL_ORACLE; caught by test_empty_inputs).
+        return F.coalesce(
+            F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)
+        ).cast("long")
 
     return t.agg(
         F.count(F.lit(1)).alias("n_docs"),

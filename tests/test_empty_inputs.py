@@ -115,3 +115,58 @@ def test_neardup_admitter_empty_batch(spark, empty_docs, sf_dir, tmp_path):
     admitter.apply_batch(empty_docs.select("doc_id", "text"), 0)
     assert admitter.result(spark).count() == 0
     assert admitter.read_store(spark).count() > 0  # seed intact
+
+
+def test_winnow_pairs_empty(spark, empty_docs):
+    from hadoop_map_reduce_spark.operators.dedup import winnow_pairs
+
+    assert winnow_pairs(empty_docs, k=4, w=3, min_shared=1).count() == 0
+
+
+def test_pair_attr_matrix_empty_pairs(spark, empty_docs):
+    from hadoop_map_reduce_spark.operators.dedup import pair_attr_matrix
+
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert (
+        pair_attr_matrix(
+            pairs, empty_docs.select("doc_id", "source"), "source",
+            "a", "b",
+        ).count()
+        == 0
+    )
+
+
+def test_salted_join_empty_sides(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from hadoop_map_reduce_spark.operators.relational import (
+        salted_equi_join,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_orderkey"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    assert (
+        salted_equi_join(
+            li.filter(F.lit(False)), part, "l_partkey", salts=4,
+            salt_by="l_orderkey",
+        ).count()
+        == 0
+    )
+    assert (
+        salted_equi_join(
+            li, part.filter(F.lit(False)), "l_partkey", salts=4,
+            salt_by="l_orderkey",
+        ).count()
+        == 0
+    )
+
+
+def test_funnel_agg_empty(spark, empty_docs):
+    from hadoop_map_reduce_spark.plans.curation_queries import funnel_agg
+
+    row = funnel_agg(empty_docs).collect()[0]
+    assert tuple(row) == (0, 0, 0, 0, 0)
