@@ -926,3 +926,108 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "multimodal_dedup_exact",
+    tags=("llm", "multimodal", "dedup"),
+    description=(
+        "Per-modality exact-dedup census over a two-modality payload "
+        "table (image = utf-8 text bytes, audio = reversed-text bytes): "
+        "media count, distinct md5-digest count, duplicate copies, and "
+        "the lexicographic min/max digest as value anchors — the "
+        "payload-size-independent first pass of a media dedup pipeline."
+    ),
+    oracle="""
+        WITH media AS (
+            SELECT doc_id AS media_id, 'image' AS modality,
+                   md5(text) AS digest
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 'audio', md5(reverse(text)) FROM documents
+        )
+        SELECT modality,
+               CAST(COUNT(*) AS BIGINT) AS n_media,
+               CAST(COUNT(DISTINCT digest) AS BIGINT) AS n_unique,
+               CAST(COUNT(*) - COUNT(DISTINCT digest) AS BIGINT)
+                   AS n_dup_copies,
+               MIN(digest) AS min_digest,
+               MAX(digest) AS max_digest
+        FROM media GROUP BY modality
+    """,
+)
+def multimodal_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan: two binary projections unioned (one scan each), md5
+    computed map-side, ONE aggregation keyed by modality. Payloads
+    never shuffle — digests are 16 bytes regardless of payload size.
+    The min/max digest anchors make the 2-row report a strong value
+    check even on a corpus with no exact duplicates (this SF);
+    n_dup_copies counts removable copies when they exist.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    img = with_binary_content(docs)
+    aud = with_binary_content(
+        docs.select("doc_id", F.reverse(F.col("text")).alias("text")),
+        modality="audio",
+    )
+    media = img.unionByName(aud)
+    return (
+        media.select("modality", F.md5("content").alias("digest"))
+        .groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_media"),
+            F.countDistinct("digest").cast("long").alias("n_unique"),
+            (F.count(F.lit(1)) - F.countDistinct("digest"))
+            .cast("long")
+            .alias("n_dup_copies"),
+            F.min("digest").alias("min_digest"),
+            F.max("digest").alias("max_digest"),
+        )
+    )
+
+
+@register(
+    "text_lang_confusion",
+    tags=("llm", "text", "aggregation"),
+    description=(
+        "Language-ID evaluation: confusion matrix of the stopword "
+        "heuristic's prediction against the labeled lang column "
+        "(label, predicted, n_docs) — the accuracy report that decides "
+        "whether the cheap heuristic suffices before a model-based "
+        "classifier."
+    ),
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, lang, {_TOKS} AS t FROM documents),
+        hits AS (
+            SELECT doc_id, lang,
+                   {_sql_stop_hits('en')} AS c_en,
+                   {_sql_stop_hits('de')} AS c_de,
+                   {_sql_stop_hits('fr')} AS c_fr,
+                   {_sql_stop_hits('es')} AS c_es
+            FROM toks
+        ), pred AS (
+            SELECT lang,
+                   CASE WHEN c_en + c_de + c_fr + c_es = 0 THEN 'unknown'
+                        WHEN c_en >= GREATEST(c_de, c_fr, c_es) THEN 'en'
+                        WHEN c_de >= GREATEST(c_fr, c_es) THEN 'de'
+                        WHEN c_fr >= c_es THEN 'fr'
+                        ELSE 'es' END AS lang_pred
+            FROM hits
+        )
+        SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM pred GROUP BY lang, lang_pred
+    """,
+)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan: the same per-row argmax cascade as text_lang_id (shared
+    functions/text_analysis.lang_id — one definition), then one
+    aggregation keyed by (label, prediction); output bounded by
+    |langs|² + unknown. Per-row work is codegen'd Column expressions.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(sanitize(F.col("text")))
+    return (
+        docs.select("lang", lang_id(toks).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
