@@ -473,3 +473,79 @@ def salted_equi_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
     )
     return salted_big.join(replicated, [on, "_salt"]).drop("_salt")
+
+
+def global_shuffle_positions(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "s1:",
+    out_col: str = "pos",
+) -> DataFrame:
+    """Exact 0-based position of every row under the pseudorandom total
+    order ``(md5(seed || id), id)`` — WITHOUT a global sort (the
+    scale-safe zipWithIndex shape):
+
+    - rank within each of 65536 md5-prefix buckets (window partitioned
+      by the 4-hex-char prefix);
+    - bucket offsets within each 256-way super-bucket (window over the
+      65536-row bucket-size table, partitioned by super);
+    - super-bucket offsets via a 256x256 broadcast self-join — no
+      unpartitioned window anywhere.
+
+    The md5 key is uniform so bucket skew is binomial-tight; the same
+    seed reproduces the permutation bit-for-bit on any engine. Changing
+    the seed reshuffles every epoch deterministically.
+    """
+    keyed = df.select(
+        id_col,
+        F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))).alias(
+            "_k"
+        ),
+    ).select(
+        id_col,
+        "_k",
+        F.substring("_k", 1, 4).alias("_b"),
+        F.substring("_k", 1, 2).alias("_s"),
+    )
+    in_bucket = F.row_number().over(
+        Window.partitionBy("_b").orderBy("_k", id_col)
+    ) - 1
+    ranked = keyed.select(
+        id_col, "_b", "_s", in_bucket.cast("long").alias("_r")
+    )
+    sizes = keyed.groupBy("_s", "_b").agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    bucket_off = sizes.select(
+        "_b",
+        "_s",
+        (
+            F.sum("_n").over(
+                Window.partitionBy("_s")
+                .orderBy("_b")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            - F.col("_n")
+        ).alias("_boff"),
+    )
+    sup = sizes.groupBy("_s").agg(F.sum("_n").alias("_sn"))
+    sup_off = (
+        sup.alias("a")
+        .join(
+            F.broadcast(sup.alias("b")),
+            F.col("b._s") < F.col("a._s"),
+            "left",
+        )
+        .groupBy(F.col("a._s").alias("_s"))
+        .agg(F.coalesce(F.sum("b._sn"), F.lit(0)).alias("_soff"))
+    )
+    return (
+        ranked.join(F.broadcast(bucket_off), ["_s", "_b"])
+        .join(F.broadcast(sup_off), "_s")
+        .select(
+            id_col,
+            (F.col("_soff") + F.col("_boff") + F.col("_r"))
+            .cast("long")
+            .alias(out_col),
+        )
+    )

@@ -1617,76 +1617,19 @@ def curation_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pack_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact global positions with NO single-partition exchange:
-
-    - rank within each of 65536 md5-prefix buckets (window partitioned
-      by the 4-hex-char prefix — at 100 TB each partition holds
-      ~corpus/65536, comfortably one task's sort);
-    - bucket offsets within each 256-way super-bucket (window over the
-      65536-row bucket-size table, partitioned by super);
-    - super-bucket offsets via a 256x256 broadcast self-join (no
-      unpartitioned window anywhere — the plan sweep stays clean);
-    - pos = super_offset + bucket_offset + in-bucket rank.
-
-    The md5 key is uniform, so bucket skew is binomial-tight; the same
-    seed string reproduces the permutation bit-for-bit on any engine
-    (the DuckDB oracle is a plain global ROW_NUMBER). Changing 's1:'
-    reshuffles every epoch deterministically.
+    """Plan: operators/relational.global_shuffle_positions — exact
+    global positions with NO single-partition exchange: 65536-bucket
+    partitioned ranks, within-super bucket offsets (partitioned window
+    over the bucket-size table), 256x256 broadcast self-join super
+    offsets, pos = super_offset + bucket_offset + in-bucket rank. The
+    DuckDB oracle is the plain global ROW_NUMBER this replaces.
     """
+    from hadoop_map_reduce_spark.operators.relational import (
+        global_shuffle_positions,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    keyed = docs.select(
-        "doc_id",
-        F.md5(F.concat(F.lit("s1:"), F.col("doc_id").cast("string"))).alias(
-            "_k"
-        ),
-    ).select(
-        "doc_id",
-        "_k",
-        F.substring("_k", 1, 4).alias("_b"),
-        F.substring("_k", 1, 2).alias("_s"),
-    )
-    in_bucket = F.row_number().over(
-        Window.partitionBy("_b").orderBy("_k", "doc_id")
-    ) - 1
-    ranked = keyed.select(
-        "doc_id", "_b", "_s", in_bucket.cast("long").alias("_r")
-    )
-    sizes = keyed.groupBy("_s", "_b").agg(
-        F.count(F.lit(1)).cast("long").alias("_n")
-    )
-    bucket_off = sizes.select(
-        "_b",
-        "_s",
-        (
-            F.sum("_n").over(
-                Window.partitionBy("_s")
-                .orderBy("_b")
-                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            )
-            - F.col("_n")
-        ).alias("_boff"),
-    )
-    sup = sizes.groupBy("_s").agg(F.sum("_n").alias("_sn"))
-    sup_off = (
-        sup.alias("a")
-        .join(
-            F.broadcast(sup.alias("b")),
-            F.col("b._s") < F.col("a._s"),
-            "left",
-        )
-        .groupBy(F.col("a._s").alias("_s"))
-        .agg(F.coalesce(F.sum("b._sn"), F.lit(0)).alias("_soff"))
-    )
-    return (
-        ranked.join(F.broadcast(bucket_off), ["_s", "_b"])
-        .join(F.broadcast(sup_off), "_s")
-        .select(
-            "doc_id",
-            (F.col("_soff") + F.col("_boff") + F.col("_r"))
-            .cast("long")
-            .alias("pos"),
-        )
-    )
+    return global_shuffle_positions(docs, id_col="doc_id", seed="s1:")
 
 
 # Stopword-presence regex shared by the calibration and Gopher-rule

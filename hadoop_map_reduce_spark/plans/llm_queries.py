@@ -933,7 +933,8 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "multimodal", "dedup"),
     description=(
         "Per-modality exact-dedup census over a two-modality payload "
-        "table (image = utf-8 text bytes, audio = reversed-text bytes): "
+        "table (image = utf-8 text bytes, audio = 'audio:'-salted text "
+        "bytes): "
         "media count, distinct md5-digest count, duplicate copies, and "
         "the lexicographic min/max digest as value anchors — the "
         "payload-size-independent first pass of a media dedup pipeline."
@@ -944,7 +945,7 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
                    md5(text) AS digest
             FROM documents
             UNION ALL
-            SELECT doc_id, 'audio', md5(reverse(text)) FROM documents
+            SELECT doc_id, 'audio', md5('audio:' || text) FROM documents
         )
         SELECT modality,
                CAST(COUNT(*) AS BIGINT) AS n_media,
@@ -966,8 +967,14 @@ def multimodal_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     img = with_binary_content(docs)
+    # Salt prefix (not reverse): Spark reverses strings by code point,
+    # DuckDB by grapheme cluster — identical on this ASCII corpus but a
+    # latent oracle divergence; concat is engine-agnostic.
     aud = with_binary_content(
-        docs.select("doc_id", F.reverse(F.col("text")).alias("text")),
+        docs.select(
+            "doc_id",
+            F.concat(F.lit("audio:"), F.col("text")).alias("text"),
+        ),
         modality="audio",
     )
     media = img.unionByName(aud)

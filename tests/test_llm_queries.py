@@ -1158,36 +1158,25 @@ def test_global_shuffle_is_permutation(spark, sf_dir):
 
 
 def test_global_shuffle_matches_pure_python_order(spark):
-    """The bucketed prefix-scan position equals the position in a
-    plain Python sort by (md5('s1:'+id), id) — engine-independent
-    recomputation of the permutation on an arbitrary id set."""
+    """global_shuffle_positions (the REAL bucketed prefix-scan operator
+    behind pack_global_shuffle) equals the position in a plain Python
+    sort by (md5('s1:'+id), id) — engine-independent recomputation of
+    the permutation on an arbitrary id set, including ids that share
+    and straddle bucket prefixes."""
     import hashlib
 
-    from hadoop_map_reduce_spark.plans.curation_queries import (
-        pack_global_shuffle,
+    from hadoop_map_reduce_spark.operators.relational import (
+        global_shuffle_positions,
     )
 
-    ids = [0, 1, 7, 13, 999999999999, 42, 5, 123456789, 31, 2**40]
+    ids = [0, 1, 7, 13, 999999999999, 42, 5, 123456789, 31, 2**40] + list(
+        range(1000, 1100)
+    )
     df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
-
-    # Reuse the registered plan body via a temp view? The plan reads
-    # load_table; recompute with the same operators inline instead.
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
-    keyed = df.select(
-        "doc_id",
-        F.md5(
-            F.concat(F.lit("s1:"), F.col("doc_id").cast("string"))
-        ).alias("_k"),
-    )
     got = {
         r.doc_id: r.pos
-        for r in keyed.select(
-            "doc_id",
-            (
-                F.row_number().over(Window.orderBy("_k", "doc_id")) - 1
-            ).alias("pos"),
+        for r in global_shuffle_positions(
+            df, id_col="doc_id", seed="s1:"
         ).collect()
     }
     want_order = sorted(

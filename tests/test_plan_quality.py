@@ -687,9 +687,10 @@ def test_dsir_broadcasts_distributions_and_prunes(spark, sf_dir):
     assert p.count("BroadcastHashJoin") >= 2
     assert "ReadSchema: struct<doc_id:bigint,text:string,lang:string>" in p
     assert "CartesianProduct" not in p
-    assert "BroadcastNestedLoopJoin" not in p or "Inner" not in p.split(
-        "BroadcastNestedLoopJoin"
-    )[1][:40]
+    assert all(
+        "Inner" not in seg[:40]
+        for seg in p.split("BroadcastNestedLoopJoin")[1:]
+    )
 
 
 def test_global_shuffle_partitioned_windows_only(spark, sf_dir):
