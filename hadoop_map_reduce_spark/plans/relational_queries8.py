@@ -259,7 +259,8 @@ def events_transition_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o_orderstatus,
                COUNT(*) AS n_orders,
-               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS revenue_c
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS revenue_c
         FROM orders
         GROUP BY o_orderstatus
     """,

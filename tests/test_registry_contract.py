@@ -106,3 +106,41 @@ def test_readme_counts_match_registry():
         oracled,
         total - oracled,
     ), "README counts drifted from the registry — update README.md"
+
+
+def test_no_oracle_returns_hugeint(oracle_sf_dir):
+    """Every oracle's FINAL projection must be BIGINT-clean: DuckDB
+    widens SUM (even SUM(BIGINT)) to HUGEINT, which the driver-side
+    canonicalization sees as a different cell type than Spark's long.
+    LIMIT-0 execution reads the declared output types without running
+    the query; any HUGEINT column means a missing CAST(... AS BIGINT)
+    (round-5b review finding, made structural here)."""
+    import duckdb
+
+    from hadoop_map_reduce_spark.plans import REGISTRY
+
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{oracle_sf_dir}/{t}.parquet')"
+        )
+    offenders = []
+    for name, q in sorted(REGISTRY.items()):
+        if not q.oracle:
+            continue
+        # Relation API, not the DBAPI cursor: cursor descriptions map
+        # every integer type to 'NUMBER', hiding exactly the HUGEINT
+        # this test exists to catch.
+        rel = con.sql(f"SELECT * FROM ({q.oracle}) LIMIT 0")
+        hug = [
+            c
+            for c, t in zip(rel.columns, rel.types)
+            if "HUGEINT" in str(t).upper()
+        ]
+        if hug:
+            offenders.append((name, hug))
+    assert not offenders, offenders
