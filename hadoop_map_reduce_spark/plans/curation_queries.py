@@ -1969,3 +1969,90 @@ def manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("doc_id").cast("long").alias("id_checksum"),
     )
+
+
+@register(
+    "curation_passage_novelty",
+    tags=("llm", "curation", "dedup"),
+    description=(
+        "Per-doc passage novelty: the fraction (integer ppm) of a "
+        "doc's distinct 8-token passages that occur in NO other doc — "
+        "high novelty = original text, low = boilerplate/memorized "
+        "content; the per-document complement of the corpus-level "
+        "shared-passage report."
+    ),
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_DUCK_TOKS} AS t FROM documents
+        ), sh AS (
+            SELECT doc_id, {_DUCK_PASSAGES} AS s
+            FROM toks WHERE len(t) >= {_P}
+        ), u AS (
+            SELECT doc_id, unnest(s) AS passage FROM sh
+        ), df AS (
+            SELECT passage, COUNT(*) AS n_docs
+            FROM u GROUP BY passage
+        )
+        SELECT u.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_passages,
+               CAST(SUM(CASE WHEN df.n_docs = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_unique,
+               CAST(SUM(CASE WHEN df.n_docs = 1 THEN 1 ELSE 0 END)
+                    * 1000000 // COUNT(*) AS BIGINT) AS novelty_ppm
+        FROM u JOIN df ON df.passage = u.passage
+        GROUP BY u.doc_id
+    """,
+)
+def curation_passage_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan: the per-doc distinct passage table is built ONCE
+    (one-slot-cached — it feeds the document-frequency aggregate AND
+    the join back), df computed by one passage-keyed aggregation, then
+    an equi-join back and a doc-keyed aggregate. Like
+    curation_passage_dedup, at 100 TB the passage string shuffle key
+    becomes xxhash64(passage) (16-byte keys); the report's integer ppm
+    is exact on both engines. Docs with < 8 tokens emit no passages
+    and are absent — mirrored by the oracle's len(t) >= 8 gate.
+    """
+    from hadoop_map_reduce_spark.functions.text import sanitize, tokenize
+    from hadoop_map_reduce_spark.operators.caching import cache_one_slot
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(sanitize(F.col("text")))
+    passages = F.when(
+        F.size("t") >= _P,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - _P),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at("t", i + k + 1) for k in range(_P)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    u = cache_one_slot(
+        docs.select("doc_id", toks.alias("t")).select(
+            "doc_id", F.explode(passages).alias("passage")
+        ),
+        "passage-novelty-u",
+    )
+    df_tbl = u.groupBy("passage").agg(
+        F.count(F.lit(1)).cast("long").alias("_df")
+    )
+    return (
+        u.join(df_tbl, "passage")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_passages"),
+            F.sum(F.when(F.col("_df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            "n_passages",
+            "n_unique",
+            F.expr("n_unique * 1000000 DIV n_passages").alias(
+                "novelty_ppm"
+            ),
+        )
+    )
