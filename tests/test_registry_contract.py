@@ -45,8 +45,10 @@ def test_registry_entries_well_formed():
 
 def test_verification_window_prioritizes_unverified():
     """The driver oracle-checks only the first 50 queries() entries per
-    round; every query without a previous driver verdict must land in
-    that window (or, if there are more than 50 pending, fill it)."""
+    round; every ORACLED query without a previous driver verdict must
+    land in that window (or, if more than 50 pending, fill it), and
+    rows-only queries must sit dead last — a window slot spent on one
+    can only ever record no_oracle (7 slots wasted in rounds 4–5)."""
     import __spark_entry__ as e
     from hadoop_map_reduce_spark.plans.verification import DRIVER_VERIFIED
 
@@ -54,10 +56,20 @@ def test_verification_window_prioritizes_unverified():
     assert set(order) == set(REGISTRY)
     unknown = DRIVER_VERIFIED - set(REGISTRY)
     assert not unknown, f"DRIVER_VERIFIED names not in registry: {unknown}"
-    pending = [n for n in order if n not in DRIVER_VERIFIED]
+    pending = [
+        n
+        for n in order
+        if n not in DRIVER_VERIFIED and REGISTRY[n].oracle is not None
+    ]
     window = set(order[:50])
     missed = [n for n in pending[:50] if n not in window]
     assert not missed, f"pending queries outside the driver window: {missed}"
+    n_rows_only = sum(1 for q in REGISTRY.values() if q.oracle is None)
+    tail = order[-n_rows_only:]
+    assert all(REGISTRY[n].oracle is None for n in tail), (
+        "rows-only queries must be the final queries() entries; tail was "
+        f"{tail}"
+    )
 
 
 def test_headline_set_is_stable_and_timed():
