@@ -141,6 +141,85 @@ def bpe_train(
     return merges
 
 
+def _merge_pair_py(syms: list[str], lhs: str, rhs: str) -> list[str]:
+    """Pure-Python replay of ``_merge_pair``'s fold: greedy leftmost
+    non-overlapping rewrite — an element just produced by a merge never
+    re-matches as ``lhs`` within the same pass."""
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+            out.append(lhs + rhs)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def bpe_train_driver(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+    max_distinct_words: int = 2_000_000,
+) -> list[tuple[int, str, str, int]]:
+    """Driver-side BPE trainer — bit-identical to :func:`bpe_train`
+    (parity-pinned by ``tests/test_bpe.py``), built on the same
+    discipline as ``pq._lloyd_driver``: the corpus-sized work (the
+    word-count pass) stays distributed; the iteration state — the
+    DISTINCT-word table, bounded by Heaps' law, not corpus size — is
+    collected once and the merge loop runs in-process.
+
+    Cost model (why this exists): ``bpe_train`` issues one Spark job
+    per merge (a pair-count shuffle + a 1-row TakeOrdered + a
+    checkpointed rewrite), which is the right shape when the word table
+    itself is cluster-sized — but a real 50k-merge vocabulary means 50k
+    sequential job waves of pure scheduler overhead when the word table
+    fits one machine. This path does ONE distributed corpus pass, one
+    bounded collect, then zero Spark jobs per merge. Choice rule
+    (BASELINE.md): distinct words <= ``max_distinct_words`` -> driver;
+    above the ceiling the collect refuses loudly (use ``bpe_train``).
+
+    Replay exactness: pair counts weight by word count and count every
+    adjacent occurrence (matching the ``zip_with`` slice explode), ties
+    break to the lexicographically smallest (lhs, rhs) (matching
+    ``orderBy(n desc, p asc)`` struct order on ASCII strings), the
+    rewrite is the same greedy leftmost non-overlapping rule, and the
+    stop condition is the same ``min_pair_count`` gate.
+    """
+    words = _word_counts(docs, text_col)
+    rows = words.limit(max_distinct_words + 1).collect()
+    if len(rows) > max_distinct_words:
+        raise ValueError(
+            f"distinct-word table exceeds {max_distinct_words} rows; "
+            "use the distributed bpe_train for this corpus"
+        )
+    table: list[tuple[list[str], int]] = [
+        (list(r["word"]) + [END_OF_WORD], int(r["cnt"])) for r in rows
+    ]
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, cnt in table:
+            for i in range(len(syms) - 1):
+                key = (syms[i], syms[i + 1])
+                counts[key] = counts.get(key, 0) + cnt
+        if not counts:
+            break
+        # max count, ties to lexicographically smallest (lhs, rhs)
+        (lhs, rhs), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        if n < min_pair_count:
+            break
+        merges.append((rank, lhs, rhs, n))
+        table = [
+            (_merge_pair_py(syms, lhs, rhs), cnt) for syms, cnt in table
+        ]
+    return merges
+
+
 def bpe_segment(tokens, merges: list[tuple[int, str, str, int]]):
     """Apply a learned merge table to a token array Column: each token
     becomes its BPE symbol sequence. Pure Column expression — the merge

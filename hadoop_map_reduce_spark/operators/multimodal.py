@@ -40,6 +40,7 @@ try:  # real decoders, if ever present in the image
 
     _HAS_PIL = True
 except ImportError:
+    PIL = None  # name always defined so tests can stub the decoder
     _HAS_PIL = False
 
 MEDIA_FEATURE_SCHEMA = StructType(
@@ -142,6 +143,26 @@ def extract_media_features(
     return media.mapInPandas(batches, MEDIA_FEATURE_SCHEMA)
 
 
+def _real_dhash(b) -> int:
+    """Classic image dHash of one payload (PIL path): grayscale-resize
+    to an 8-wide x 9-tall grid, bit = left pixel < right neighbor,
+    row-major. PIL's ``resize`` takes (width, height), so (8, 9) yields
+    a (9, 8) array -> 9 rows x 7 adjacent-column comparisons = 63 bits,
+    the same non-negative BIGINT domain as the byte-profile stub.
+    Undecodable payloads hash to 0."""
+    import io
+
+    import numpy as np
+
+    try:
+        with PIL.Image.open(io.BytesIO(bytes(b))) as img:
+            px = np.asarray(img.convert("L").resize((8, 9)), dtype=np.int64)
+    except Exception:
+        return 0
+    bits = (px[:, :-1] < px[:, 1:]).astype(np.int64).ravel()
+    return int((bits << np.arange(bits.size, dtype=np.int64)).sum())
+
+
 PHASH_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -163,11 +184,12 @@ def perceptual_hash(
 
     ``use_real_decoder=True`` (requires PIL, raises
     ``NotImplementedError`` without it) runs the classic image dHash
-    instead: decode, grayscale-resize to a 9x7 grid, bit = left pixel <
-    right neighbor, row-major — 63 bits, the same non-negative BIGINT
-    domain, schema, and plan as the byte-profile stub, so
-    ``phash_near_dup`` composes with either. Undecodable payloads hash
-    to 0 (route to quarantine in a real pipeline).
+    instead: decode, grayscale-resize to an 8-wide x 9-tall grid, bit =
+    left pixel < right neighbor, row-major — 9 rows x 7 horizontal
+    comparisons = 63 bits, the same non-negative BIGINT domain, schema,
+    and plan as the byte-profile stub, so ``phash_near_dup`` composes
+    with either. Undecodable payloads hash to 0 (route to quarantine in
+    a real pipeline).
 
     Per payload: bucket every adjacent byte pair into
     ``(b[j]*mult + b[j+1]) % buckets``, count occurrences (NumPy
@@ -197,23 +219,10 @@ def perceptual_hash(
 
     shifts = np.arange(buckets - 1, dtype=np.int64)
 
-    def real_dhash(b) -> int:
-        import io
-
-        try:
-            with PIL.Image.open(io.BytesIO(bytes(b))) as img:
-                px = np.asarray(
-                    img.convert("L").resize((9, 7)), dtype=np.int64
-                )
-        except Exception:
-            return 0
-        bits = (px[:, :-1] < px[:, 1:]).astype(np.int64).ravel()
-        return int((bits << np.arange(63, dtype=np.int64)).sum())
-
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def ph(b) -> int:
             if use_real_decoder:
-                return real_dhash(b)
+                return _real_dhash(b)
             a = np.frombuffer(bytes(b), dtype=np.uint8).astype(np.int64)
             if len(a) < 2:
                 return 0
@@ -534,7 +543,11 @@ def frame_hash_matches(
         F.length("frame") >= 2
     )
     # Synthetic per-frame id rides through perceptual_hash's
-    # (media_id, content) contract; decoded right back below.
+    # (media_id, content) contract; decoded right back below. pmod (not
+    # %, which keeps the dividend's sign) + exact long subtraction/div
+    # make the decode correct for negative media ids too; the only
+    # precondition is no long overflow in media_id * max_frames
+    # (|media_id| < 2^63 / max_frames — every real id scheme).
     fr = frames.select(
         (F.col("media_id") * max_frames + F.col("frame_no")).alias(
             "media_id"
@@ -542,11 +555,14 @@ def frame_hash_matches(
         "modality",
         F.col("frame").alias("content"),
     )
+    # long `div`, not `/` (double division rounds above 2^53)
     h = perceptual_hash(fr).select(
-        F.floor(F.col("media_id") / max_frames)
+        F.expr(
+            f"(media_id - pmod(media_id, {max_frames})) div {max_frames}"
+        ).alias("_mid"),
+        F.pmod(F.col("media_id"), F.lit(max_frames))
         .cast("long")
-        .alias("_mid"),
-        (F.col("media_id") % max_frames).alias("_fno"),
+        .alias("_fno"),
         "phash",
     )
     h = cache_one_slot(h, "frame_hash_matches")

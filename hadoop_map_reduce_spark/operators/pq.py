@@ -214,10 +214,18 @@ def pq_topk_adc(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """ADC top-k: rank the packed-code corpus by lookup-table inner
     product, keep the per-query top ``k * refine``, then re-rank those
     survivors with EXACT cosine against the float corpus.
+
+    ``exclude_self=True`` (the default) drops corpus rows whose id
+    equals the query id — correct ONLY when queries are drawn from the
+    corpus so the two share one id space (the registered
+    ``similarity_pq`` shape, like ``exact_ranks_for``). With disjoint
+    id domains a coincidental id collision would wrongly drop a
+    legitimate neighbor: pass ``exclude_self=False`` there.
 
     The scan side touches only ``(pq_id, pq_codes)`` — 12 bytes a row
     regardless of dimensionality; the query side carries its
@@ -264,8 +272,11 @@ def pq_topk_adc(
         )
         approx = term if approx is None else approx + term
 
+    join_cond = (
+        F.col("pq_id") != F.col("_qid") if exclude_self else F.lit(True)
+    )
     scored = (
-        corpus_codes.join(F.broadcast(q), F.col("pq_id") != F.col("_qid"))
+        corpus_codes.join(F.broadcast(q), join_cond)
         .select(
             F.col("_qid"),
             F.col("_qvec"),

@@ -450,8 +450,11 @@ def salted_equi_join(
     a sort-merge join).
 
     The big side gets a deterministic salt in [0, salts) derived from
-    ``salt_by`` (default: the join key's row — pass the table's PK so
-    rows of ONE hot key spread across all ``salts`` reducers); the small
+    ``salt_by`` — REQUIRED, and it must vary WITHIN a join key (the
+    table's PK, a row id): salting by the join key itself would give
+    every row of a hot key the same salt, zero spread, silently
+    defeating the operator in exactly the skew case it exists for
+    (round-5 ADVICE) — so ``salt_by in (None, on)`` raises. The small
     side is replicated ``salts`` times via one ``explode(sequence)``.
     Joining on (key, salt) splits each hot key's rows into ``salts``
     independent tasks; the result is row-identical to the plain inner
@@ -465,7 +468,13 @@ def salted_equi_join(
     """
     if salts < 1:
         raise ValueError("salts must be >= 1")
-    src = F.col(salt_by if salt_by is not None else on)
+    if salt_by is None or salt_by == on:
+        raise ValueError(
+            "salt_by must name a column that varies within a join key "
+            "(e.g. the big table's PK); salting by the join key itself "
+            "gives every row of a hot key the same salt — zero spread"
+        )
+    src = F.col(salt_by)
     salted_big = big.withColumn(
         "_salt", F.pmod(F.xxhash64(src), F.lit(salts)).cast("int")
     )

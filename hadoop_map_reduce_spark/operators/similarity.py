@@ -221,10 +221,20 @@ def lsh_bucket(
     n_planes: int = 12,
     vec_col: str = "embedding",
     seed: int = 42,
+    planes: list[list[float]] | None = None,
 ):
     """Add a ``bucket`` column: sign bits of dot products with seeded
-    random hyperplanes. Deterministic across runs/sessions."""
-    planes = _hyperplanes(dim, n_planes, seed)
+    random hyperplanes. Deterministic across runs/sessions.
+
+    ``planes`` overrides the seeded Gaussian hyperplanes (must be
+    ``n_planes`` rows of ``dim`` values). ``ann_lsh_bucket_census``
+    passes integer ±1 planes so the sign/bit-packing arithmetic this
+    function owns is exactly driver-oracle-able; search uses the
+    Gaussian default."""
+    if planes is None:
+        planes = _hyperplanes(dim, n_planes, seed)
+    if len(planes) != n_planes or any(len(p) != dim for p in planes):
+        raise ValueError("planes must be n_planes rows of dim values")
     bucket = F.lit(0).cast("long")
     vec = F.col(vec_col).cast("array<double>")
     for i, plane in enumerate(planes):
@@ -379,6 +389,77 @@ def ivf_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_cell_census(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Driver-checkable companion of :func:`ivf_topk` (round-5 VERDICT
+    next-round #2): pins the IVF building blocks — the deterministic
+    bounded centroid sample, the broadcast-literal argmin cell
+    assignment with the struct-argsort device, and the per-cell
+    aggregation — in EXACT integer arithmetic so the whole census is
+    hash-oracle-able cross-engine, while ``ivf_topk``'s float-cosine
+    recall stays pinned by the brute-force tests.
+
+    Integer device: coordinates quantize to micro-units
+    (``round(x*1e6)`` BIGINT, the ``random_projection_e6`` device);
+    centroids are the e6 vectors of the ``n_cells`` corpus rows with
+    the smallest ``(md5(id), id)`` — the cross-engine sampling device
+    (``ivf_topk`` itself uses xxhash64, Spark-only, same bounded-sample
+    discipline). Assignment = argmin squared-L2 over the broadcast
+    literal centroids, ties to the lower centroid rank — exactly
+    ``ivf_topk``'s struct-argsort argmin. One scan, one tiny collect
+    (``n_cells`` rows), one partial-agg'd shuffle on the cell key.
+
+    Returns one row per cell: (cell_rank, centroid_vec_id, n_assigned,
+    sum_min_d2) — empty cells absent (the oracle says the same).
+    """
+    e6 = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * 1e6).cast("long"),
+    )
+    base = corpus.select(F.col(id_col).alias("_id"), e6.alias("_e6"))
+    cent_rows = (
+        base.orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
+        .limit(n_cells)
+        .collect()
+    )
+    cents = [(int(r["_id"]), list(r["_e6"])) for r in cent_rows]
+
+    scored = []
+    for rank, (_cvid, cvec) in enumerate(cents):
+        lit = F.array(*[F.lit(int(x)).cast("long") for x in cvec])
+        d2 = F.aggregate(
+            F.zip_with(F.col("_e6"), lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        scored.append(
+            F.struct(d2.alias("d"), F.lit(rank).cast("int").alias("c"))
+        )
+    best = F.array_sort(F.array(*scored))[0]
+    cvid_map = F.map_from_arrays(
+        F.array(*[F.lit(i) for i in range(len(cents))]),
+        F.array(*[F.lit(cv).cast("long") for cv, _ in cents]),
+    )
+    return (
+        base.select(
+            best["c"].cast("long").alias("cell_rank"),
+            best["d"].alias("_d2"),
+        )
+        .withColumn(
+            "centroid_vec_id", cvid_map[F.col("cell_rank").cast("int")]
+        )
+        .groupBy("cell_rank", "centroid_vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_assigned"),
+            F.sum("_d2").cast("long").alias("sum_min_d2"),
+        )
     )
 
 

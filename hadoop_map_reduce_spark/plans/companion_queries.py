@@ -1,0 +1,487 @@
+"""Driver-checkable companion queries for the rows-only operator
+families (round-5 VERDICT next-round #2).
+
+The ANN ladder (LSH / IVF / PQ), DTW, and the ZIP source carry
+rows-only or tests-only standing because their headline outputs are
+float-ranked top-k lists (recall < 1 by construction) or need
+filesystem fixtures. Each family's CORE ARITHMETIC, however, is
+exactly pinnable: quantize the float inputs to integers with a
+cross-engine-exact device (``round(x*1e6)`` micro-units, the proven
+``embedding_random_projection`` pattern), drive the REAL operator code
+path with them, and emit integer censuses a DuckDB oracle can
+recompute bit-for-bit. The float recall itself stays pinned by the
+brute-force-bound tests; these queries give every family a green
+driver CORRECTNESS row for the deterministic machinery underneath.
+
+Pattern precedent: ``embedding_quantize_int8`` and
+``multimodal_resize_audit`` (round-4/5 greens).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoop_map_reduce_spark.plans.registry import register
+from hadoop_map_reduce_spark.session import load_table
+
+_E6_SQL = (
+    "[CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT) "
+    "for x in embedding]"
+)
+
+
+def _e6_col(vec_col: str = "embedding"):
+    """round(x*1e6) BIGINT micro-units — exact on both engines (one
+    widen, one multiply, one round; IEEE ops agree bit-for-bit)."""
+    return F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * 1e6).cast("long"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ann_lsh_bucket_census — pins lsh_bucket's sign/bit-packing arithmetic
+# ---------------------------------------------------------------------------
+
+_LSH_PLANES = 8
+_LSH_DIM = 64
+
+
+def _lsh_sign_planes() -> list[list[int]]:
+    """±1 planes from the md5-derived Achlioptas matrix (the
+    ``rp_sign_matrix`` source literals, transposed to plane-major)."""
+    from hadoop_map_reduce_spark.operators.similarity import rp_sign_matrix
+
+    signs = rp_sign_matrix(_LSH_DIM, _LSH_PLANES)
+    return [
+        [signs[i][j] for i in range(_LSH_DIM)] for j in range(_LSH_PLANES)
+    ]
+
+
+def _lsh_census_oracle() -> str:
+    planes = _lsh_sign_planes()
+    bits = " + ".join(
+        "CASE WHEN list_sum([e6[i] * ([{lits}])[i] "
+        "for i in generate_series(1, {dim})]) >= 0 "
+        "THEN {weight} ELSE 0 END".format(
+            lits=", ".join(str(x) for x in planes[j]),
+            dim=_LSH_DIM,
+            weight=1 << j,
+        )
+        for j in range(_LSH_PLANES)
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id, label, {_E6_SQL} AS e6 FROM embeddings
+        )
+        SELECT CAST({bits} AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels,
+               CAST(MIN(vec_id) AS BIGINT) AS min_vec_id
+        FROM e
+        GROUP BY 1
+    """
+
+
+@register(
+    "ann_lsh_bucket_census",
+    tags=("llm", "similarity", "aggregation"),
+    description=(
+        "Driver-checkable companion of similarity_ann_lsh: run the REAL "
+        "lsh_bucket operator (sign bits of plane dot products, packed "
+        "little-endian) over 1e6-quantized integer coordinates with ±1 "
+        "md5-derived planes, then census each bucket (size, distinct "
+        "labels, min id) — the sign/packing arithmetic the rows-only "
+        "top-k query rides on, hash-pinned cross-engine."
+    ),
+    oracle=_lsh_census_oracle(),
+)
+def ann_lsh_bucket_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer dot products (|Σ e6·±1| ≤ 64·6e5 ≪ 2^53) are exact in
+    lsh_bucket's double fold, so the ``dot >= 0`` sign decisions — and
+    therefore every packed bucket id — match DuckDB's BIGINT arithmetic
+    bit-for-bit. One shuffle-free scan + one partial-agg'd groupBy;
+    the 256-bucket census is the LSH load-balance audit you run before
+    trusting the banded join at corpus scale."""
+    from hadoop_map_reduce_spark.operators.similarity import lsh_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _e6_col().cast("array<double>").alias("_e6d")
+    )
+    b = lsh_bucket(
+        emb,
+        dim=_LSH_DIM,
+        n_planes=_LSH_PLANES,
+        vec_col="_e6d",
+        planes=[[float(x) for x in p] for p in _lsh_sign_planes()],
+    )
+    return b.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.countDistinct("label").cast("long").alias("n_labels"),
+        F.min("vec_id").cast("long").alias("min_vec_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pq_code_census — pins pq_encode's argmin + nibble packing
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8
+_PQ_KSUB = 16
+_PQ_DSUB = 8
+
+
+def _pq_census_books() -> list[list[list[float]]]:
+    """Crafted integer codebooks spanning the e6 coordinate range
+    (|x| ≤ ~6e5): cent(j,c,p) = (((c*37 + p*11 + j*5) % 21) - 10) * 5e4.
+    Source literals — the identical constants are baked into the SQL."""
+    return [
+        [
+            [
+                float((((c * 37 + p * 11 + j * 5) % 21) - 10) * 50000)
+                for p in range(_PQ_DSUB)
+            ]
+            for c in range(_PQ_KSUB)
+        ]
+        for j in range(_PQ_M)
+    ]
+
+
+def _pq_census_oracle() -> str:
+    books = _pq_census_books()
+    selects = []
+    for j in range(_PQ_M):
+        off = j * _PQ_DSUB
+        cands = ", ".join(
+            "[list_sum([(e6[{off} + i] - ([{lits}])[i]) * "
+            "(e6[{off} + i] - ([{lits}])[i]) "
+            "for i in generate_series(1, {dsub})]), {c}]".format(
+                off=off,
+                lits=", ".join(str(int(x)) for x in books[j][c]),
+                dsub=_PQ_DSUB,
+                c=c,
+            )
+            for c in range(_PQ_KSUB)
+        )
+        selects.append(
+            f"SELECT vec_id, CAST({j} AS BIGINT) AS subspace, "
+            f"CAST((list_sort([{cands}]))[1][2] AS BIGINT) AS code FROM e"
+        )
+    union = "\n            UNION ALL\n            ".join(selects)
+    return f"""
+        WITH e AS (
+            SELECT vec_id, {_E6_SQL} AS e6 FROM embeddings
+        ), u AS (
+            {union}
+        )
+        SELECT subspace, code,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(SUM(vec_id) AS BIGINT) AS sum_vec_ids
+        FROM u
+        GROUP BY 1, 2
+    """
+
+
+@register(
+    "pq_code_census",
+    tags=("llm", "similarity", "aggregation"),
+    description=(
+        "Driver-checkable companion of similarity_pq: run the REAL "
+        "pq_encode operator (per-subspace squared-L2 argmin via the "
+        "struct-argsort device, nibble packing) over 1e6-quantized "
+        "integer coordinates against crafted integer codebooks, then "
+        "census every (subspace, code) cell — the encode arithmetic "
+        "the rows-only ADC query rides on, hash-pinned cross-engine. "
+        "Codebook TRAINING stays pinned by the kmeans-parity tests."
+    ),
+    oracle=_pq_census_oracle(),
+)
+def pq_code_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Squared-L2 terms ((a-b)^2 ≤ 1.3e12, 8-term sums ≤ 1e13 ≪ 2^53)
+    are exact in pq_encode's double fold, argmin ties break to the
+    lower code on both engines (struct-argsort vs lexicographic
+    list_sort), so every packed code matches DuckDB's BIGINT replay.
+    One shuffle-free encode scan + one partial-agg'd groupBy; the
+    census is the codebook-balance audit (dead codes, hot cells) a
+    real PQ index build runs before committing the layout."""
+    from hadoop_map_reduce_spark.operators.pq import _code_at, pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _e6_col().cast("array<double>").alias("_e6d")
+    )
+    codes = pq_encode(
+        emb, _pq_census_books(), vec_col="_e6d", id_col="vec_id"
+    )
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).cast("long").alias("subspace"),
+                    _code_at(F.col("pq_codes"), j)
+                    .cast("long")
+                    .alias("code"),
+                )
+                for j in range(_PQ_M)
+            ]
+        )
+    )
+    return (
+        codes.select("pq_id", pairs.alias("_p"))
+        .select("pq_id", "_p.subspace", "_p.code")
+        .groupBy("subspace", "code")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("pq_id").cast("long").alias("sum_vec_ids"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ivf_cell_census — pins the IVF sample + argmin assignment
+# ---------------------------------------------------------------------------
+
+_IVF_CELLS = 16
+
+
+def _ivf_census_oracle() -> str:
+    return f"""
+        WITH e AS (
+            SELECT vec_id, {_E6_SQL} AS e6 FROM embeddings
+        ), cent AS (
+            SELECT vec_id AS cvid, e6 AS ce6,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                   ) - 1 AS BIGINT) AS crank
+            FROM e
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT {_IVF_CELLS}
+        ), d AS (
+            SELECT e.vec_id, c.crank, c.cvid,
+                   list_sum([(e.e6[i] - c.ce6[i]) * (e.e6[i] - c.ce6[i])
+                             for i in generate_series(1, 64)]) AS d2
+            FROM e, cent c
+        ), b AS (
+            SELECT vec_id, crank, cvid, d2,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY d2, crank
+                   ) AS rn
+            FROM d
+        )
+        SELECT crank AS cell_rank,
+               CAST(cvid AS BIGINT) AS centroid_vec_id,
+               CAST(COUNT(*) AS BIGINT) AS n_assigned,
+               CAST(SUM(d2) AS BIGINT) AS sum_min_d2
+        FROM b WHERE rn = 1
+        GROUP BY 1, 2
+    """
+
+
+@register(
+    "ivf_cell_census",
+    tags=("llm", "similarity", "aggregation"),
+    description=(
+        "Driver-checkable companion of similarity_ivf: md5-sampled "
+        "bounded centroid list, argmin cell assignment over broadcast "
+        "literal centroids (the struct-argsort device ivf_topk uses), "
+        "per-cell census — all in exact 1e6-quantized integer "
+        "arithmetic, hash-pinned cross-engine; ivf_topk's float-cosine "
+        "recall stays pinned by the brute-force tests."
+    ),
+    oracle=_ivf_census_oracle(),
+)
+def ivf_cell_census_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan: operators/similarity.ivf_cell_census — one bounded collect
+    (16 centroid rows), one shuffle-free assignment scan, one
+    partial-agg'd groupBy. The census is the cell-balance audit (empty
+    cells, hot cells) an IVF index build runs before trusting n_probe."""
+    from hadoop_map_reduce_spark.operators.similarity import (
+        ivf_cell_census,
+    )
+
+    return ivf_cell_census(
+        load_table(spark, sf_dir, "embeddings"), n_cells=_IVF_CELLS
+    )
+
+
+# ---------------------------------------------------------------------------
+# timeseries_dtw_bounded — pins the banded-DTW dynamic program
+# ---------------------------------------------------------------------------
+
+_DTW_LEN = 12
+_DTW_BAND = 3
+
+
+def _dtw_oracle() -> str:
+    """Unrolled banded-DTW DP over length-{_DTW_LEN} integer series as
+    nested projections: cell c_i_j = |va[i]-vb[j]| + LEAST(generated
+    predecessors), exactly ``dtw_banded``'s recurrence (out-of-band
+    predecessors are INF there, absent here; (1,1) uses the virtual
+    prev[0]=0). Machine-generated, integer-exact."""
+    n, band = _DTW_LEN, _DTW_BAND
+    cells: set[tuple[int, int]] = set()
+    layers: list[str] = []
+    for i in range(1, n + 1):
+        exprs = []
+        for j in range(max(1, i - band), min(n, i + band) + 1):
+            preds = [
+                f"c_{pi}_{pj}"
+                for pi, pj in ((i - 1, j), (i, j - 1), (i - 1, j - 1))
+                if (pi, pj) in cells
+            ]
+            cost = f"ABS(va[{i}] - vb[{j}])"
+            if i == 1 and j == 1:
+                exprs.append(f"{cost} AS c_1_1")
+            else:
+                assert preds, (i, j)
+                prev = (
+                    preds[0]
+                    if len(preds) == 1
+                    else f"LEAST({', '.join(preds)})"
+                )
+                exprs.append(f"{cost} + {prev} AS c_{i}_{j}")
+            cells.add((i, j))
+        layers.append(", ".join(exprs))
+    inner = "SELECT id_a, id_b, va, vb FROM p"
+    for layer in layers:
+        inner = f"SELECT *, {layer} FROM ({inner})"
+    return f"""
+        WITH types AS (
+            SELECT DISTINCT event_type FROM events
+        ), grid AS (
+            SELECT t.event_type, g.h
+            FROM types t
+            CROSS JOIN (SELECT unnest(generate_series(0, {n - 1})) AS h) g
+        ), cnt AS (
+            SELECT event_type,
+                   CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+                   CAST(COUNT(*) AS BIGINT) AS v
+            FROM events WHERE EXTRACT(hour FROM ts) < {n}
+            GROUP BY 1, 2
+        ), s AS (
+            SELECT g.event_type, g.h, CAST(COALESCE(c.v, 0) AS BIGINT) AS v
+            FROM grid g LEFT JOIN cnt c USING (event_type, h)
+        ), arr AS (
+            SELECT event_type, list(v ORDER BY h) AS vals
+            FROM s GROUP BY 1
+        ), p AS (
+            SELECT a.event_type AS id_a, a.vals AS va,
+                   b.event_type AS id_b, b.vals AS vb
+            FROM arr a JOIN arr b ON a.event_type < b.event_type
+        )
+        SELECT id_a, id_b, CAST(c_{n}_{n} AS BIGINT) AS dtw
+        FROM ({inner})
+    """
+
+
+@register(
+    "timeseries_dtw_bounded",
+    tags=("timeseries",),
+    description=(
+        "Driver-checkable companion of timeseries_dtw: banded DTW "
+        "(band=3) between the 5 event types' hour-0..11 count profiles "
+        "— bounded equal-length integer series, so the per-pair dynamic "
+        "program is exactly replayable as an unrolled SQL DP and the "
+        "mapInPandas operator earns a hash-match, not just a rows-only "
+        "row."
+    ),
+    oracle=_dtw_oracle(),
+)
+def timeseries_dtw_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan: one partial-agg'd count shuffle builds the series (dense
+    hour grid via a literal-bounded cross join), then
+    operators/dtw.dtw_distance_pairs runs the real Arrow-batched DP on
+    the 10 type pairs — per-pair work bounded by series length, never
+    corpus size."""
+    from hadoop_map_reduce_spark.operators.dtw import dtw_distance_pairs
+
+    events = load_table(spark, sf_dir, "events")
+    types = events.select(F.col("event_type").alias("t")).distinct()
+    hours = spark.range(_DTW_LEN).select(F.col("id").cast("int").alias("h"))
+    cnt = (
+        events.filter(F.hour("ts") < _DTW_LEN)
+        .groupBy(
+            F.col("event_type").alias("t"), F.hour("ts").alias("h")
+        )
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    series = (
+        types.crossJoin(hours)
+        .join(cnt, ["t", "h"], "left")
+        .select(
+            F.col("t").alias("event_type"),
+            "h",
+            F.coalesce("v", F.lit(0)).cast("long").alias("v"),
+        )
+    )
+    return dtw_distance_pairs(
+        series, band=_DTW_BAND, id_col="event_type", time_col="h",
+        value_col="v",
+    )
+
+
+# ---------------------------------------------------------------------------
+# zip_roundtrip_census — earns the O3 ZIP source a driver CORRECTNESS row
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "zip_roundtrip_census",
+    tags=("reference", "source"),
+    description=(
+        "ZIP source/sink roundtrip census (SURVEY.md §2 O3): write the "
+        "first 40 documents as ZIP entries via the zipentries writer, "
+        "read them back through the PySpark-4 DataSource reader "
+        "(central-directory planning, per-entry inflate), and emit "
+        "(entry, byte length, md5 digest) — the DuckDB oracle computes "
+        "the same digests from the documents table directly, so the "
+        "whole compress/decompress path is hash-pinned."
+    ),
+    oracle="""
+        SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS entry,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS digest
+        FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 40)
+    """,
+)
+def zip_roundtrip_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 40-doc fixture is built fresh per call in a pid-keyed temp
+    dir (no cross-process races, no stale archives: the dir is removed
+    first). The read side is the REAL O3 path — metadata-only split
+    planning, per-entry decompress on executors — exercised end-to-end
+    against content that never came from a checked-in fixture."""
+    from hadoop_map_reduce_spark.sources.zip_datasource import (
+        register_zip_datasource,
+    )
+
+    register_zip_datasource(spark)
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        "hmrs_zipround_{}_{}".format(
+            os.getpid(), hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        ),
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents").orderBy("doc_id").limit(40)
+    entries = docs.select(
+        F.concat(
+            F.lit("doc_"), F.col("doc_id").cast("string"), F.lit(".txt")
+        ).alias("entry"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    entries.repartition(4).write.format("zipentries").mode(
+        "overwrite"
+    ).save(out_dir)
+    back = spark.read.format("zipentries").load(
+        os.path.join(out_dir, "*.zip")
+    )
+    return back.select(
+        "entry",
+        F.col("size").cast("long").alias("n_bytes"),
+        F.md5("content").alias("digest"),
+    )

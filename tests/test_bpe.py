@@ -11,6 +11,7 @@ from hadoop_map_reduce_spark.operators.bpe import (
     END_OF_WORD,
     bpe_segment,
     bpe_train,
+    bpe_train_driver,
 )
 from hadoop_map_reduce_spark.plans import REGISTRY
 from hadoop_map_reduce_spark.session import load_table
@@ -64,6 +65,22 @@ def test_merge_table_matches_pure_python(spark, sf_dir):
     want = _py_bpe(dict(counts), n_merges=24)
     assert got == want
     assert len(got) == 24  # corpus is rich enough to reach the cap
+
+
+def test_driver_trainer_bit_parity_with_distributed(spark, sf_dir):
+    """bpe_train_driver replays bpe_train's exact arithmetic on the
+    collected word table — same merges, same pair counts, same ties —
+    with zero Spark jobs per merge (the 50k-merge scale path; see the
+    cost model in its docstring and BASELINE.md's trainer-choice rule)."""
+    import pytest
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert bpe_train_driver(docs, n_merges=12) == bpe_train(
+        docs, n_merges=12
+    )
+    # The ceiling refuses loudly instead of collecting an unbounded table.
+    with pytest.raises(ValueError, match="distinct-word"):
+        bpe_train_driver(docs, n_merges=2, max_distinct_words=10)
 
 
 def test_greedy_merge_is_leftmost_nonoverlapping(spark):

@@ -563,6 +563,34 @@ def test_frame_hash_matches_semantics_and_hot_filter(spark):
     assert got == {(1, 2): 2, (1, 3): 1, (2, 3): 1}
 
 
+def test_frame_hash_matches_negative_media_ids(spark):
+    """The synthetic packed frame id decodes with pmod + long div, so
+    negative media ids round-trip (round-5 ADVICE: Spark's % keeps the
+    dividend's sign, which broke the floor/% decode for ids < 0)."""
+    from hadoop_map_reduce_spark.operators.multimodal import (
+        frame_hash_matches,
+        with_binary_content,
+    )
+
+    c0 = ("alpha beta gamma delta " * 8)[:128]
+    c1 = ("epsilon zeta eta theta " * 8)[:128]
+    rows = [
+        (-5, c0 + c1),
+        (-2, c0 + c1 + ("other tail two " * 9)[:128]),
+        (7, c1 + ("unique tail one " * 8)[:128]),
+    ]
+    media = with_binary_content(
+        spark.createDataFrame(rows, ["doc_id", "text"])
+    )
+    got = {
+        (r.media_id_a, r.media_id_b): r.n_shared_frames
+        for r in frame_hash_matches(
+            media, every_n_bytes=128, max_frames=8, hot_threshold=3
+        ).collect()
+    }
+    assert got == {(-5, -2): 2, (-5, 7): 1, (-2, 7): 1}
+
+
 def test_phash_real_decoder_gated(spark):
     from hadoop_map_reduce_spark.operators.multimodal import (
         _HAS_PIL,
@@ -575,6 +603,70 @@ def test_phash_real_decoder_gated(spark):
     docs = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
     with pytest.raises(NotImplementedError):
         perceptual_hash(with_binary_content(docs), use_real_decoder=True)
+
+
+def test_real_dhash_shape_arithmetic_without_pil(monkeypatch):
+    """Pin the real-dHash bit packing WITHOUT PIL (round-5 ADVICE: the
+    (9,7)-resize bug shipped unexercised because the PIL test self-
+    skips here): a stubbed decoder returns exactly what
+    ``np.asarray(img.convert('L').resize((8, 9)))`` would — a (9, 8)
+    grid — and the pack must produce 63 bits in [0, 2^63), with the
+    all-ascending grid setting every bit and a flat grid none."""
+    import numpy as np
+
+    from hadoop_map_reduce_spark.operators import multimodal as mm
+
+    class _Img:
+        def __init__(self, arr):
+            self._arr = arr
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def convert(self, mode):
+            assert mode == "L"
+            return self
+
+        def resize(self, wh):
+            # PIL contract: (width, height) -> array shape (height, width)
+            w, h = wh
+            assert (w, h) == (8, 9)
+            return self._arr.reshape(h, w)
+
+        def __array__(self, dtype=None):
+            return self._arr.reshape(9, 8).astype(dtype or np.int64)
+
+    class _StubPIL:
+        class Image:
+            _next = None
+
+            @staticmethod
+            def open(_buf):
+                return _Img(_StubPIL.Image._next)
+
+    monkeypatch.setattr(mm, "PIL", _StubPIL)
+
+    _StubPIL.Image._next = np.arange(72, dtype=np.int64)  # strictly ascending
+    assert mm._real_dhash(b"x") == (1 << 63) - 1
+    _StubPIL.Image._next = np.zeros(72, dtype=np.int64)  # flat: no gradients
+    assert mm._real_dhash(b"x") == 0
+    # one gradient in row r, col c -> bit r*7 + c
+    arr = np.zeros(72, dtype=np.int64).reshape(9, 8)
+    arr[3, 5] = -1  # px[3,5] < px[3,6] -> bit 3*7 + 5 = 26
+    _StubPIL.Image._next = arr.ravel()
+    assert mm._real_dhash(b"x") == 1 << 26
+
+    class _Boom:
+        class Image:
+            @staticmethod
+            def open(_buf):
+                raise OSError("cannot identify image file")
+
+    monkeypatch.setattr(mm, "PIL", _Boom)
+    assert mm._real_dhash(b"garbage") == 0
 
 
 def test_phash_real_decoder_when_pil_present(spark):

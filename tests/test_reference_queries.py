@@ -11,6 +11,7 @@ REFERENCE_QUERIES = [
     "wordcount",
     "trigram_count",
     "doc_token_stats",
+    "zip_roundtrip_census",
 ]
 
 

@@ -52,4 +52,12 @@ def test_salted_join_parity_and_spread(spark, sf_dir):
     )
     assert spread.ns > 1
     with pytest.raises(ValueError):
-        salted_equi_join(li, part, "l_partkey", salts=0)
+        salted_equi_join(li, part, "l_partkey", salts=0,
+                         salt_by="l_orderkey")
+    # Omitted or key-valued salt_by gives zero spread — must raise
+    # (round-5 ADVICE: the old default silently salted by the join key).
+    with pytest.raises(ValueError, match="salt_by"):
+        salted_equi_join(li, part, "l_partkey", salts=4)
+    with pytest.raises(ValueError, match="salt_by"):
+        salted_equi_join(li, part, "l_partkey", salts=4,
+                         salt_by="l_partkey")
