@@ -1,0 +1,135 @@
+"""Broadcast Bloom-filter semi-join pre-filtering.
+
+The classic shuffle-volume lever for big-probe/medium-build joins at
+100 TB (Bloom 1970; the same device Spark's own runtime row-group
+filtering uses): when the build side is too big to broadcast as ROWS
+but its KEY SET fits a few megabits, ship a Bloom bitmap instead and
+drop probe rows whose key cannot be in the build side BEFORE they
+shuffle. False positives survive the pre-filter and are removed by the
+exact join that follows, so the result is row-identical to the plain
+semi join — which is exactly what makes the operator driver-oracle-able
+(``join_bloom_semi``); false negatives are impossible by construction.
+
+Plan shape: one partial-agg'd shuffle builds the bitmap words (bit_or
+per 64-bit word over ``n_bits/64`` groups — never a driver-side set),
+the packed bitmap rides to every probe task as ONE broadcast row
+carrying an ``array<long>``, and membership tests are pure JVM Column
+arithmetic (double hashing: ``h1 + i*h2`` over xxhash64, Kirsch &
+Mitzenmacher 2006). The probe scan stays whole-stage-codegen; nothing
+Python touches the hot path. Bit shifts with COLUMN shift amounts go
+through ``F.expr`` (the DataFrame ``shiftleft`` helper only accepts a
+literal shift count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bloom_bitmap(
+    keys: DataFrame, on: str, n_bits: int = 1 << 20, n_hashes: int = 5
+) -> DataFrame:
+    """ONE-row DataFrame carrying the packed Bloom bitmap
+    (``bitmap: array<long>`` of ``n_bits/64`` words, dense — absent
+    words filled with 0 via a literal word spine).
+
+    Built distributed end-to-end: explode each key's ``n_hashes`` bit
+    positions, partial-agg ``bit_or`` the per-word masks (the only
+    shuffle, on <= ``n_bits/64`` distinct word indexes), then one
+    ``map_from_entries`` + spine transform assembles the array — no
+    driver-side bit-twiddling, no collect of anything key-sized.
+    """
+    if n_bits % 64 != 0:
+        raise ValueError("n_bits must be a multiple of 64")
+    n_words = n_bits // 64
+    # Reduce both draws mod n_bits BEFORE combining: (h1 + i*h2) mod m
+    # == (h1 mod m + i*(h2 mod m)) mod m, and the reduced operands are
+    # < n_bits so the ANSI-mode long arithmetic can never overflow.
+    hashed = keys.select(
+        F.pmod(F.xxhash64(F.col(on)), F.lit(n_bits)).alias("_h1"),
+        F.pmod(
+            F.xxhash64(F.col(on), F.lit("bloom:h2")), F.lit(n_bits)
+        ).alias("_h2"),
+    )
+    pos = F.explode(
+        F.array(
+            *[
+                F.pmod(
+                    F.col("_h1") + F.lit(i) * F.col("_h2"), F.lit(n_bits)
+                ).cast("long")
+                for i in range(n_hashes)
+            ]
+        )
+    )
+    words = (
+        hashed.select(pos.alias("_p"))
+        .select(
+            F.expr("_p DIV 64").alias("_w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(_p, 64) AS INT))"
+            ).alias("_m"),
+        )
+        .groupBy("_w")
+        .agg(F.bit_or("_m").alias("_word"))
+    )
+    # Dense array: map word->bits, then a literal spine of n_words
+    # lookups (missing words -> 0). The agg output is <= n_words rows,
+    # so the single-row collect_list is constant-bounded by design.
+    packed = words.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("_w"), F.col("_word")))
+        ).alias("_m")
+    )
+    spine = F.array(*[F.lit(i).cast("long") for i in range(n_words)])
+    return packed.select(
+        F.transform(
+            spine,
+            lambda w: F.coalesce(
+                F.element_at(F.col("_m"), w), F.lit(0).cast("long")
+            ),
+        ).alias("bitmap")
+    )
+
+
+def _membership_expr(on: str, n_bits: int, n_hashes: int) -> str:
+    """SQL predicate: every hashed bit of column ``on`` is set in the
+    ``bitmap`` array column — may be a false positive (bounded by the
+    standard (1-e^{-kn/m})^k rate), never a false negative."""
+    tests = []
+    for i in range(n_hashes):
+        p = (
+            f"pmod(pmod(xxhash64(`{on}`), {n_bits}) + {i} * "
+            f"pmod(xxhash64(`{on}`, 'bloom:h2'), {n_bits}), {n_bits})"
+        )
+        tests.append(
+            f"(shiftright(element_at(bitmap, CAST({p} DIV 64 AS INT) + 1), "
+            f"CAST(pmod({p}, 64) AS INT)) & 1) = 1"
+        )
+    return " AND ".join(tests)
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    keys: DataFrame,
+    on: str,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """Exact semi-join with a broadcast Bloom pre-filter.
+
+    Row-identical to ``big.join(keys, on, "left_semi")`` (parity- and
+    oracle-pinned): the bitmap drops most non-matching probe rows
+    before the shuffle, the exact semi join on the survivors removes
+    the false positives. Use when ``keys`` is above the row-broadcast
+    threshold but its key set fits ``n_bits`` comfortably — the probe
+    side's shuffle shrinks by the non-match fraction, which at 100 TB
+    is usually almost all of it.
+    """
+    bm = bloom_bitmap(keys.select(on), on, n_bits, n_hashes)
+    candidates = (
+        big.join(F.broadcast(bm))
+        .filter(F.expr(_membership_expr(on, n_bits, n_hashes)))
+        .drop("bitmap")
+    )
+    return candidates.join(keys.select(on).distinct(), on, "left_semi")

@@ -198,6 +198,15 @@ def bpe_train_driver(
     table: list[tuple[list[str], int]] = [
         (list(r["word"]) + [END_OF_WORD], int(r["cnt"])) for r in rows
     ]
+    return _train_merges_py(table, n_merges, min_pair_count)
+
+
+def _train_merges_py(
+    table: list[tuple[list[str], int]], n_merges: int, min_pair_count: int
+) -> list[tuple[int, str, str, int]]:
+    """The merge loop shared by the char-level and byte-level driver
+    trainers: weighted adjacent-pair counts, max count with ties to the
+    lexicographically smallest pair, greedy leftmost rewrite."""
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
         counts: dict[tuple[str, str], int] = {}
@@ -207,7 +216,6 @@ def bpe_train_driver(
                 counts[key] = counts.get(key, 0) + cnt
         if not counts:
             break
-        # max count, ties to lexicographically smallest (lhs, rhs)
         (lhs, rhs), n = min(
             counts.items(), key=lambda kv: (-kv[1], kv[0])
         )
@@ -228,6 +236,77 @@ def bpe_segment(tokens, merges: list[tuple[int, str, str, int]]):
     token length per merge)."""
     def segment_one(tok):
         syms = F.concat(F.split(tok, ""), F.array(F.lit(END_OF_WORD)))
+        for _, lhs, rhs, _n in merges:
+            syms = _merge_pair(syms, lhs, rhs)
+        return syms
+
+    return F.flatten(F.transform(tokens, segment_one))
+
+
+# ---------------------------------------------------------------------------
+# Byte-level BPE (BBPE): the modern-tokenizer variant (GPT-2 lineage).
+# Symbols are UTF-8 BYTES, so ANY unicode text tokenizes without an
+# out-of-alphabet escape hatch — 'ñ' is two base symbols, not one char.
+# Representation: each byte is a two-hex-digit string ('61', 'c3', ...),
+# which makes the whole char-level merge machinery (_merge_pair folds,
+# the driver merge loop, tie-break order) reusable verbatim: merged
+# symbols are concatenated hex strings, decodable with unhex(). Hex is
+# lowercase on both the Column and Python paths; pair tie-breaks compare
+# hex strings, which for single bytes equals byte-value order.
+# ---------------------------------------------------------------------------
+
+
+def byte_symbols(col):
+    """Column: string -> array of two-hex-digit byte symbols of its
+    UTF-8 encoding. Pure Column expression: encode -> hex -> split on
+    the \\G pair boundary (Java regex), drop the trailing empty."""
+    pairs = F.split(F.lower(F.hex(F.encode(col, "UTF-8"))), r"(?<=\G..)")
+    return F.filter(pairs, lambda x: x != F.lit(""))
+
+
+def _byte_symbols_py(word: str) -> list[str]:
+    raw = word.encode("utf-8").hex()
+    return [raw[i : i + 2] for i in range(0, len(raw), 2)]
+
+
+def bbpe_train_driver(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_pair_count: int = 2,
+    max_distinct_words: int = 2_000_000,
+) -> list[tuple[int, str, str, int]]:
+    """Byte-level twin of :func:`bpe_train_driver`: same distributed
+    word-count pass, same bounded collect, same merge loop — the only
+    difference is the base alphabet (UTF-8 byte hex pairs + the
+    END_OF_WORD sentinel instead of unicode chars). On a pure-ASCII
+    corpus the learned merges are the char-level merges hex-encoded
+    1:1 (test-pinned); on non-ASCII text multi-byte characters start
+    split and must EARN their merge, which is exactly the BBPE
+    robustness property modern pipelines want."""
+    words = _word_counts(docs, text_col)
+    rows = words.limit(max_distinct_words + 1).collect()
+    if len(rows) > max_distinct_words:
+        raise ValueError(
+            f"distinct-word table exceeds {max_distinct_words} rows; "
+            "train on a bounded sample or shard the vocabulary"
+        )
+    table = [
+        (_byte_symbols_py(r["word"]) + [END_OF_WORD], int(r["cnt"]))
+        for r in rows
+    ]
+    return _train_merges_py(table, n_merges, min_pair_count)
+
+
+def bbpe_segment(tokens, merges: list[tuple[int, str, str, int]]):
+    """Byte-level twin of :func:`bpe_segment`: each token becomes its
+    BBPE symbol sequence (hex-pair base symbols; merged symbols are
+    concatenated hex). Decode a symbol with
+    ``decode(unhex(symbol), 'UTF-8')`` — merges never cross the
+    END_OF_WORD sentinel, and byte merges may straddle unicode char
+    boundaries by design (bytes are the alphabet, chars are not)."""
+    def segment_one(tok):
+        syms = F.concat(byte_symbols(tok), F.array(F.lit(END_OF_WORD)))
         for _, lhs, rhs, _n in merges:
             syms = _merge_pair(syms, lhs, rhs)
         return syms

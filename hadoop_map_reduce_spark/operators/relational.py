@@ -558,3 +558,52 @@ def global_shuffle_positions(
             .alias(out_col),
         )
     )
+
+
+def interval_union_length(
+    intervals: DataFrame,
+    key_col: str = "key",
+    start_col: str = "s",
+    end_col: str = "e",
+) -> DataFrame:
+    """Total length of the UNION of half-open integer intervals
+    ``[s, e)`` per key — the classic gaps-and-islands merge (billing
+    coverage, machine-busy time, transit days), fully distributed:
+    every window partitions by the key, so the only shuffle is on the
+    key and no Exchange SinglePartition can appear at any scale.
+
+    Semantics: overlapping or touching intervals (``next.s <= running
+    max e``) merge into one island; the result per key is
+    ``(n_islands, covered)`` with ``covered = Σ island (max e - min s)``.
+    Duplicate ``(key, s, e)`` rows are unioned away FIRST — union is
+    idempotent, and the dedup also makes the ``(s, e)`` window order a
+    deterministic total order per key (ties in ``s`` alone would leave
+    the running-max frame engine-dependent).
+    """
+    iv = intervals.select(
+        F.col(key_col).alias("_k"),
+        F.col(start_col).cast("long").alias("_s"),
+        F.col(end_col).cast("long").alias("_e"),
+    ).distinct()
+    w = Window.partitionBy("_k").orderBy("_s", "_e")
+    prev_max = F.max("_e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "_new",
+        F.when(
+            prev_max.isNull() | (F.col("_s") > prev_max), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "_island",
+        F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    islands = flagged.groupBy("_k", "_island").agg(
+        (F.max("_e") - F.min("_s")).alias("_len")
+    )
+    return islands.groupBy(F.col("_k").alias(key_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum("_len").cast("long").alias("covered"),
+    )

@@ -485,3 +485,189 @@ def zip_roundtrip_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("size").cast("long").alias("n_bytes"),
         F.md5("content").alias("digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# join_bloom_semi — broadcast Bloom pre-filter, row-identical to semi join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_bloom_semi",
+    tags=("relational", "join"),
+    description=(
+        "Exact semi-join behind a broadcast Bloom pre-filter "
+        "(operators/bloom.bloom_semi_join): urgent-order lineitems by "
+        "ship mode. The bitmap drops non-matching probe rows BEFORE "
+        "the shuffle (the 100-TB shuffle-volume lever when the build "
+        "side exceeds the row-broadcast threshold but its key set fits "
+        "a megabit); the exact join on the survivors removes false "
+        "positives, so the result is row-identical to the plain semi "
+        "join — which is the oracle."
+    ),
+    oracle="""
+        SELECT l.l_returnflag AS return_flag,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM lineitem l
+        WHERE l.l_orderkey IN (
+            SELECT o_orderkey FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+        )
+        GROUP BY 1
+    """,
+)
+def join_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan shape: bitmap build = one partial-agg'd bit_or shuffle over
+    <= n_bits/64 word groups; probe = whole-stage-codegen membership
+    arithmetic against ONE broadcast array row; only the pre-filter
+    survivors reach the exact semi join's shuffle."""
+    from hadoop_map_reduce_spark.operators.bloom import bloom_semi_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    keys = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    return (
+        bloom_semi_join(li, keys, "l_orderkey", n_bits=1 << 18)
+        .groupBy(F.col("l_returnflag").alias("return_flag"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+            ).cast("long").alias("revenue_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# interval_union_days — gaps-and-islands union-length aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "interval_union_days",
+    tags=("relational", "window"),
+    description=(
+        "Union-length of half-open day intervals per supplier "
+        "(operators/relational.interval_union_length): each lineitem "
+        "contributes [ship_day, ship_day + linenumber%7 + 1); "
+        "overlapping/touching intervals merge into islands, and the "
+        "query reports islands and total covered days — the classic "
+        "billing/coverage aggregation, all windows key-partitioned."
+    ),
+    oracle="""
+        WITH iv AS (
+            SELECT DISTINCT l_suppkey AS k,
+                   CAST(date_diff('day', DATE '1970-01-01',
+                                  CAST(l_shipdate AS DATE)) AS BIGINT) AS s,
+                   CAST(date_diff('day', DATE '1970-01-01',
+                                  CAST(l_shipdate AS DATE))
+                        + (l_linenumber % 7) + 1 AS BIGINT) AS e
+            FROM lineitem
+        ), f AS (
+            SELECT k, s, e,
+                   CASE WHEN MAX(e) OVER (
+                            PARTITION BY k ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) IS NULL
+                        OR s > MAX(e) OVER (
+                            PARTITION BY k ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING)
+                        THEN 1 ELSE 0 END AS new_island
+            FROM iv
+        ), g AS (
+            SELECT k, s, e,
+                   SUM(new_island) OVER (
+                       PARTITION BY k ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS island
+            FROM f
+        ), i AS (
+            SELECT k, island, MAX(e) - MIN(s) AS len
+            FROM g GROUP BY 1, 2
+        )
+        SELECT k AS l_suppkey,
+               CAST(COUNT(*) AS BIGINT) AS n_islands,
+               CAST(SUM(len) AS BIGINT) AS covered
+        FROM i GROUP BY 1
+    """,
+)
+def interval_union_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day arithmetic is calendar-pure (datediff from the epoch DATE, no
+    timezone-dependent unix seconds), durations are small exact ints,
+    and the operator dedups (k, s, e) first so the window order is a
+    deterministic total order — every piece hash-matches cross-engine."""
+    from hadoop_map_reduce_spark.operators.relational import (
+        interval_union_length,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    day = F.datediff(
+        F.to_date("l_shipdate"), F.to_date(F.lit("1970-01-01"))
+    ).cast("long")
+    iv = li.select(
+        F.col("l_suppkey").alias("k"),
+        day.alias("s"),
+        (day + F.pmod(F.col("l_linenumber"), F.lit(7)) + 1).alias("e"),
+    )
+    return interval_union_length(
+        iv, key_col="k", start_col="s", end_col="e"
+    ).select(
+        F.col("k").alias("l_suppkey"), "n_islands", "covered"
+    )
+
+
+# ---------------------------------------------------------------------------
+# doc_byte_histogram — pins the BBPE byte-symbol layer
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "doc_byte_histogram",
+    tags=("llm", "text", "aggregation"),
+    description=(
+        "UTF-8 byte histogram of the corpus through the BBPE base "
+        "alphabet (operators/bpe.byte_symbols: encode -> hex -> pair "
+        "split): per byte symbol, total occurrences and distinct "
+        "documents — the alphabet-coverage audit a byte-level "
+        "tokenizer build runs first, and the driver-checkable pin of "
+        "the byte layer bbpe_train/bbpe_segment stand on."
+    ),
+    oracle="""
+        SELECT b AS byte_sym,
+               CAST(COUNT(*) AS BIGINT) AS n_total,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM (
+            SELECT doc_id,
+                   unnest([lower(substring(hex(encode(text)), 2*i - 1, 2))
+                           for i in generate_series(
+                               1, octet_length(encode(text)))]) AS b
+            FROM documents
+        )
+        GROUP BY 1
+    """,
+)
+def doc_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One shuffle-free explode scan + one partial-agg'd groupBy on a
+    <=256-key space — no skew risk at any corpus size (hot bytes
+    partial-aggregate on the map side)."""
+    from hadoop_map_reduce_spark.operators.bpe import byte_symbols
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", F.explode(byte_symbols(F.col("text"))).alias("byte_sym")
+        )
+        .groupBy("byte_sym")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+    )

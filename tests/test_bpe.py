@@ -154,3 +154,69 @@ def test_segment_counts_match_pure_python(spark, sf_dir):
             sym_counts.update(syms)
     want = sorted(sym_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
     assert got == want
+
+
+def test_byte_symbols_unicode_and_roundtrip(spark):
+    """BBPE base alphabet is UTF-8 bytes: 'ñ' is TWO symbols (c3, b1),
+    and unhex-decoding the concatenated symbols reproduces the token
+    for any unicode input."""
+    import pyspark.sql.functions as F
+
+    from hadoop_map_reduce_spark.operators.bpe import byte_symbols
+
+    df = spark.createDataFrame(
+        [("niño",), ("héllo",), ("plain",), ("日本",)], ["tok"]
+    )
+    rows = df.select(
+        byte_symbols(F.col("tok")).alias("syms"),
+        F.decode(
+            F.unhex(F.concat_ws("", byte_symbols(F.col("tok")))), "UTF-8"
+        ).alias("back"),
+        "tok",
+    ).collect()
+    by_tok = {r["tok"]: r for r in rows}
+    assert by_tok["niño"]["syms"] == ["6e", "69", "c3", "b1", "6f"]
+    assert by_tok["日本"]["syms"] == ["e6", "97", "a5", "e6", "9c", "ac"]
+    for r in rows:
+        assert r["back"] == r["tok"]
+
+
+def test_bbpe_segment_merges_multibyte_chars(spark):
+    """A learned (c3, b1) merge reassembles 'ñ' from its two bytes; the
+    segment output round-trips through unhex."""
+    import pyspark.sql.functions as F
+
+    from hadoop_map_reduce_spark.operators.bpe import (
+        END_OF_WORD,
+        bbpe_segment,
+    )
+
+    df = spark.createDataFrame([(["niño"],)], ["toks"])
+    out = df.select(
+        bbpe_segment(F.col("toks"), [(0, "c3", "b1", 99)]).alias("s")
+    ).collect()
+    assert out[0]["s"] == ["6e", "69", "c3b1", "6f", END_OF_WORD]
+
+
+def test_bbpe_ascii_corpus_matches_char_bpe_hex_encoded(spark, sf_dir):
+    """On the pure-ASCII corpus every char is one byte, so BBPE must
+    learn the char-level merge table hex-encoded 1:1 (same ranks, same
+    counts) — the cheap structural proof that the byte layer changes
+    the alphabet and nothing else. (Tie-breaks compare hex strings,
+    which on the tokenizer's [0-9_a-z] alphabet preserves char order.)"""
+    from hadoop_map_reduce_spark.operators.bpe import (
+        END_OF_WORD,
+        bbpe_train_driver,
+        bpe_train_driver,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    char_merges = bpe_train_driver(docs, n_merges=12)
+    byte_merges = bbpe_train_driver(docs, n_merges=12)
+
+    def hexify(sym: str) -> str:
+        return sym if sym == END_OF_WORD else sym.encode("utf-8").hex()
+
+    assert byte_merges == [
+        (r, hexify(l), hexify(h), n) for r, l, h, n in char_merges
+    ]
