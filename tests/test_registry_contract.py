@@ -81,7 +81,9 @@ def test_headline_set_is_stable_and_timed():
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
         "embedding_neardup",
+        "interval_union_days",
         "join_asof",
+        "join_bloom_semi",
         "multimodal_phash_neardup",
         "pack_global_shuffle",
         "q1_pricing_summary",
