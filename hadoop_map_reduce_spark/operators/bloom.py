@@ -97,18 +97,41 @@ def bloom_bitmap(
     )
 
 
-def _membership_expr(n_bits: int, n_hashes: int) -> str:
-    """SQL predicate over prepared ``_h1``/``_h2`` (mod-reduced hash)
-    columns and the ``bitmap`` array column: every derived bit is set —
-    may be a false positive (bounded by the standard (1-e^{-kn/m})^k
-    rate), never a false negative. Evaluating the two xxhash64 draws
-    ONCE into columns keeps the per-row work at 2 hashes, not
-    2·n_hashes."""
+_INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _hash_key(on: str, big_type: str, keys_type: str):
+    """The column both sides hash: xxhash64 is TYPE-SENSITIVE
+    (xxhash64(7 as int) != xxhash64(7 as long)), so a silent dtype
+    mismatch between probe and build would hash every true match into
+    different bitmap positions — silent false negatives. Integral
+    mismatches are healed by hashing both sides as BIGINT (lossless);
+    anything else must match exactly or we refuse loudly."""
+    if big_type == keys_type:
+        return F.col(on)
+    if big_type in _INTEGRAL and keys_type in _INTEGRAL:
+        return F.col(on).cast("bigint")
+    raise ValueError(
+        f"bloom_semi_join key dtype mismatch: probe `{on}` is "
+        f"{big_type}, build is {keys_type} — xxhash64 is type-"
+        "sensitive, align the types explicitly"
+    )
+
+
+def _membership_expr(
+    h1: str, h2: str, bitmap: str, n_bits: int, n_hashes: int
+) -> str:
+    """SQL predicate over prepared mod-reduced hash columns and the
+    bitmap array column: every derived bit is set — may be a false
+    positive (bounded by the standard (1-e^{-kn/m})^k rate), never a
+    false negative. Evaluating the two xxhash64 draws ONCE into
+    columns keeps the per-row work at 2 hashes, not 2·n_hashes."""
     tests = []
     for i in range(n_hashes):
-        p = f"pmod(_h1 + {i} * _h2, {n_bits})"
+        p = f"pmod(`{h1}` + {i} * `{h2}`, {n_bits})"
         tests.append(
-            f"(shiftright(element_at(bitmap, CAST({p} DIV 64 AS INT) + 1), "
+            f"(shiftright(element_at(`{bitmap}`, "
+            f"CAST({p} DIV 64 AS INT) + 1), "
             f"CAST(pmod({p}, 64) AS INT)) & 1) = 1"
         )
     return " AND ".join(tests)
@@ -131,15 +154,29 @@ def bloom_semi_join(
     side's shuffle shrinks by the non-match fraction, which at 100 TB
     is usually almost all of it.
     """
-    bm = bloom_bitmap(keys.select(on), on, n_bits, n_hashes)
+    big_type, keys_type = dict(big.dtypes)[on], dict(keys.dtypes)[on]
+    hk = _hash_key(on, big_type, keys_type)
+    # Scratch names derived from the existing schema so a caller column
+    # named _h1/_h2/bitmap can never be clobbered or made ambiguous.
+    taken = set(big.columns) | {"bitmap"}
+    uniq = 0
+    while any(f"_bl{uniq}{s}" in taken for s in ("h1", "h2", "bm")):
+        uniq += 1
+    c_h1, c_h2, c_bm = f"_bl{uniq}h1", f"_bl{uniq}h2", f"_bl{uniq}bm"
+    bm = bloom_bitmap(
+        keys.select(hk.alias(on)), on, n_bits, n_hashes
+    ).select(F.col("bitmap").alias(c_bm))
     candidates = (
         big.join(F.broadcast(bm))
-        .withColumn("_h1", F.pmod(F.xxhash64(F.col(on)), F.lit(n_bits)))
+        .withColumn(c_h1, F.pmod(F.xxhash64(hk), F.lit(n_bits)))
         .withColumn(
-            "_h2",
-            F.pmod(F.xxhash64(F.col(on), F.lit("bloom:h2")), F.lit(n_bits)),
+            c_h2,
+            F.pmod(F.xxhash64(hk, F.lit("bloom:h2")), F.lit(n_bits)),
         )
-        .filter(F.expr(_membership_expr(n_bits, n_hashes)))
-        .drop("bitmap", "_h1", "_h2")
+        .filter(F.expr(_membership_expr(c_h1, c_h2, c_bm, n_bits, n_hashes)))
+        .drop(c_bm, c_h1, c_h2)
     )
-    return candidates.join(keys.select(on).distinct(), on, "left_semi")
+    # No .distinct() on the build side: semi joins are duplicate-
+    # insensitive, and the distinct would shuffle the whole key set —
+    # the medium-sized relation this operator exists to avoid moving.
+    return candidates.join(keys.select(on), on, "left_semi")

@@ -188,17 +188,27 @@ def bpe_train_driver(
     rewrite is the same greedy leftmost non-overlapping rule, and the
     stop condition is the same ``min_pair_count`` gate.
     """
-    words = _word_counts(docs, text_col)
-    rows = words.limit(max_distinct_words + 1).collect()
-    if len(rows) > max_distinct_words:
-        raise ValueError(
-            f"distinct-word table exceeds {max_distinct_words} rows; "
-            "use the distributed bpe_train for this corpus"
-        )
+    rows = _bounded_word_rows(
+        _word_counts(docs, text_col), max_distinct_words
+    )
     table: list[tuple[list[str], int]] = [
         (list(r["word"]) + [END_OF_WORD], int(r["cnt"])) for r in rows
     ]
     return _train_merges_py(table, n_merges, min_pair_count)
+
+
+def _bounded_word_rows(words: DataFrame, max_distinct_words: int) -> list:
+    """Collect the distinct-word table iff it respects the driver-side
+    ceiling; refuse loudly otherwise (shared by both driver trainers —
+    a ceiling fix must not be applied twice)."""
+    rows = words.limit(max_distinct_words + 1).collect()
+    if len(rows) > max_distinct_words:
+        raise ValueError(
+            f"distinct-word table exceeds {max_distinct_words} rows; "
+            "use the distributed bpe_train (or a bounded sample) for "
+            "this corpus"
+        )
+    return rows
 
 
 def _train_merges_py(
@@ -275,22 +285,38 @@ def bbpe_train_driver(
     text_col: str = "text",
     min_pair_count: int = 2,
     max_distinct_words: int = 2_000_000,
+    unicode_words: bool = False,
 ) -> list[tuple[int, str, str, int]]:
     """Byte-level twin of :func:`bpe_train_driver`: same distributed
     word-count pass, same bounded collect, same merge loop — the only
     difference is the base alphabet (UTF-8 byte hex pairs + the
     END_OF_WORD sentinel instead of unicode chars). On a pure-ASCII
     corpus the learned merges are the char-level merges hex-encoded
-    1:1 (test-pinned); on non-ASCII text multi-byte characters start
-    split and must EARN their merge, which is exactly the BBPE
-    robustness property modern pipelines want."""
-    words = _word_counts(docs, text_col)
-    rows = words.limit(max_distinct_words + 1).collect()
-    if len(rows) > max_distinct_words:
-        raise ValueError(
-            f"distinct-word table exceeds {max_distinct_words} rows; "
-            "train on a bounded sample or shard the vocabulary"
+    1:1 (test-pinned).
+
+    Word source caveat (round-6 review finding): the engine's default
+    tokenizer (``_word_counts``) sanitizes with the reference's ASCII
+    ``\\w``, which DELETES every non-ASCII character before training —
+    so with ``unicode_words=False`` no multi-byte merge can ever be
+    learned and the byte alphabet only buys segment-time robustness.
+    Pass ``unicode_words=True`` to train on a unicode-preserving word
+    source (lowercase + whitespace split, punctuation kept) so
+    multi-byte characters actually reach the trainer and EARN their
+    merges — the BBPE property modern pipelines want."""
+    if unicode_words:
+        words = (
+            docs.select(
+                F.explode(
+                    F.split(F.lower(F.col(text_col)), r"\s+")
+                ).alias("word")
+            )
+            .filter(F.col("word") != "")
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("cnt"))
         )
+    else:
+        words = _word_counts(docs, text_col)
+    rows = _bounded_word_rows(words, max_distinct_words)
     table = [
         (_byte_symbols_py(r["word"]) + [END_OF_WORD], int(r["cnt"]))
         for r in rows

@@ -575,16 +575,25 @@ def interval_union_length(
     Semantics: overlapping or touching intervals (``next.s <= running
     max e``) merge into one island; the result per key is
     ``(n_islands, covered)`` with ``covered = Σ island (max e - min s)``.
-    Duplicate ``(key, s, e)`` rows are unioned away FIRST — union is
+    Empty intervals (``s >= e`` — zero-length AND inverted rows, both
+    the empty set under half-open semantics) are dropped FIRST: a
+    ``[5, 5)`` row is not an island and an inverted row must not feed
+    negative lengths into the arithmetic (round-6 review finding).
+    Duplicate ``(key, s, e)`` rows are then unioned away — union is
     idempotent, and the dedup also makes the ``(s, e)`` window order a
     deterministic total order per key (ties in ``s`` alone would leave
-    the running-max frame engine-dependent).
+    the running-max frame engine-dependent). A key with ONLY empty
+    intervals is absent from the output (its union is the empty set).
     """
-    iv = intervals.select(
-        F.col(key_col).alias("_k"),
-        F.col(start_col).cast("long").alias("_s"),
-        F.col(end_col).cast("long").alias("_e"),
-    ).distinct()
+    iv = (
+        intervals.select(
+            F.col(key_col).alias("_k"),
+            F.col(start_col).cast("long").alias("_s"),
+            F.col(end_col).cast("long").alias("_e"),
+        )
+        .filter(F.col("_s") < F.col("_e"))
+        .distinct()
+    )
     w = Window.partitionBy("_k").orderBy("_s", "_e")
     prev_max = F.max("_e").over(
         w.rowsBetween(Window.unboundedPreceding, -1)

@@ -430,6 +430,12 @@ def ivf_cell_census(
         .collect()
     )
     cents = [(int(r["_id"]), list(r["_e6"])) for r in cent_rows]
+    if not cents:
+        # An empty F.array() of score structs would fail ANALYSIS with
+        # an opaque extract-field error — name the real cause instead.
+        raise ValueError(
+            "ivf_cell_census: corpus has no rows to sample centroids from"
+        )
 
     scored = []
     for rank, (_cvid, cvec) in enumerate(cents):

@@ -53,7 +53,7 @@ def test_prefilter_drops_most_nonmatches(spark, sf_dir):
                 F.xxhash64("l_orderkey", F.lit("bloom:h2")), F.lit(n_bits)
             ),
         )
-        .filter(F.expr(_membership_expr(n_bits, 5)))
+        .filter(F.expr(_membership_expr("_h1", "_h2", "bitmap", n_bits, 5)))
         .count()
     )
     total = li.count()
@@ -73,6 +73,38 @@ def test_bitmap_is_one_dense_row(spark, sf_dir):
     bitmap = rows[0]["bitmap"]
     assert len(bitmap) == (1 << 10) // 64
     assert any(w != 0 for w in bitmap)
+
+
+def test_integral_type_mismatch_is_healed(spark):
+    """xxhash64 is type-sensitive (hashing 7 as int != 7 as long), so a
+    probe/build dtype mismatch would silently drop every true match if
+    both sides weren't hashed through a common BIGINT (round-6 review
+    finding, runtime-confirmed)."""
+    big = spark.createDataFrame([(1,), (2,), (3,)], "k: bigint")
+    keys = spark.createDataFrame([(1,), (3,)], "k: int")
+    got = sorted(r["k"] for r in bloom_semi_join(big, keys, "k").collect())
+    assert got == [1, 3]
+
+
+def test_non_integral_type_mismatch_refuses_loudly(spark):
+    big = spark.createDataFrame([("1",)], "k: string")
+    keys = spark.createDataFrame([(1,)], "k: int")
+    with pytest.raises(ValueError, match="dtype mismatch"):
+        bloom_semi_join(big, keys, "k")
+
+
+def test_caller_columns_named_like_scratch_survive(spark):
+    """Probe-side columns named _h1/_h2/bitmap must pass through
+    untouched — scratch names are derived to dodge the caller's schema
+    (round-6 review finding, runtime-confirmed)."""
+    big = spark.createDataFrame(
+        [(1, 10, 20, 30), (2, 11, 21, 31)],
+        "k: bigint, _h1: bigint, _h2: bigint, bitmap: bigint",
+    )
+    keys = spark.createDataFrame([(1,)], "k: bigint")
+    rows = bloom_semi_join(big, keys, "k").collect()
+    assert sorted(rows[0].asDict().keys()) == ["_h1", "_h2", "bitmap", "k"]
+    assert rows[0]["_h1"] == 10 and rows[0]["bitmap"] == 30
 
 
 def test_n_bits_must_be_word_aligned(spark, sf_dir):

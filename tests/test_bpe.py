@@ -220,3 +220,20 @@ def test_bbpe_ascii_corpus_matches_char_bpe_hex_encoded(spark, sf_dir):
     assert byte_merges == [
         (r, hexify(l), hexify(h), n) for r, l, h, n in char_merges
     ]
+
+
+def test_bbpe_unicode_words_learns_multibyte_merges(spark):
+    """With unicode_words=True the trainer sees non-ASCII words (the
+    default engine tokenizer deletes them — round-6 review finding), so
+    multi-byte characters earn byte merges: 'ñ' appears in every word
+    here, so (c3, b1) must be merged."""
+    from hadoop_map_reduce_spark.operators.bpe import bbpe_train_driver
+
+    docs = spark.createDataFrame(
+        [("niño año señal",), ("baño niño piña",)], ["text"]
+    )
+    merges = bbpe_train_driver(docs, n_merges=3, unicode_words=True)
+    assert ("c3", "b1") in {(l, r) for _, l, r, _ in merges}
+    # The ASCII-sanitizing default path structurally cannot learn it.
+    merges_ascii = bbpe_train_driver(docs, n_merges=3)
+    assert ("c3", "b1") not in {(l, r) for _, l, r, _ in merges_ascii}

@@ -61,3 +61,30 @@ def test_salted_join_parity_and_spread(spark, sf_dir):
     with pytest.raises(ValueError, match="salt_by"):
         salted_equi_join(li, part, "l_partkey", salts=4,
                          salt_by="l_partkey")
+
+
+def test_interval_union_drops_empty_and_inverted_intervals(spark):
+    """[5,5) is the empty set (not an island) and an inverted row must
+    not feed negative lengths into covered (round-6 review finding,
+    runtime-confirmed); a key with only empty intervals is absent."""
+    from hadoop_map_reduce_spark.operators.relational import (
+        interval_union_length,
+    )
+
+    iv = spark.createDataFrame(
+        [
+            ("a", 0, 3),
+            ("a", 5, 5),   # empty: dropped, not an island
+            ("a", 10, 12),
+            ("a", 9, 2),   # inverted: empty set, dropped
+            ("b", 7, 7),   # only-empty key: absent from output
+        ],
+        ["k", "s", "e"],
+    )
+    rows = {
+        r["k"]: (r["n_islands"], r["covered"])
+        for r in interval_union_length(
+            iv, key_col="k", start_col="s", end_col="e"
+        ).collect()
+    }
+    assert rows == {"a": (2, 5)}
