@@ -499,7 +499,7 @@ def zip_roundtrip_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     description=(
         "Exact semi-join behind a broadcast Bloom pre-filter "
         "(operators/bloom.bloom_semi_join): urgent-order lineitems by "
-        "ship mode. The bitmap drops non-matching probe rows BEFORE "
+        "return flag. The bitmap drops non-matching probe rows BEFORE "
         "the shuffle (the 100-TB shuffle-volume lever when the build "
         "side exceeds the row-broadcast threshold but its key set fits "
         "a megabit); the exact join on the survivors removes false "
