@@ -226,3 +226,115 @@ def test_phash_band_layout_pigeonhole(h, flips, max_hamming):
         for w, o in zip(widths, offsets)
     ]
     assert any(bands_equal)
+
+
+def test_interval_union_matches_python_sweep(spark):
+    """interval_union_length == a pure-Python sweep-line union over 200
+    seeded random intervals (overlaps, touches, nests, duplicates,
+    empties, inversions) across 20 keys."""
+    import random
+
+    from hadoop_map_reduce_spark.operators.relational import (
+        interval_union_length,
+    )
+
+    rng = random.Random(1306)
+    rows = []
+    for _ in range(200):
+        k = f"k{rng.randrange(20)}"
+        s = rng.randrange(-50, 50)
+        e = s + rng.randrange(-3, 12)  # some empty/inverted on purpose
+        rows.append((k, s, e))
+
+    def sweep(iv):
+        iv = sorted({(s, e) for s, e in iv if s < e})
+        islands, cur_s, cur_e = [], None, None
+        for s, e in iv:
+            if cur_e is None or s > cur_e:
+                if cur_e is not None:
+                    islands.append(cur_e - cur_s)
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        if cur_e is not None:
+            islands.append(cur_e - cur_s)
+        return (len(islands), sum(islands))
+
+    by_key: dict[str, list[tuple[int, int]]] = {}
+    for k, s, e in rows:
+        by_key.setdefault(k, []).append((s, e))
+    want = {
+        k: sweep(iv) for k, iv in by_key.items() if sweep(iv)[0] > 0
+    }
+
+    df = spark.createDataFrame(rows, ["k", "s", "e"])
+    got = {
+        r["k"]: (r["n_islands"], r["covered"])
+        for r in interval_union_length(
+            df, key_col="k", start_col="s", end_col="e"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_bloom_parity_on_random_keysets(spark):
+    """bloom_semi_join == plain left_semi over seeded random long keys
+    including negatives and duplicates on both sides — the operator's
+    exactness contract, independent of the TPC-H fixture."""
+    import random
+
+    from hadoop_map_reduce_spark.operators.bloom import bloom_semi_join
+
+    rng = random.Random(99)
+    probe = [(rng.randrange(-1000, 1000),) for _ in range(500)]
+    build = [(rng.randrange(-1000, 1000),) for _ in range(80)]
+    big = spark.createDataFrame(probe, "k: bigint")
+    keys = spark.createDataFrame(build, "k: bigint")
+    got = sorted(r["k"] for r in bloom_semi_join(
+        big, keys, "k", n_bits=1 << 12, n_hashes=4
+    ).collect())
+    want = sorted(
+        r["k"] for r in big.join(keys, "k", "left_semi").collect()
+    )
+    assert got == want and want
+
+
+def test_byte_symbols_roundtrip_random_unicode(spark):
+    """byte_symbols over 100 seeded random unicode strings: symbol
+    count == UTF-8 byte length, and unhex-decode reproduces the
+    string byte-for-byte."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from hadoop_map_reduce_spark.operators.bpe import byte_symbols
+
+    rng = random.Random(7)
+
+    def rand_str():
+        out = []
+        for _ in range(rng.randrange(1, 24)):
+            cp = rng.choice(
+                [
+                    rng.randrange(0x21, 0x7F),      # ASCII printable
+                    rng.randrange(0xA1, 0x2FF),     # latin/IPA 2-byte
+                    rng.randrange(0x4E00, 0x4FFF),  # CJK 3-byte
+                    rng.randrange(0x1F300, 0x1F3FF),  # emoji 4-byte
+                ]
+            )
+            out.append(chr(cp))
+        return "".join(out)
+
+    strs = [rand_str() for _ in range(100)]
+    df = spark.createDataFrame([(s,) for s in strs], ["tok"])
+    rows = df.select(
+        "tok",
+        F.size(byte_symbols(F.col("tok"))).alias("n_syms"),
+        F.decode(
+            F.unhex(F.concat_ws("", byte_symbols(F.col("tok")))), "UTF-8"
+        ).alias("back"),
+    ).collect()
+    assert len(rows) == 100
+    for r in rows:
+        assert r["n_syms"] == len(r["tok"].encode("utf-8"))
+        assert r["back"] == r["tok"]
