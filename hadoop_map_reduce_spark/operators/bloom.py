@@ -157,8 +157,10 @@ def bloom_semi_join(
     big_type, keys_type = dict(big.dtypes)[on], dict(keys.dtypes)[on]
     hk = _hash_key(on, big_type, keys_type)
     # Scratch names derived from the existing schema so a caller column
-    # named _h1/_h2/bitmap can never be clobbered or made ambiguous.
-    taken = set(big.columns) | {"bitmap"}
+    # can never be clobbered or made ambiguous. Compare casefolded:
+    # withColumn/drop resolve names case-INsensitively by default, so a
+    # caller's _BL0H1 would otherwise be replaced then dropped.
+    taken = {c.lower() for c in big.columns}
     uniq = 0
     while any(f"_bl{uniq}{s}" in taken for s in ("h1", "h2", "bm")):
         uniq += 1

@@ -304,13 +304,18 @@ def bbpe_train_driver(
     multi-byte characters actually reach the trainer and EARN their
     merges — the BBPE property modern pipelines want."""
     if unicode_words:
+        from hadoop_map_reduce_spark.functions.text import tokenize
+
+        # (?U) makes Java's \s match ALL unicode whitespace (U+3000
+        # ideographic space, U+00A0 NBSP, ...) — plain \s is ASCII-only
+        # and would agglutinate words on exactly the non-ASCII corpora
+        # this flag exists for (round-6 review finding).
         words = (
             docs.select(
                 F.explode(
-                    F.split(F.lower(F.col(text_col)), r"\s+")
+                    tokenize(F.lower(F.col(text_col)), pattern=r"(?U)\s+")
                 ).alias("word")
             )
-            .filter(F.col("word") != "")
             .groupBy("word")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )

@@ -237,3 +237,17 @@ def test_bbpe_unicode_words_learns_multibyte_merges(spark):
     # The ASCII-sanitizing default path structurally cannot learn it.
     merges_ascii = bbpe_train_driver(docs, n_merges=3)
     assert ("c3", "b1") not in {(l, r) for _, l, r, _ in merges_ascii}
+
+
+def test_bbpe_unicode_words_splits_unicode_whitespace(spark):
+    """U+3000 (ideographic space) and U+00A0 (NBSP) are word breaks
+    under unicode_words=True — plain Java \\s is ASCII-only and would
+    agglutinate (round-6 second-review finding)."""
+    from hadoop_map_reduce_spark.operators.bpe import bbpe_train_driver
+
+    docs = spark.createDataFrame(
+        [("ab　ab ab ab",)], ["text"]
+    )
+    merges = bbpe_train_driver(docs, n_merges=1, unicode_words=True)
+    # four 'ab' words -> pair (61, 62) appears 4 times
+    assert merges == [(0, "61", "62", 4)]

@@ -173,17 +173,14 @@ def test_funnel_agg_empty(spark, empty_docs):
 
 
 def test_ivf_cell_census_empty_corpus_raises_clearly(spark):
-    from pyspark.sql import functions as F
+    import pytest
 
     from hadoop_map_reduce_spark.operators.similarity import (
         ivf_cell_census,
     )
-
-    import pytest
 
     empty = spark.createDataFrame(
         [], "vec_id: bigint, embedding: array<float>"
     )
     with pytest.raises(ValueError, match="no rows to sample"):
         ivf_cell_census(empty, n_cells=4)
-    _ = F  # imported for parity with sibling tests

@@ -264,7 +264,10 @@ def test_interval_union_matches_python_sweep(spark):
     for k, s, e in rows:
         by_key.setdefault(k, []).append((s, e))
     want = {
-        k: sweep(iv) for k, iv in by_key.items() if sweep(iv)[0] > 0
+        k: v
+        for k, iv in by_key.items()
+        for v in [sweep(iv)]
+        if v[0] > 0
     }
 
     df = spark.createDataFrame(rows, ["k", "s", "e"])
