@@ -673,3 +673,72 @@ def doc_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("doc_id").cast("long").alias("n_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# warc_roundtrip_census — WARC (ISO 28500) source/sink, Common Crawl layout
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "warc_roundtrip_census",
+    tags=("reference", "source"),
+    description=(
+        "WARC source/sink roundtrip census (sources/warc.py — the "
+        "Common Crawl ingestion format, record-per-gzip-member "
+        ".warc.gz): write the first 40 documents as WARC response "
+        "records, read them back through the warcrecords DataSource "
+        "(per-archive split planning, multi-member gzip decode, header "
+        "parse), and emit (target_uri, byte length, md5 digest) — the "
+        "DuckDB oracle computes the same from the documents table, so "
+        "the whole record framing + compression path is hash-pinned."
+    ),
+    oracle="""
+        SELECT 'https://corpus.local/doc/' || CAST(doc_id AS VARCHAR)
+                   AS target_uri,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS digest
+        FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 40)
+    """,
+)
+def warc_roundtrip_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same fixture discipline as zip_roundtrip_census: built fresh per
+    call in a pid-keyed temp dir (removed first), content derived from
+    the corpus — the read side exercises the REAL parser on executors
+    against archives it did not fabricate in-process."""
+    from hadoop_map_reduce_spark.sources.warc import (
+        register_warc_datasource,
+    )
+
+    register_warc_datasource(spark)
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        "hmrs_warcround_{}_{}".format(
+            os.getpid(), hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        ),
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents").orderBy("doc_id").limit(40)
+    records = docs.select(
+        F.concat(F.lit("urn:doc:"), F.col("doc_id").cast("string")).alias(
+            "record_id"
+        ),
+        F.lit("response").alias("warc_type"),
+        F.concat(
+            F.lit("https://corpus.local/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("target_uri"),
+        F.lit("text/plain").alias("content_type"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    records.repartition(4).write.format("warcrecords").mode(
+        "overwrite"
+    ).save(out_dir)
+    back = spark.read.format("warcrecords").load(
+        os.path.join(out_dir, "*.warc.gz")
+    )
+    return back.select(
+        "target_uri",
+        F.col("size").cast("long").alias("n_bytes"),
+        F.md5("content").alias("digest"),
+    )

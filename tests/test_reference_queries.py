@@ -12,6 +12,7 @@ REFERENCE_QUERIES = [
     "trigram_count",
     "doc_token_stats",
     "zip_roundtrip_census",
+    "warc_roundtrip_census",
 ]
 
 

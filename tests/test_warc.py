@@ -1,0 +1,130 @@
+"""WARC source (ISO 28500): pure-python parser pins, gzip multi-member
+handling, corrupt-archive contract, and the Spark DataSource roundtrip
+with archive/type pushdown."""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+import pytest
+
+from hadoop_map_reduce_spark.sources.warc import (
+    build_warc_record,
+    parse_warc,
+)
+
+
+def _rec(i: int, body: bytes, wtype: str = "response") -> bytes:
+    return build_warc_record(
+        body,
+        record_id=f"urn:test:{i}",
+        warc_type=wtype,
+        target_uri=f"https://x/{i}",
+        content_type="text/plain",
+    )
+
+
+def test_parser_roundtrip_multiple_records():
+    data = _rec(1, b"hello") + _rec(2, b"") + _rec(3, b"a\r\n\r\nb")
+    rows = list(parse_warc(data, "t.warc"))
+    assert [(r[1], r[2], r[3], r[5], r[6]) for r in rows] == [
+        ("urn:test:1", "response", "https://x/1", 5, b"hello"),
+        ("urn:test:2", "response", "https://x/2", 0, b""),
+        # payload containing the record separator must NOT split the
+        # record — Content-Length framing, not delimiter scanning
+        ("urn:test:3", "response", "https://x/3", 6, b"a\r\n\r\nb"),
+    ]
+
+
+def test_parser_rejects_truncation_and_garbage():
+    good = _rec(1, b"hello world")
+    with pytest.raises(ValueError, match="truncated payload"):
+        list(parse_warc(good[:-10], "t.warc"))
+    with pytest.raises(ValueError, match="version line"):
+        list(parse_warc(b"HTTP/1.1 200 OK\r\n\r\n", "t.warc"))
+    no_len = good.replace(b"Content-Length: 11\r\n", b"")
+    with pytest.raises(ValueError, match="Content-Length"):
+        list(parse_warc(no_len, "t.warc"))
+
+
+def test_gzip_member_per_record_concatenation(tmp_path):
+    """The Common Crawl .warc.gz layout: each record its own gzip
+    member, members concatenated — the reader must see every record."""
+    from hadoop_map_reduce_spark.sources.warc import _read_archive_bytes
+
+    path = tmp_path / "cc.warc.gz"
+    with open(path, "wb") as fh:
+        for i in range(3):
+            fh.write(gzip.compress(_rec(i, f"body{i}".encode()), mtime=0))
+    rows = list(parse_warc(_read_archive_bytes(str(path)), str(path)))
+    assert [r[6] for r in rows] == [b"body0", b"body1", b"body2"]
+
+
+def test_datasource_roundtrip_and_pushdown(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from hadoop_map_reduce_spark.sources.warc import (
+        register_warc_datasource,
+    )
+
+    register_warc_datasource(spark)
+    rows = [
+        (f"urn:test:{i}", "response" if i % 2 else "metadata",
+         f"https://x/{i}", "text/plain", f"payload {i}".encode())
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "record_id string, warc_type string, target_uri string, "
+        "content_type string, content binary",
+    )
+    out = str(tmp_path / "warcs")
+    df.repartition(3).write.format("warcrecords").mode("append").save(out)
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+
+    back = spark.read.format("warcrecords").load(out + "/*.warc.gz")
+    got = sorted(
+        (r["record_id"], r["warc_type"], r["target_uri"],
+         r["size"], bytes(r["content"]))
+        for r in back.collect()
+    )
+    want = sorted(
+        (rid, t, uri, len(c), c) for rid, t, uri, _ct, c in rows
+    )
+    assert got == want
+
+    # warc_type pushdown prunes records inside the reader
+    resp = back.filter(F.col("warc_type") == "response")
+    assert resp.count() == 5
+    # archive pushdown prunes whole files before I/O
+    one = sorted(r["archive"] for r in back.select("archive").collect())[0]
+    assert (
+        back.filter(F.col("archive") == one).select("archive").distinct()
+        .count() == 1
+    )
+
+
+def test_datasource_corrupt_archive_contract(spark, tmp_path):
+    from hadoop_map_reduce_spark.sources.warc import (
+        register_warc_datasource,
+    )
+
+    register_warc_datasource(spark)
+    good_dir = tmp_path / "w"
+    good_dir.mkdir()
+    with open(good_dir / "good.warc.gz", "wb") as fh:
+        fh.write(gzip.compress(_rec(1, b"fine"), mtime=0))
+    with open(good_dir / "bad.warc.gz", "wb") as fh:
+        fh.write(b"not gzip at all")
+
+    pattern = str(good_dir / "*.warc.gz")
+    with pytest.raises(Exception, match="corrupt WARC archive"):
+        spark.read.format("warcrecords").load(pattern).collect()
+    ok = (
+        spark.read.format("warcrecords")
+        .option("skipCorrupt", True)
+        .load(pattern)
+        .collect()
+    )
+    assert [bytes(r["content"]) for r in ok] == [b"fine"]
