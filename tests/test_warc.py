@@ -128,3 +128,48 @@ def test_datasource_corrupt_archive_contract(spark, tmp_path):
         .collect()
     )
     assert [bytes(r["content"]) for r in ok] == [b"fine"]
+
+
+def test_parser_fuzz_never_hangs_or_misframes():
+    """Hypothesis-grade fuzz without Spark: (a) build->parse roundtrip
+    over random header values and payloads (including separator bytes
+    and high bytes), (b) random garbage either raises ValueError or
+    yields correctly framed records — never loops forever or returns
+    payloads that disagree with Content-Length."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.binary(max_size=200),
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_characters="\r\n"
+            ),
+            max_size=40,
+        ),
+    )
+    def roundtrip(payload, uri):
+        data = build_warc_record(
+            payload, record_id="urn:f:1", warc_type="response",
+            target_uri=uri or None, content_type=None,
+        )
+        rows = list(parse_warc(data, "f"))
+        assert len(rows) == 1
+        assert bytes(rows[0][6]) == payload
+        assert rows[0][5] == len(payload)
+        # header values are whitespace-stripped per spec
+        assert rows[0][3] == (uri.strip() if uri else None)
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.binary(max_size=300))
+    def garbage(blob):
+        try:
+            rows = list(parse_warc(blob, "g"))
+        except ValueError:
+            return
+        for r in rows:
+            assert r[5] == len(r[6])
+
+    roundtrip()
+    garbage()
