@@ -742,3 +742,80 @@ def warc_roundtrip_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("size").cast("long").alias("n_bytes"),
         F.md5("content").alias("digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# curation_html_extract — the WARC -> text curation bridge
+# ---------------------------------------------------------------------------
+
+
+def _html_wrap_sql() -> str:
+    return (
+        "'<html><head><title>' || source || '</title>"
+        "<script type=\"text/javascript\">var x = 1 &amp;&amp; 2;</script>"
+        "<style>p { color: red; }</style></head><body>"
+        "<!-- crawler boilerplate -->"
+        "<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text || "
+        "'</p><ul><li>lang: ' || lang || '</li></ul>"
+        "&quot;quoted&quot; &amp;amp; &lt;escaped&gt;</body></html>'"
+    )
+
+
+def _html_extract_oracle() -> str:
+    from hadoop_map_reduce_spark.functions.html import html_to_text_sql
+
+    extracted = html_to_text_sql(_html_wrap_sql())
+    return f"""
+        SELECT doc_id,
+               CAST(length({extracted}) AS BIGINT) AS n_chars,
+               md5({extracted}) AS digest
+        FROM documents
+    """
+
+
+@register(
+    "curation_html_extract",
+    tags=("llm", "curation", "text"),
+    description=(
+        "HTML -> text extraction (functions/html.html_to_text): strip "
+        "script/style/comment blocks, newline block closers, drop tags, "
+        "decode the core entity set (&amp; last: one level), collapse "
+        "whitespace — the regex-tier curation step between WARC "
+        "ingestion and text quality/dedup, all JVM-codegen "
+        "regexp_replace chains. Both engines build the IDENTICAL "
+        "synthetic HTML wrapper around each document and run the "
+        "IDENTICAL pattern sequence (Java∩RE2 dialect), so the whole "
+        "extraction pipeline is hash-pinned."
+    ),
+    oracle=_html_extract_oracle(),
+)
+def curation_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One shuffle-free scan; at 100 TB this is the embarrassingly
+    parallel first pass over raw crawl payloads."""
+    from hadoop_map_reduce_spark.functions.html import html_to_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>"),
+        F.col("source"),
+        F.lit(
+            '</title><script type="text/javascript">var x = 1 '
+            "&amp;&amp; 2;</script><style>p { color: red; }</style>"
+            "</head><body><!-- crawler boilerplate --><h1>Doc "
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><ul><li>lang: "),
+        F.col("lang"),
+        F.lit(
+            "</li></ul>&quot;quoted&quot; &amp;amp; "
+            "&lt;escaped&gt;</body></html>"
+        ),
+    )
+    extracted = html_to_text(html)
+    return docs.select(
+        "doc_id",
+        F.length(extracted).cast("long").alias("n_chars"),
+        F.md5(extracted).alias("digest"),
+    )

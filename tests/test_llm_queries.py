@@ -1300,3 +1300,47 @@ def test_pair_attr_matrix_unit(spark):
     }
     # (1,2)->(x,y) (1,3)->(x,x) (2,3)->(x,y) (4,5)->(y,y)
     assert got == {("x", "y"): 2, ("x", "x"): 1, ("y", "y"): 1}
+
+
+def test_html_to_text_semantics(spark):
+    """Crafted payloads pin the extraction rules themselves (the oracle
+    only proves cross-engine agreement): script/style/comment bodies
+    vanish, block closers become breaks (no word concatenation), core
+    entities decode exactly one level, whitespace collapses."""
+    import pyspark.sql.functions as F
+
+    from hadoop_map_reduce_spark.functions.html import html_to_text
+
+    cases = [
+        (
+            "<p>Hello</p><p>World</p>",
+            "Hello World",
+        ),
+        (
+            "<script>alert('x > 1');</script>visible<style>a{}</style>",
+            "visible",
+        ),
+        (
+            "before<!-- hidden -->after",
+            "before after",
+        ),
+        (
+            "a<br>b<BR/>c</div>d",
+            "a b c d",
+        ),
+        (
+            "&lt;tag&gt; &amp;amp; &quot;q&quot; &#39;s&#39;&nbsp;end",
+            # one decode level: &amp;amp; -> &amp;
+            "<tag> &amp; \"q\" 's' end",
+        ),
+        (
+            "  spaced\t\tout\n\n\ntext  ",
+            "spaced out text",
+        ),
+    ]
+    df = spark.createDataFrame(cases, ["html", "want"])
+    rows = df.select(
+        html_to_text(F.col("html")).alias("got"), "want"
+    ).collect()
+    for r in rows:
+        assert r["got"] == r["want"], (r["got"], r["want"])
