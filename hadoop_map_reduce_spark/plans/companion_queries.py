@@ -819,3 +819,104 @@ def curation_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(extracted).cast("long").alias("n_chars"),
         F.md5(extracted).alias("digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_crawl_extract — WARC ingest -> HTML extract, end to end
+# ---------------------------------------------------------------------------
+
+
+def _crawl_extract_oracle() -> str:
+    from hadoop_map_reduce_spark.functions.html import html_to_text_sql
+
+    extracted = html_to_text_sql(_html_wrap_sql())
+    return f"""
+        SELECT 'https://corpus.local/doc/' || CAST(doc_id AS VARCHAR)
+                   AS target_uri,
+               CAST(length({extracted}) AS BIGINT) AS n_chars,
+               md5({extracted}) AS digest
+        FROM (SELECT doc_id, text, lang, source FROM documents
+              ORDER BY doc_id LIMIT 40)
+    """
+
+
+@register(
+    "pipeline_crawl_extract",
+    tags=("llm", "curation", "source"),
+    description=(
+        "End-to-end crawl pipeline: write documents as HTML response "
+        "records in Common-Crawl-layout .warc.gz, read them back "
+        "through the warcrecords DataSource, run html_to_text over the "
+        "payloads, and census the extracted text (doc URI, chars, md5) "
+        "— the WARC framing, gzip member decode, AND the extraction "
+        "regex chain all inside one hash-pinned query, against a "
+        "DuckDB oracle that derives the same census from the documents "
+        "table directly."
+    ),
+    oracle=_crawl_extract_oracle(),
+)
+def pipeline_crawl_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first two stages of a crawl-corpus build, composed: the
+    payload bytes cross the WARC writer/reader boundary (per-record
+    gzip members), then the extraction chain runs where it would at
+    100 TB — a shuffle-free scan over the ingested records."""
+    from hadoop_map_reduce_spark.functions.html import html_to_text
+    from hadoop_map_reduce_spark.sources.warc import (
+        register_warc_datasource,
+    )
+
+    register_warc_datasource(spark)
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        "hmrs_crawlpipe_{}_{}".format(
+            os.getpid(), hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        ),
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents").orderBy("doc_id").limit(40)
+    records = docs.select(
+        F.concat(F.lit("urn:doc:"), F.col("doc_id").cast("string")).alias(
+            "record_id"
+        ),
+        F.lit("response").alias("warc_type"),
+        F.concat(
+            F.lit("https://corpus.local/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("target_uri"),
+        F.lit("text/html").alias("content_type"),
+        _html_wrap_col().cast("binary").alias("content"),
+    )
+    records.repartition(4).write.format("warcrecords").mode(
+        "overwrite"
+    ).save(out_dir)
+    back = spark.read.format("warcrecords").load(
+        os.path.join(out_dir, "*.warc.gz")
+    )
+    extracted = html_to_text(F.col("content").cast("string"))
+    return back.select(
+        "target_uri",
+        F.length(extracted).cast("long").alias("n_chars"),
+        F.md5(extracted).alias("digest"),
+    )
+
+
+def _html_wrap_col():
+    """The Spark twin of _html_wrap_sql (same wrapper both engines)."""
+    return F.concat(
+        F.lit("<html><head><title>"),
+        F.col("source"),
+        F.lit(
+            '</title><script type="text/javascript">var x = 1 '
+            "&amp;&amp; 2;</script><style>p { color: red; }</style>"
+            "</head><body><!-- crawler boilerplate --><h1>Doc "
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><ul><li>lang: "),
+        F.col("lang"),
+        F.lit(
+            "</li></ul>&quot;quoted&quot; &amp;amp; "
+            "&lt;escaped&gt;</body></html>"
+        ),
+    )
