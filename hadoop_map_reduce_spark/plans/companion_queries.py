@@ -795,25 +795,7 @@ def curation_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_map_reduce_spark.functions.html import html_to_text
 
     docs = load_table(spark, sf_dir, "documents")
-    html = F.concat(
-        F.lit("<html><head><title>"),
-        F.col("source"),
-        F.lit(
-            '</title><script type="text/javascript">var x = 1 '
-            "&amp;&amp; 2;</script><style>p { color: red; }</style>"
-            "</head><body><!-- crawler boilerplate --><h1>Doc "
-        ),
-        F.col("doc_id").cast("string"),
-        F.lit("</h1><p>"),
-        F.col("text"),
-        F.lit("</p><ul><li>lang: "),
-        F.col("lang"),
-        F.lit(
-            "</li></ul>&quot;quoted&quot; &amp;amp; "
-            "&lt;escaped&gt;</body></html>"
-        ),
-    )
-    extracted = html_to_text(html)
+    extracted = html_to_text(_html_wrap_col())
     return docs.select(
         "doc_id",
         F.length(extracted).cast("long").alias("n_chars"),

@@ -1334,7 +1334,9 @@ def test_html_to_text_semantics(spark):
             "<tag> &amp; \"q\" 's' end",
         ),
         (
-            "  spaced\t\tout\n\n\ntext  ",
+            # \x0b: Java \s includes it, RE2 does not — the explicit
+            # _WS class makes both engines collapse it (round-6 review)
+            "  spaced\t\tout\x0b\n\n\ntext  ",
             "spaced out text",
         ),
     ]
