@@ -2,12 +2,14 @@
 
 Usage: python tools/update_verified.py [CORRECTNESS_r01.json ...]
 
-Prints the names with a conclusive driver verdict — green (rows+schema+
-hash match) in any round, or rows-only-by-design (err == "no_oracle" and
-the registry entry has no oracle) — as a ready-to-paste sorted block for
-``plans/verification.py``. Names whose registered plan changed since
-their green round must still be removed BY HAND (the tool cannot know
-which plans changed; list them in the round notes).
+Prints the names with a GREEN driver verdict (rows+schema+hash match in
+any round) as a ready-to-paste sorted block for
+``plans/verification.py``. Rows-only entries (no oracle) are NOT
+included: since round 6, ``verification_order`` sorts them dead last
+structurally, so they never belong in DRIVER_VERIFIED. Names whose
+registered plan changed since their green round must still be removed
+BY HAND (the tool cannot know which plans changed; list them in the
+round notes — round-6 precedent: multimodal_frame_hash_matches).
 """
 
 from __future__ import annotations
@@ -26,7 +28,6 @@ def main() -> None:
         Path(__file__).resolve().parent.parent.glob("CORRECTNESS_r*.json")
     )
     green: set[str] = set()
-    rows_only: set[str] = set()
     for path in paths:
         data = json.loads(path.read_text())
         for name, row in data.items():
@@ -34,18 +35,12 @@ def main() -> None:
                 "hash_match"
             ):
                 green.add(name)
-            elif (
-                row.get("err") == "no_oracle"
-                and name in REGISTRY
-                and REGISTRY[name].oracle is None
-            ):
-                rows_only.add(name)
-    stale = (green | rows_only) - set(REGISTRY)
+    stale = green - set(REGISTRY)
     if stale:
         print(f"# WARNING: not in registry anymore: {sorted(stale)}")
-    print(f"# green in {len(paths)} round file(s): {len(green)}; "
-          f"rows-only done: {len(rows_only)}")
-    for name in sorted(green | rows_only):
+    green &= set(REGISTRY)
+    print(f"# green in {len(paths)} round file(s): {len(green)}")
+    for name in sorted(green):
         print(f'        "{name}",')
 
 
