@@ -100,6 +100,15 @@ def build_warc_record(
         headers.insert(2, ("WARC-Target-URI", target_uri))
     if content_type is not None:
         headers.append(("Content-Type", content_type))
+    for k, v in headers:
+        # CR/LF in a header value would inject header lines or terminate
+        # the header block early — a misframed archive the strict parser
+        # then rejects. Refuse at build time (mirrors the parser's
+        # strictness stance).
+        if "\r" in v or "\n" in v:
+            raise ValueError(
+                f"WARC header {k} value contains CR/LF: {v!r}"
+            )
     head = b"WARC/1.0" + _CRLF
     head += b"".join(
         f"{k}: {v}".encode("utf-8") + _CRLF for k, v in headers
@@ -141,7 +150,16 @@ def parse_warc(data: bytes, archive: str) -> Iterator[tuple]:
             raise ValueError(
                 f"{archive}: record at byte {pos} has no Content-Length"
             )
-        length = int(fields["content-length"])
+        # ASCII-digits-only: a negative Content-Length (e.g. -33) would
+        # make body_end == pos and spin this loop forever on the same
+        # bytes; int() alone accepts "-33", "+3", "٣" — reject them all.
+        raw_length = fields["content-length"]
+        if not (raw_length.isascii() and raw_length.isdigit()):
+            raise ValueError(
+                f"{archive}: record at byte {pos} has invalid "
+                f"Content-Length {raw_length!r}"
+            )
+        length = int(raw_length)
         body_start = head_end + len(_SEP)
         body_end = body_start + length
         if body_end > n:
@@ -262,6 +280,16 @@ class WarcWriter(DataSourceWriter):
         if not self.dir:
             raise ValueError("warcrecords writer requires a target directory")
         self.overwrite = overwrite
+        # DataSource.writer() constructs this on the DRIVER (executors
+        # get the pickled object, __init__ does not re-run), so clearing
+        # stale output here is race-free. Without it, mode("overwrite")
+        # would leave earlier part-*.warc.gz files mixed with new ones.
+        if overwrite and os.path.isdir(self.dir):
+            for name in os.listdir(self.dir):
+                if (
+                    name.startswith("part-") and name.endswith(".warc.gz")
+                ) or name == "_SUCCESS":
+                    os.remove(os.path.join(self.dir, name))
 
     def write(self, iterator: Iterator[Row]) -> WarcCommit:
         part = os.path.join(self.dir, f"part-{uuid.uuid4().hex}.warc.gz")
@@ -286,6 +314,9 @@ class WarcWriter(DataSourceWriter):
         return WarcCommit(part, n)
 
     def commit(self, messages: list[WarcCommit | None]) -> None:
+        # write() only makedirs for non-empty partitions; an all-empty
+        # DataFrame must still produce an empty committed directory.
+        os.makedirs(self.dir, exist_ok=True)
         with open(os.path.join(self.dir, "_SUCCESS"), "w"):
             pass
 

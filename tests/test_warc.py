@@ -48,6 +48,34 @@ def test_parser_rejects_truncation_and_garbage():
         list(parse_warc(no_len, "t.warc"))
 
 
+def test_parser_rejects_negative_and_nonnumeric_length():
+    """ADVICE r6 (high): a negative Content-Length made body_end == pos
+    and the parse loop re-read the same bytes forever. Must raise, not
+    hang — and the error must be catchable by skipCorrupt."""
+    evil = b"WARC/1.0\r\nContent-Length: -33\r\n\r\nxxxxxxxx"
+    with pytest.raises(ValueError, match="invalid Content-Length"):
+        list(parse_warc(evil, "t.warc"))
+    for bad in (b"+3", b"3.0", b"0x10", b"\xd9\xa3"):  # ٣ = Arabic 3
+        blob = b"WARC/1.0\r\nContent-Length: " + bad + b"\r\n\r\nxxxx"
+        with pytest.raises(ValueError, match="Content-Length"):
+            list(parse_warc(blob, "t.warc"))
+    # plain zero stays valid
+    ok = b"WARC/1.0\r\nContent-Length: 0\r\n\r\n\r\n\r\n"
+    assert len(list(parse_warc(ok, "t.warc"))) == 1
+
+
+def test_builder_rejects_crlf_header_injection():
+    """ADVICE r6: CR/LF in a header value injects header lines or
+    truncates the header block — refuse at build time."""
+    for uri in ("https://x/\r\nWARC-Type: evil", "a\rb", "a\nb"):
+        with pytest.raises(ValueError, match="CR/LF"):
+            build_warc_record(
+                b"x", record_id="urn:t:1", target_uri=uri
+            )
+    with pytest.raises(ValueError, match="CR/LF"):
+        build_warc_record(b"x", record_id="urn:\r\n:1")
+
+
 def test_gzip_member_per_record_concatenation(tmp_path):
     """The Common Crawl .warc.gz layout: each record its own gzip
     member, members concatenated — the reader must see every record."""
@@ -103,6 +131,64 @@ def test_datasource_roundtrip_and_pushdown(spark, tmp_path):
         back.filter(F.col("archive") == one).select("archive").distinct()
         .count() == 1
     )
+
+
+def test_writer_empty_dataframe_commits(spark, tmp_path):
+    """ADVICE r6: all-empty partitions meant commit() hit a missing
+    directory — an empty DataFrame must still produce _SUCCESS."""
+    from hadoop_map_reduce_spark.sources.warc import (
+        register_warc_datasource,
+    )
+
+    register_warc_datasource(spark)
+    schema = (
+        "record_id string, warc_type string, target_uri string, "
+        "content_type string, content binary"
+    )
+    out = str(tmp_path / "empty_out")
+    spark.createDataFrame([], schema).write.format("warcrecords").mode(
+        "append"
+    ).save(out)
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert not [
+        f for f in os.listdir(out) if f.endswith(".warc.gz")
+    ]
+
+
+def test_writer_overwrite_clears_stale_parts(spark, tmp_path):
+    """ADVICE r6: mode('overwrite') left stale part-*.warc.gz mixed
+    with new output. Overwrite must clear them driver-side."""
+    from hadoop_map_reduce_spark.sources.warc import (
+        register_warc_datasource,
+    )
+
+    register_warc_datasource(spark)
+    schema = (
+        "record_id string, warc_type string, target_uri string, "
+        "content_type string, content binary"
+    )
+
+    def write(rows, mode):
+        spark.createDataFrame(rows, schema).coalesce(1).write.format(
+            "warcrecords"
+        ).mode(mode).save(out)
+
+    out = str(tmp_path / "ow")
+    write([("urn:a:1", "response", "https://a", "text/plain", b"old")],
+          "append")
+    write([("urn:b:2", "response", "https://b", "text/plain", b"new")],
+          "overwrite")
+    back = spark.read.format("warcrecords").load(out + "/*.warc.gz")
+    assert [bytes(r["content"]) for r in back.collect()] == [b"new"]
+    # append after overwrite keeps both
+    write([("urn:c:3", "response", "https://c", "text/plain", b"add")],
+          "append")
+    got = sorted(
+        bytes(r["content"])
+        for r in spark.read.format("warcrecords")
+        .load(out + "/*.warc.gz").collect()
+    )
+    assert got == [b"add", b"new"]
 
 
 def test_datasource_corrupt_archive_contract(spark, tmp_path):
