@@ -1,9 +1,23 @@
 """Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric", "value", "unit", "queries": {name: sec}, "sf"}.
+JSON line: {"metric", "value", "unit", "queries": {name: sec}, "sf",
+"calibration_sec", "queries_runs": {name: [s, s, s]}}.
 
 Each query executes end-to-end into the no-op sink (full pipeline runs,
 no driver-side result materialization skewing the numbers).
+
+Load-proofing (round-7, VERDICT r6 #1): this VM shares hardware with
+noisy neighbors — BENCH_r06's recorded 40.8 s measured 33.5-37.3 s on
+the idle machine. Two countermeasures:
+  * per-query MEDIAN of 3 timed runs (after one untimed warmup run that
+    absorbs one-time codegen/JIT), with the raw triples emitted in
+    "queries_runs" so a reader can see the spread;
+  * a fixed CALIBRATION workload — a constant-seed, no-I/O in-memory
+    aggregation whose cost depends only on machine speed and ambient
+    load, never on the data under test — timed median-of-3 in the same
+    process and emitted as "calibration_sec". Cross-round comparison is
+    query_sec / calibration_sec ratios, not wall seconds (BASELINE.md
+    states the gate in those terms).
 """
 
 from __future__ import annotations
@@ -11,6 +25,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -18,6 +33,37 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent
 if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
+
+# Constant-seed, no-I/O machine-speed probe: 48M-row xxhash64 chain +
+# 32-way hash aggregation, all inside whole-stage codegen. ~1 s idle on
+# this VM — long enough to sample ambient load, short enough to repeat.
+_CALIBRATION_ROWS = 48_000_000
+
+
+def _calibration(spark) -> None:
+    from pyspark.sql import functions as F
+
+    (
+        spark.range(0, _CALIBRATION_ROWS, 1, 32)
+        .select(F.xxhash64(F.col("id"), F.lit(7)).alias("h"))
+        .groupBy((F.col("h") % 997).alias("b"))
+        # pmod bounds the summand so the 48M-row SUM stays far inside
+        # long range (ANSI mode would otherwise overflow on raw hashes)
+        .agg(
+            F.sum(F.pmod(F.col("h"), F.lit(1_000_003))).alias("s"),
+            F.count("*").alias("c"),
+        )
+        .write.mode("overwrite").format("noop").save()
+    )
+
+
+def _median_of_3(run) -> tuple[float, list[float]]:
+    runs = []
+    for _ in range(3):
+        start = time.perf_counter()
+        run()
+        runs.append(round(time.perf_counter() - start, 3))
+    return statistics.median(runs), runs
 
 
 def main() -> None:
@@ -37,15 +83,23 @@ def main() -> None:
 
     # JVM/codegen warmup so the first timed query isn't paying startup.
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    _calibration(spark)  # untimed warmup for the probe itself
+    calibration_sec, calibration_runs = _median_of_3(
+        lambda: _calibration(spark)
+    )
 
-    # Steady-state timing: first execution per query pays one-time JIT +
-    # codegen compilation; the timed second run measures the pipeline.
     timings: dict[str, float] = {}
+    raw_runs: dict[str, list[float]] = {}
     for q in headline:
-        q.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        start = time.perf_counter()
-        q.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[q.name] = round(time.perf_counter() - start, 3)
+        def run(q=q):
+            q.fn(spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+
+        run()  # warmup: one-time JIT + codegen compilation
+        med, runs = _median_of_3(run)
+        timings[q.name] = med
+        raw_runs[q.name] = runs
 
     total = round(sum(timings.values()), 3)
     print(
@@ -56,6 +110,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "calibration_sec": calibration_sec,
+                "calibration_runs": calibration_runs,
+                "queries_runs": raw_runs,
             }
         )
     )

@@ -115,3 +115,44 @@ def dedup_representatives(
             F.coalesce("component", F.col(id_col)).alias("representative"),
         )
     )
+
+
+def cluster_retention(
+    representatives: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """The curation step AFTER clustering: decide which member of each
+    duplicate cluster survives. Policy: keep the member with the
+    highest ``quality_col``, ties to the lowest id (the keep-longest /
+    keep-best rule of production dedup pipelines — min-id
+    representatives are cluster NAMES, not the docs you'd keep).
+
+    Inputs: ``representatives`` = (id, representative) as produced by
+    :func:`dedup_representatives`; ``quality`` = (id, quality).
+    Returns (id, representative, kept_id, action∈{keep,remove}).
+
+    Scale shape: one broadcast-or-shuffle join on the id key plus ONE
+    window shuffle keyed by representative — cluster sizes are the
+    window partitions, bounded by the dedup density, never corpus-sized.
+    """
+    from pyspark.sql import Window
+
+    joined = representatives.join(quality, id_col)
+    w = Window.partitionBy("representative").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        joined.withColumn(
+            "kept_id", F.first(F.col(id_col)).over(w)
+        )
+        .select(
+            F.col(id_col),
+            "representative",
+            "kept_id",
+            F.when(F.col(id_col) == F.col("kept_id"), F.lit("keep"))
+            .otherwise(F.lit("remove"))
+            .alias("action"),
+        )
+    )

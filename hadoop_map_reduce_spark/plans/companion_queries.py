@@ -902,3 +902,268 @@ def _html_wrap_col():
             "&lt;escaped&gt;</body></html>"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall bounds (round-7, VERDICT r6 #3): boolean-contract oracles
+# ---------------------------------------------------------------------------
+#
+# The rows-only ANN queries (similarity_ann_lsh / _ivf / _pq) return
+# float-ranked top-k with recall < 1 by construction, so they can never
+# hash-match an oracle. Their integer-census companions (above) pin the
+# quantizer/bucket arithmetic; these queries close the last gap the r6
+# verdict named (#3): make the RECALL contract itself a driver-green row
+# via the boolean-contract pattern proven by sketch_hll_rollup /
+# sketch_quantile_check. Spark computes recall@5 of the real approximate
+# operator against the real in-engine brute-force operator; the oracle
+# pins (n_queries, k, recall_ok=TRUE). n_queries is an honest
+# cross-engine value (COUNT of the query subset), and a recall collapse
+# below the documented bound flips recall_ok and fails the round.
+#
+# Determinism: both sides rank ROUND(sim, 6) DESC with neighbor-id
+# tie-break; planes/centroids/codebooks are md5/xxhash64-derived — the
+# recall at a given SF is a pure function of the data (measured r7:
+# LSH .48-.58, IVF .58-.70, PQ .54-.70 across sf0.001/0.01/0.1; bounds
+# sit at .30/.40/.40 — contract-with-margin, same stance as the 6%
+# HLL bound vs its 2% rsd).
+
+_RECALL_ORACLE = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(5 AS BIGINT) AS k,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 10
+"""
+
+
+def _recall_bound(approx: DataFrame, exact: DataFrame,
+                  queries: DataFrame, k: int, bound_ppm: int) -> DataFrame:
+    """(n_queries, k, recall_ok) for approx vs exact top-k.
+
+    recall = |approx-pairs ∩ exact-pairs| / |exact-pairs|; the exact
+    side is k rows per query by construction. One broadcast-sized
+    semi-join (10·k rows each side at any SF — the query subset is
+    fixed) after the two operator pipelines; the heavy lifting is
+    inside the operators under test, not the harness."""
+    hits = exact.select("query_id", "neighbor_id").join(
+        approx.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    )
+    n_q = queries.select(
+        F.count(F.lit(1)).cast("long").alias("n_queries")
+    )
+    recall_ppm = F.floor(
+        F.lit(1_000_000) * F.col("_n_hits") / (F.col("n_queries") * k)
+    )
+    return (
+        n_q.crossJoin(
+            F.broadcast(
+                hits.agg(F.count(F.lit(1)).alias("_n_hits"))
+            )
+        )
+        .select(
+            "n_queries",
+            F.lit(k).cast("long").alias("k"),
+            (recall_ppm >= bound_ppm).alias("recall_ok"),
+        )
+    )
+
+
+def _ann_query_set(spark: SparkSession, sf_dir: str):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return emb, queries
+
+
+@register(
+    "ann_lsh_recall_bound",
+    tags=("llm", "similarity", "sketch"),
+    description=(
+        "Boolean recall contract for the sign-LSH ANN ladder rung: "
+        "recall@5 of ann_topk_lsh (4 planes, 1-flip multiprobe) vs the "
+        "in-engine brute-force top-5 must be >= 0.30 (measured .48-.58 "
+        "across SFs); the oracle pins (n_queries, k, recall_ok=TRUE) — "
+        "a recall collapse fails the driver round."
+    ),
+    oracle=_RECALL_ORACLE,
+)
+def ann_lsh_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives the REAL operators end-to-end (same parameters as the
+    rows-only similarity_ann_lsh / similarity_topk registrations); the
+    contract join is broadcast-bounded (50 pairs/side)."""
+    from hadoop_map_reduce_spark.operators.similarity import (
+        ann_topk_lsh,
+        cosine_topk,
+    )
+
+    emb, queries = _ann_query_set(spark, sf_dir)
+    exact = cosine_topk(emb, queries, k=5)
+    approx = ann_topk_lsh(
+        emb, queries, k=5, dim=64, n_planes=4, probe_flips=1
+    )
+    return _recall_bound(approx, exact, queries, k=5, bound_ppm=300_000)
+
+
+@register(
+    "ivf_recall_bound",
+    tags=("llm", "similarity", "sketch"),
+    description=(
+        "Boolean recall contract for the IVF ANN rung: recall@5 of "
+        "ivf_topk (16 sampled-centroid cells, 6 probes) vs in-engine "
+        "brute force must be >= 0.40 (measured .58-.70 across SFs); "
+        "oracle pins (n_queries, k, recall_ok=TRUE)."
+    ),
+    oracle=_RECALL_ORACLE,
+)
+def ivf_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_map_reduce_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    emb, queries = _ann_query_set(spark, sf_dir)
+    exact = cosine_topk(emb, queries, k=5)
+    approx = ivf_topk(emb, queries, k=5, n_cells=16, n_probe=6)
+    return _recall_bound(approx, exact, queries, k=5, bound_ppm=400_000)
+
+
+@register(
+    "pq_recall_bound",
+    tags=("llm", "similarity", "sketch"),
+    description=(
+        "Boolean recall contract for the PQ-ADC ANN rung: recall@5 of "
+        "pq_topk_adc (m=8 nibble codes, refine=8 exact re-rank) vs "
+        "in-engine brute force must be >= 0.40 (measured .54-.70 "
+        "across SFs); oracle pins (n_queries, k, recall_ok=TRUE)."
+    ),
+    oracle=_RECALL_ORACLE,
+)
+def pq_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_map_reduce_spark.operators.pq import (
+        pq_encode,
+        pq_topk_adc,
+        pq_train_codebooks,
+    )
+    from hadoop_map_reduce_spark.operators.similarity import cosine_topk
+
+    emb, queries = _ann_query_set(spark, sf_dir)
+    exact = cosine_topk(emb, queries, k=5)
+    books = pq_train_codebooks(emb, m=8, ksub=16, n_iter=3)
+    codes = pq_encode(emb, books)
+    approx = pq_topk_adc(codes, emb, queries, books, k=5, refine=8)
+    return _recall_bound(approx, exact, queries, k=5, bound_ppm=400_000)
+
+
+# ---------------------------------------------------------------------------
+# bpe_merge_table_census (round-7, VERDICT r6 #5): the BPE merge LOOP as
+# a driver-green row
+# ---------------------------------------------------------------------------
+#
+# doc_byte_histogram (r6) pins the byte-symbol layer; this pins MERGE
+# SELECTION — the weighted adjacent-pair argmax with lexicographic
+# tie-break and the greedy leftmost rewrite — by driving the REAL
+# bpe_train_driver on a crafted corpus whose words are exactly 2 chars
+# (the 2-char prefixes of the corpus tokens). Words are then at most
+# 3 symbols ([c1, c2, '</w>']), so the greedy rewrite per merge round is
+# a closed-form 2-branch CASE a DuckDB oracle can replay STAGE BY STAGE:
+# count pairs -> pick (max n, lex-min (lhs, rhs)) -> rewrite -> repeat.
+# Eight rounds of exact integer replay (enough to exercise BOTH rewrite
+# branches: rounds 0-5 merge (char, suffix) pairs, round 6+ merges
+# first-position pairs like (j, o</w>)), compared row-for-row.
+
+_BPE_CENSUS_MERGES = 8
+
+
+def _bpe_census_oracle() -> str:
+    from hadoop_map_reduce_spark.plans.reference_queries import (
+        _ORACLE_TOKENS,
+    )
+
+    stages = []
+    for k in range(_BPE_CENSUS_MERGES):
+        stages.append(f"""
+        p{k} AS (
+            SELECT syms[i] AS lhs, syms[i + 1] AS rhs, SUM(cnt) AS n
+            FROM s{k}, UNNEST(range(1, len(syms))) AS r(i)
+            GROUP BY 1, 2
+        ), m{k} AS (
+            SELECT lhs, rhs, n FROM p{k}
+            ORDER BY n DESC, lhs ASC, rhs ASC LIMIT 1
+        ), s{k + 1} AS (
+            SELECT CASE
+                WHEN len(syms) >= 2
+                     AND syms[1] = m.lhs AND syms[2] = m.rhs
+                    THEN list_concat([m.lhs || m.rhs], syms[3:])
+                WHEN len(syms) >= 3
+                     AND syms[2] = m.lhs AND syms[3] = m.rhs
+                    THEN [syms[1], m.lhs || m.rhs]
+                ELSE syms END AS syms,
+                cnt
+            FROM s{k}, m{k} m
+        )""")
+    ranks = "\n        UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS rank, lhs, rhs, "
+        f"CAST(n AS BIGINT) AS pair_count FROM m{k}"
+        for k in range(_BPE_CENSUS_MERGES)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT {_ORACLE_TOKENS} AS t FROM documents
+        ), words AS (
+            SELECT substr(u.word, 1, 2) AS w, COUNT(*) AS cnt
+            FROM toks, UNNEST(t) AS u(word)
+            WHERE length(u.word) >= 2
+            GROUP BY 1
+        ), s0 AS (
+            SELECT [substr(w, 1, 1), substr(w, 2, 1), '</w>'] AS syms,
+                   cnt
+            FROM words
+        ),{",".join(stages)}
+        {ranks}
+    """
+
+
+@register(
+    "bpe_merge_table_census",
+    tags=("llm", "text", "aggregation"),
+    description=(
+        "BPE merge-selection pin: train 8 merges with the REAL "
+        "bpe_train_driver (distributed word-count pass + bounded-"
+        "collect merge loop) on the 2-char-prefix crafted vocabulary "
+        "of the corpus tokens; the merge table (rank, lhs, rhs, "
+        "pair_count) is hash-compared against a DuckDB oracle that "
+        "replays all 8 rounds — weighted pair counts, (max n, lex-min "
+        "pair) argmax, greedy leftmost rewrite — in staged CTEs."
+    ),
+    oracle=_bpe_census_oracle(),
+)
+def bpe_merge_table_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-sized work (sanitize/tokenize/word-count) is one
+    distributed pass; the merge loop is the documented bounded-collect
+    driver path (operators/bpe.py bpe_train_driver) — the same split a
+    50k-merge production vocabulary uses. min_pair_count=1 so the
+    census never early-stops; the 2-char vocabulary is bounded by the
+    alphabet (≤ ~1.3k distinct words at any corpus size)."""
+    from hadoop_map_reduce_spark.functions.text import sanitize, tokenize
+    from hadoop_map_reduce_spark.operators.bpe import bpe_train_driver
+
+    docs = load_table(spark, sf_dir, "documents")
+    crafted = (
+        docs.select(
+            F.explode(tokenize(sanitize(F.col("text")))).alias("tok")
+        )
+        .filter(F.length("tok") >= 2)
+        .select(F.substring("tok", 1, 2).alias("text"))
+    )
+    merges = bpe_train_driver(
+        crafted,
+        n_merges=_BPE_CENSUS_MERGES,
+        min_pair_count=1,
+        max_distinct_words=10_000,
+    )
+    return spark.createDataFrame(
+        [(int(r), lhs, rhs, int(n)) for r, lhs, rhs, n in merges],
+        "rank long, lhs string, rhs string, pair_count long",
+    )

@@ -2056,3 +2056,265 @@ def curation_passage_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# curation_url_gate (round-7, VERDICT r6 #4): URL-level curation between
+# crawl ingestion and the quality funnel
+# ---------------------------------------------------------------------------
+#
+# The C4/CCNet-shaped gate a crawl corpus passes BEFORE text quality:
+#   1. provenance parsing — host via parse_url (JVM codegen), registered
+#      domain = last two host labels (public-suffix-list stand-in);
+#   2. domain blocklist — broadcast anti-join against banned registered
+#      domains (the adult/ads/spam list in production);
+#   3. the C4 "at least 3 sentences" rule — the corpus is synthetic word
+#      salad with no punctuation, so both engines first build the SAME
+#      deterministic page text (plain non-regex replace of two delimiter
+#      words with '. '), then count terminal periods; the RULE is real,
+#      the sentence synthesizer is the documented stand-in (same stance
+#      as the _html_wrap_col device);
+#   4. per-registered-domain frequency cap — keep the 5 docs with the
+#      lowest (md5(text), doc_id) per domain, one window shuffle.
+# All three gates fire at every SF (measured r7: blocklist ~30 docs,
+# sentence rule cuts ~42%, cap trims 21/31/2411 docs at
+# sf0.001/0.01/0.1).
+
+_URL_BLOCKLIST = ("src3.com", "src7.cn", "src12.com", "src5.de")
+
+_URL_TLD_SQL = (
+    "CASE lang WHEN 'en' THEN 'com' WHEN 'de' THEN 'de' "
+    "WHEN 'fr' THEN 'fr' WHEN 'es' THEN 'es' ELSE 'cn' END"
+)
+
+
+def _url_gate_oracle() -> str:
+    blocked = ", ".join(f"'{d}'" for d in _URL_BLOCKLIST)
+    return f"""
+        WITH u AS (
+            SELECT doc_id, text,
+                   'https://'
+                       || CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END
+                       || source || '.' || {_URL_TLD_SQL}
+                       || '/p/' || CAST(doc_id AS VARCHAR)
+                       || '?ref=crawl' AS url
+            FROM documents
+        ), h AS (
+            SELECT doc_id, text,
+                   regexp_extract(url, '^https://([^/]+)', 1) AS host
+            FROM u
+        ), d AS (
+            SELECT doc_id, text, host,
+                   regexp_extract(host, '[^.]+\\.[^.]+$', 0)
+                       AS registered_domain
+            FROM h
+            WHERE regexp_extract(host, '[^.]+\\.[^.]+$', 0)
+                      NOT IN ({blocked})
+        ), s AS (
+            SELECT doc_id, text, host, registered_domain,
+                   CAST(length(p) - length(replace(p, '.', ''))
+                        AS BIGINT) AS n_sentences
+            FROM (SELECT *,
+                      replace(replace(text, ' table ', '. '),
+                              ' value ', '. ') AS p
+                  FROM d)
+        ), ranked AS (
+            SELECT doc_id, host, registered_domain, n_sentences,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY registered_domain
+                       ORDER BY md5(text), doc_id) AS BIGINT)
+                       AS domain_rank
+            FROM s
+            WHERE n_sentences >= 3
+        )
+        SELECT doc_id, host, registered_domain, n_sentences, domain_rank
+        FROM ranked WHERE domain_rank <= 5
+    """
+
+
+@register(
+    "curation_url_gate",
+    tags=("llm", "curation", "text"),
+    description=(
+        "URL-level curation gate (C4/CCNet shape): parse_url host "
+        "extraction, registered-domain derivation, domain blocklist, "
+        "the C4 3-sentence rule over a deterministic synthesized page, "
+        "and a per-registered-domain frequency cap (keep 5 by "
+        "(md5(text), doc_id)) — the crawl-side filters between WARC "
+        "extraction (pipeline_crawl_extract) and the text quality "
+        "funnel, hash-pinned end to end."
+    ),
+    oracle=_url_gate_oracle(),
+)
+def curation_url_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100-TB shape: gates 1–3 are pure per-row codegen in the scan
+    stage (parse_url is a JVM expression; the blocklist is a literal
+    IN-filter here — a real list is a broadcast anti-join, same plan
+    class); the only shuffle is the window on registered_domain, whose
+    key count is the domain population (bounded, well-distributed after
+    the upstream cuts). Filters run in C4 order: provenance, blocklist,
+    sentence rule, THEN the cap — so the cap ranks only survivors."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit("."),
+        F.when(F.col("lang") == "en", F.lit("com"))
+        .when(F.col("lang") == "de", F.lit("de"))
+        .when(F.col("lang") == "fr", F.lit("fr"))
+        .when(F.col("lang") == "es", F.lit("es"))
+        .otherwise(F.lit("cn")),
+        F.lit("/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?ref=crawl"),
+    )
+    host = F.parse_url(url, F.lit("HOST"))
+    registered = F.regexp_extract(host, r"[^.]+\.[^.]+$", 0)
+    page = F.replace(
+        F.replace(F.col("text"), F.lit(" table "), F.lit(". ")),
+        F.lit(" value "),
+        F.lit(". "),
+    )
+    n_sentences = (
+        F.length(page) - F.length(F.replace(page, F.lit("."), F.lit("")))
+    ).cast("long")
+    gated = (
+        docs.select(
+            "doc_id",
+            "text",
+            host.alias("host"),
+            registered.alias("registered_domain"),
+            n_sentences.alias("n_sentences"),
+        )
+        .filter(~F.col("registered_domain").isin(*_URL_BLOCKLIST))
+        .filter(F.col("n_sentences") >= 3)
+    )
+    w = Window.partitionBy("registered_domain").orderBy(
+        F.md5(F.col("text").cast("binary")), F.col("doc_id")
+    )
+    return (
+        gated.withColumn(
+            "domain_rank", F.row_number().over(w).cast("long")
+        )
+        .filter(F.col("domain_rank") <= 5)
+        .select(
+            "doc_id",
+            "host",
+            "registered_domain",
+            "n_sentences",
+            "domain_rank",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# curation_url_normalize_dedup (round-7): URL canonicalization + exact
+# URL dedup — the fetch-list dedup every crawler runs BEFORE fetching
+# ---------------------------------------------------------------------------
+#
+# Synthetic raw URLs are built with the messiness the normalizer must
+# erase (both engines build the IDENTICAL string): mixed-case hosts
+# (doc_id%7), trailing slashes (doc_id%4), utm_* tracking params in
+# first (doc_id%3=0) or last (doc_id%3=1) query position, fragments
+# (doc_id%5). Normalization: host lowercased (host ONLY — path/query
+# case is significant in general; these shapes keep them lowercase
+# already), fragment dropped, utm_* params stripped (single-utm shapes;
+# a repeated-utm production rule iterates the same patterns), bare '?'
+# collapsed, trailing path slash trimmed. Mirror collisions are forced
+# by pathing on doc_id % 50, so the dedup genuinely fires. Replacement
+# backreference syntax differs per engine ($1 Java, \1 RE2) — the
+# PATTERNS are shared, the hash compare pins the semantics.
+
+_RAW_URL_SQL = """
+    'https://' || CASE WHEN doc_id % 7 = 0 THEN upper(source)
+                       ELSE source END || '.Example.COM/p/'
+        || CAST(doc_id % 50 AS VARCHAR)
+        || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+        || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&id=7'
+                WHEN doc_id % 3 = 1 THEN '?id=7&utm_campaign=x'
+                ELSE '' END
+        || CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END
+"""
+
+
+@register(
+    "curation_url_normalize_dedup",
+    tags=("llm", "curation", "dedup"),
+    description=(
+        "URL canonicalization (lowercase host, drop fragment, strip "
+        "utm_* tracking params, collapse bare '?', trim trailing path "
+        "slash) followed by exact fetch-list dedup: one row per "
+        "canonical URL with the duplicate count and the kept (minimum) "
+        "doc_id — the dedup a crawler runs before spending fetch "
+        "bandwidth, all scan-stage regex codegen plus one group-by."
+    ),
+    oracle=f"""
+        WITH raw AS (
+            SELECT doc_id, {_RAW_URL_SQL} AS u FROM documents
+        ), parts AS (
+            SELECT doc_id,
+                   lower(regexp_extract(u, '^https://([^/]+)', 1))
+                       AS host,
+                   regexp_extract(u, '^https://[^/]+(.*)$', 1) AS rest
+            FROM raw
+        ), norm AS (
+            SELECT doc_id, 'https://' || host ||
+                regexp_replace(
+                    regexp_replace(
+                        regexp_replace(
+                            regexp_replace(
+                                regexp_replace(rest, '#.*$', '', 'g'),
+                                '([?&])utm_[^&]*&', '\\1', 'g'),
+                            '[?&]utm_[^&]*$', '', 'g'),
+                        '\\?$', '', 'g'),
+                    '/+(\\?|$)', '\\1', 'g') AS url
+            FROM parts
+        )
+        SELECT url, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MIN(doc_id) AS BIGINT) AS kept_doc_id
+        FROM norm GROUP BY url
+    """,
+)
+def curation_url_normalize_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """All normalization is JVM regex codegen in the scan stage; the
+    only shuffle is the canonical-URL group-by (partial-agg'd). At
+    100 TB this is the frontier dedup: the URL never leaves the scan
+    task un-normalized, and the shuffle carries one digest-sized key
+    per URL."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("https://"),
+        F.when(
+            F.col("doc_id") % 7 == 0, F.upper(F.col("source"))
+        ).otherwise(F.col("source")),
+        F.lit(".Example.COM/p/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.lit("?utm_source=feed&id=7")
+        )
+        .when(F.col("doc_id") % 3 == 1, F.lit("?id=7&utm_campaign=x"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#sec")).otherwise(
+            F.lit("")
+        ),
+    )
+    host = F.lower(F.regexp_extract(raw, r"^https://([^/]+)", 1))
+    rest = F.regexp_extract(raw, r"^https://[^/]+(.*)$", 1)
+    rest = F.regexp_replace(rest, r"#.*$", "")
+    rest = F.regexp_replace(rest, r"([?&])utm_[^&]*&", "$1")
+    rest = F.regexp_replace(rest, r"[?&]utm_[^&]*$", "")
+    rest = F.regexp_replace(rest, r"\?$", "")
+    rest = F.regexp_replace(rest, r"/+(\?|$)", "$1")
+    url = F.concat(F.lit("https://"), host, rest)
+    return (
+        docs.select("doc_id", url.alias("url"))
+        .groupBy("url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("kept_doc_id"),
+        )
+    )

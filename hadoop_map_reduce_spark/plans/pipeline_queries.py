@@ -168,3 +168,83 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r=2 — near-total recall at J>=0.5).
     pairs = minhash_lsh_pairs(docs, threshold=0.5, n=3, num_hashes=64, bands=32)
     return dedup_representatives(pairs, docs.select("doc_id"))
+
+
+@register(
+    "dedup_cluster_retention",
+    tags=("llm", "dedup", "iterative", "curation"),
+    description=(
+        "Duplicate-cluster retention policy (the step AFTER clustering "
+        "that production dedup actually ships): within each connected "
+        "near-dup component, KEEP the member with the most chars (ties "
+        "to lowest doc_id) and mark the rest for removal — min-id "
+        "representatives name the cluster, the keep-longest rule picks "
+        "the survivor. Oracle: the dedup_clusters recursive-CTE "
+        "reachability plus a per-component argmax window."
+    ),
+    oracle=r"""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, list_filter(string_split_regex(lower(
+                       regexp_replace(text, '([^\s\w]|_)+', ' ', 'g')),
+                       '\s+'), t -> t <> '') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                  for i in range(1, len(t) - 1)]) AS s
+            FROM toks WHERE len(t) >= 3
+        ), pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE ROUND(len(list_intersect(a.s, b.s))
+                  / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.5
+        ), edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION SELECT id_b, id_a FROM pairs
+        ), reach AS (
+            SELECT src AS node, src AS r FROM edges
+            UNION
+            SELECT e.src AS node, reach.r
+            FROM edges e JOIN reach ON e.dst = reach.node
+        ), comp AS (
+            SELECT node, MIN(r) AS component FROM reach GROUP BY node
+        ), members AS (
+            SELECT d.doc_id,
+                   COALESCE(c.component, d.doc_id) AS representative,
+                   d.n_chars
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+        ), ranked AS (
+            SELECT doc_id, representative,
+                   FIRST_VALUE(doc_id) OVER (
+                       PARTITION BY representative
+                       ORDER BY n_chars DESC, doc_id ASC) AS kept_id
+            FROM members
+        )
+        SELECT doc_id, representative, kept_id,
+               CASE WHEN doc_id = kept_id THEN 'keep' ELSE 'remove' END
+                   AS action
+        FROM ranked
+    """,
+)
+def dedup_cluster_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same LSH-banded pair generation + min-label components as
+    dedup_clusters (one persisted edge set, O(diameter) two-shuffle
+    iterations), then ONE window shuffle keyed by the component id for
+    the keep-longest argmax — cluster-sized partitions, never
+    corpus-sized."""
+    from hadoop_map_reduce_spark.operators.clustering import (
+        cluster_retention,
+        dedup_representatives,
+    )
+    from hadoop_map_reduce_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, threshold=0.5, n=3, num_hashes=64, bands=32
+    )
+    reps = dedup_representatives(pairs, docs.select("doc_id"))
+    return cluster_retention(
+        reps,
+        docs.select("doc_id", F.col("n_chars").alias("quality")),
+        quality_col="quality",
+    )

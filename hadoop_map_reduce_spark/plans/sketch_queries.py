@@ -156,3 +156,161 @@ def sketch_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority_freqItems"), F.col("item")
         ).alias("in_approx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sketch_cms_heavy_hitters (round-7): Count-Min over the bigram stream
+# ---------------------------------------------------------------------------
+#
+# Cormode & Muthukrishnan's Count-Min sketch, built the way a cluster
+# builds it: d=4 hash rows x w=256 buckets, one shuffle-free projection
+# of the token stream into (row, bucket) cells, one 1024-key partial-
+# agg'd aggregation. Hashing is md5-derived (row-salted, first two hex
+# digits = the bucket), so the ENTIRE sketch — cell values, point
+# estimates, everything — is deterministic and replayed exactly by the
+# DuckDB oracle: unlike HLL/GK, nothing here is engine-specific. The
+# estimate for the exact top-20 bigrams rides back over a broadcast of
+# the 1024-cell table; no_underestimate pins the CMS one-sided error
+# guarantee (est >= true always, over-count only from collisions).
+
+_CMS_D = 4
+_CMS_TOPK = 20
+
+
+@register(
+    "sketch_cms_heavy_hitters",
+    tags=("sketch", "llm", "aggregation"),
+    description=(
+        "Count-Min sketch (d=4 rows x 256 md5-bucket columns) over the "
+        "corpus bigram stream: the exact top-20 bigrams' true counts "
+        "hash-checked, their CMS point estimates (min over rows) "
+        "replayed exactly by the oracle (md5 bucketing is cross-"
+        "engine-deterministic), and no_underestimate pinning the CMS "
+        "one-sided guarantee."
+    ),
+    oracle=f"""
+        WITH toks AS (
+            SELECT list_filter(string_split_regex(lower(regexp_replace(
+                       text, '([^\\s\\w]|_)+', ' ', 'g')), '\\s+'),
+                       t -> t <> '') AS t
+            FROM documents
+        ), grams AS (
+            SELECT t[i] || '+' || t[i + 1] AS g
+            FROM toks, UNNEST(range(1, len(t))) AS u(i)
+            WHERE len(t) >= 2
+        ), wc AS (
+            SELECT g, COUNT(*) AS cnt FROM grams GROUP BY g
+        ), probe AS (
+            SELECT g, cnt FROM (
+                SELECT g, cnt, ROW_NUMBER() OVER (
+                    ORDER BY cnt DESC, g ASC) AS rk
+                FROM wc
+            ) WHERE rk <= {_CMS_TOPK}
+        ), cms AS (
+            SELECT j, substr(md5(CAST(j AS VARCHAR) || '|' || g), 1, 2)
+                       AS bucket,
+                   COUNT(*) AS n
+            FROM grams, UNNEST(range(0, {_CMS_D})) AS r(j)
+            GROUP BY 1, 2
+        )
+        SELECT p.g AS bigram,
+               CAST(p.cnt AS BIGINT) AS true_cnt,
+               CAST(MIN(c.n) AS BIGINT) AS est_cnt,
+               TRUE AS no_underestimate
+        FROM probe p
+        JOIN cms c
+          ON c.bucket = substr(md5(CAST(c.j AS VARCHAR) || '|' || p.g),
+                               1, 2)
+        GROUP BY p.g, p.cnt
+    """,
+)
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One corpus pass feeds BOTH sides: the exact bigram counts (the
+    verify twin and probe selector) and the sketch build — a projection
+    to d (row, bucket) cells per gram, aggregated into 1024 cells with
+    map-side partials (the 100-TB path: fixed-size mergeable state, no
+    key-space shuffle). Estimation joins the 20-row probe against the
+    broadcast cell table and takes min over rows. Reference shape:
+    operators/bigram.py's flagship stream, sketched instead of exactly
+    counted."""
+    from hadoop_map_reduce_spark.operators.bigram import bigram_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    # Deliberately NOT one-slot-cached: bigram_counts(docs) is the
+    # flagship bigram_count's ENTIRE plan, and persisting it would make
+    # the CacheManager substitute InMemoryTableScan into the flagship's
+    # plan session-wide (breaking its pinned pruned-scan shape). Two
+    # cheap scans here beat contaminating another query's plan.
+    wc = bigram_counts(docs)
+    # TakeOrderedAndProject (distributed top-k heaps), not a global
+    # window — the probe is the top-20 set, rank itself is not emitted.
+    probe = (
+        wc.orderBy(F.col("cnt").desc(), F.col("bigram").asc())
+        .limit(_CMS_TOPK)
+        .select("bigram", F.col("cnt").alias("true_cnt"))
+    )
+
+    def bucket(j, gram_col):
+        return F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(str(j)), F.lit("|"), gram_col
+                ).cast("binary")
+            ),
+            1,
+            2,
+        )
+
+    # Sketch build from the weighted gram table: identical cell values
+    # to a raw-stream build (SUM of per-gram counts per cell), one
+    # explode to d cells per DISTINCT gram instead of per occurrence.
+    cells = (
+        wc.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            bucket(j, F.col("bigram")).alias("bucket"),
+                            F.col("cnt").alias("w"),
+                        )
+                        for j in range(_CMS_D)
+                    ]
+                )
+            ).alias("c")
+        )
+        .groupBy(F.col("c.j").alias("j"), F.col("c.bucket").alias("bucket"))
+        .agg(F.sum("c.w").alias("n"))
+    )
+    probes = probe.select(
+        "bigram",
+        "true_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        bucket(j, F.col("bigram")).alias("bucket"),
+                    )
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("p"),
+    )
+    return (
+        probes.join(
+            F.broadcast(cells),
+            (probes["p.j"] == cells["j"])
+            & (probes["p.bucket"] == cells["bucket"]),
+        )
+        .groupBy("bigram", "true_cnt")
+        .agg(F.min("n").cast("long").alias("est_cnt"))
+        .select(
+            "bigram",
+            "true_cnt",
+            "est_cnt",
+            (F.col("est_cnt") >= F.col("true_cnt")).alias(
+                "no_underestimate"
+            ),
+        )
+    )

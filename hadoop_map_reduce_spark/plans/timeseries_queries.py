@@ -1010,3 +1010,97 @@ def timeseries_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         cusum,
         "user_id long, event_id long, rn long, cusum_c long, alarm long",
     )
+
+
+@register(
+    "events_attribution",
+    tags=("relational", "window", "timeseries"),
+    description=(
+        "Marketing attribution over the event stream: each purchase's "
+        "revenue (exact cents) attributed to the user's most recent "
+        "preceding touch event (last-touch: click/view/signup) and the "
+        "user's first-ever touch (first-touch) — conditional "
+        "IGNORE-NULLS window navigation, the canonical sessionless "
+        "attribution shape."
+    ),
+    oracle="""
+        WITH e AS (
+            SELECT event_id, user_id, ts, event_type, value,
+                   CASE WHEN event_type IN ('click', 'view', 'signup')
+                        THEN event_id END AS touch_id
+            FROM events
+        ), nav AS (
+            SELECT event_id, user_id, event_type, value,
+                   LAST_VALUE(touch_id IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS last_touch_id,
+                   FIRST_VALUE(touch_id IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND UNBOUNDED FOLLOWING
+                   ) AS first_touch_id
+            FROM e
+        )
+        SELECT event_id AS purchase_id, user_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS revenue_cents,
+               last_touch_id, first_touch_id
+        FROM nav WHERE event_type = 'purchase'
+    """,
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One hash exchange on user_id + one in-partition sort serves BOTH
+    window frames (Catalyst fuses same-partitioning windows into one
+    Window node). First-touch uses the full-extent frame over the same
+    sort — no second shuffle. At 100 TB this is the per-user
+    event-history shape: partitions are users, frames never cross
+    them, and purchases project out AFTER navigation so touch rows
+    never shuffle twice."""
+    events = load_table(spark, sf_dir, "events")
+    touch = F.when(
+        F.col("event_type").isin("click", "view", "signup"),
+        F.col("event_id"),
+    )
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        events.select(
+            "event_id",
+            "user_id",
+            "ts",
+            "event_type",
+            "value",
+            touch.alias("_touch_id"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            F.last("_touch_id", ignorenulls=True)
+            .over(w_prev)
+            .alias("last_touch_id"),
+            F.first("_touch_id", ignorenulls=True)
+            .over(w_all)
+            .alias("first_touch_id"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias(
+                "revenue_cents"
+            ),
+            "last_touch_id",
+            "first_touch_id",
+        )
+    )
