@@ -11,7 +11,7 @@ stage makes precision exact by construction.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoop_map_reduce_spark.functions.text import sanitize, tokenize
@@ -1038,3 +1038,115 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "lang_pred")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
+
+
+@register(
+    "embedding_hard_negatives",
+    tags=("llm", "similarity"),
+    description=(
+        "Contrastive negative mining for embedding training: per "
+        "anchor (vec_id < 10), the 3 HARD negatives (highest cosine "
+        "among DIFFERENT-label vectors — the semantically-closest "
+        "wrong answers) plus 2 EASY negatives (md5-hash-uniform sample "
+        "of different-label vectors, reproducible across runs) — the "
+        "(anchor, negative, kind, rank, sim) table a training pipeline "
+        "feeds into its loss."
+    ),
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ), q AS (
+            SELECT vec_id, label, v FROM e WHERE vec_id < 10
+        ), scored AS (
+            SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+                   ROUND({_COSINE_SQL}, 6) AS sim,
+                   md5(CAST(b.vec_id AS VARCHAR) || '_'
+                       || CAST(a.vec_id AS VARCHAR)) AS h
+            FROM e a JOIN q b
+              ON a.vec_id <> b.vec_id AND a.label <> b.label
+        ), hard AS (
+            SELECT query_id, neighbor_id, 'hard' AS kind,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id ASC
+                   ) AS BIGINT) AS rank, sim
+            FROM scored
+        ), easy AS (
+            SELECT query_id, neighbor_id, 'easy' AS kind,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY h ASC, neighbor_id ASC
+                   ) AS BIGINT) AS rank, sim
+            FROM scored
+        )
+        SELECT * FROM hard WHERE rank <= 3
+        UNION ALL
+        SELECT * FROM easy WHERE rank <= 2
+    """,
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same distribution shape as cosine_topk: the 10-anchor side
+    broadcasts, the corpus scans once, and BOTH rankings are
+    WindowGroupLimit top-k cuts over the same scored stream (per-
+    partition heaps before the anchor-keyed exchange). The easy-
+    negative ranking keys on md5(anchor, candidate) — uniform and
+    reproducible, the same discipline as sample_reservoir_hash; at
+    100 TB you'd hash-FILTER instead of rank for easies (no shuffle),
+    kept rank-based here so the sample size is exact per anchor."""
+    from hadoop_map_reduce_spark.functions.vectors import (
+        cosine_similarity,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("_qid"),
+        F.col("label").alias("_qlabel"),
+        F.col("embedding").alias("_qvec"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("vec_id") != F.col("_qid"))
+            & (F.col("label") != F.col("_qlabel"))
+        )
+        .select(
+            F.col("_qid").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                cosine_similarity(F.col("_qvec"), F.col("embedding")), 6
+            ).alias("sim"),
+            F.md5(
+                F.concat(
+                    F.col("_qid").cast("string"),
+                    F.lit("_"),
+                    F.col("vec_id").cast("string"),
+                ).cast("binary")
+            ).alias("_h"),
+        )
+    )
+    w_hard = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    w_easy = Window.partitionBy("query_id").orderBy(
+        F.col("_h").asc(), F.col("neighbor_id").asc()
+    )
+    hard = (
+        scored.withColumn("rank", F.row_number().over(w_hard).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "query_id", "neighbor_id", F.lit("hard").alias("kind"),
+            "rank", "sim",
+        )
+    )
+    easy = (
+        scored.withColumn("rank", F.row_number().over(w_easy).cast("long"))
+        .filter(F.col("rank") <= 2)
+        .select(
+            "query_id", "neighbor_id", F.lit("easy").alias("kind"),
+            "rank", "sim",
+        )
+    )
+    return hard.unionAll(easy)

@@ -26,6 +26,7 @@ from tests.oracle_utils import compare_query
         "sketch_cms_heavy_hitters",
         "events_attribution",
         "curation_url_normalize_dedup",
+        "embedding_hard_negatives",
     ],
 )
 def test_oracle_differential(spark, sf_dir, name):
