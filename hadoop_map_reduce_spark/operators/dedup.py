@@ -205,10 +205,17 @@ def ngram_jaccard_pairs_prefix(
     # overlap >= ceil(t/(1+t)·(|A|+|B|)); candidates that cannot reach
     # it skip the full-array verify entirely (measured at sf0.1 t=0.5:
     # 309,803 -> 124,979 verify pairs, exactness untouched).
+    # Relative + absolute epsilon, both biased DOWN: a fixed 1e-9 alone
+    # stops covering double rounding once the product exceeds ~4.5e6
+    # (k·2^-52 > 1e-9), i.e. multi-million-shingle docs — the magnitude-
+    # scaled term keeps ceil from over-rounding to k+1 and pruning a
+    # true boundary pair at any size. Erring low only admits extra
+    # candidates for the exact verify (r7 review finding #2).
+    _overlap_goal = F.lit(threshold / (1.0 + threshold)) * (
+        F.col("_na") + F.col("_nb")
+    )
     alpha = F.ceil(
-        F.lit(threshold / (1.0 + threshold))
-        * (F.col("_na") + F.col("_nb"))
-        - F.lit(1e-9)
+        _overlap_goal - _overlap_goal * F.lit(1e-12) - F.lit(1e-9)
     )
     cands = (
         a.join(b, F.col("a._s") == F.col("b._s"))

@@ -157,6 +157,56 @@ def _tri_case_sql() -> str:
     """
 
 
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The part co-purchase graph: one distinct undirected edge (u < v)
+    per pair of parts appearing in the same order. Shared by the exact
+    and DOULION triangle queries (r7 review finding #4: keep the graph
+    definition in ONE place so the approx twin can never drift)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+
+
+def _oriented_edges(edges: DataFrame) -> DataFrame:
+    """Degree-ordered orientation of an (u, v) edge set: every edge as
+    (src_key, dst_key) with src the lower (degree, id) endpoint, keys
+    packed as degree*2^32 + id. Single source of truth for the
+    orientation scheme (exact and approx triangle counting both ride
+    on it)."""
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ku = F.col("du") * F.lit(_KEY_BASE) + F.col("u")
+    kv = F.col("dv") * F.lit(_KEY_BASE) + F.col("v")
+    return (
+        edges.join(
+            deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u"
+        )
+        .join(
+            deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v"
+        )
+        .select(
+            F.when(ku < kv, ku).otherwise(kv).alias("src_key"),
+            F.when(ku < kv, kv).otherwise(ku).alias("dst_key"),
+        )
+    )
+
+
 _TRIANGLES_SQL = f"""
     WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
     edges AS (
@@ -213,41 +263,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits, so ids are decoded with one ``% 2^32`` after the joins instead
     of widening every wedge row with carried id columns.
     """
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .distinct()
-    )
-    deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    ku = F.col("du") * F.lit(_KEY_BASE) + F.col("u")
-    kv = F.col("dv") * F.lit(_KEY_BASE) + F.col("v")
-    oe = (
-        edges.join(
-            deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u"
-        )
-        .join(
-            deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v"
-        )
-        .select(
-            F.when(ku < kv, ku).otherwise(kv).alias("src_key"),
-            F.when(ku < kv, kv).otherwise(ku).alias("dst_key"),
-        )
-    )
+    oe = _oriented_edges(_copurchase_edges(spark, sf_dir))
     e1, e2, e3 = oe.alias("e1"), oe.alias("e2"), oe.alias("e3")
     tri = (
         e1.join(
@@ -370,30 +386,9 @@ _TRI_APPROX_SQL = f"""
 
 def _spark_tri_count(edges: DataFrame) -> DataFrame:
     """1-row (n BIGINT) exact triangle count of an (u, v) edge
-    DataFrame — the graph_triangles orientation machinery, globally
+    DataFrame — the shared _oriented_edges orientation, globally
     summed instead of per-node grouped."""
-    deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    ku = F.col("du") * F.lit(_KEY_BASE) + F.col("u")
-    kv = F.col("dv") * F.lit(_KEY_BASE) + F.col("v")
-    oe = (
-        edges.join(
-            deg.select(F.col("node").alias("u"), F.col("d").alias("du")),
-            "u",
-        )
-        .join(
-            deg.select(F.col("node").alias("v"), F.col("d").alias("dv")),
-            "v",
-        )
-        .select(
-            F.when(ku < kv, ku).otherwise(kv).alias("src_key"),
-            F.when(ku < kv, kv).otherwise(ku).alias("dst_key"),
-        )
-    )
+    oe = _oriented_edges(edges)
     e1, e2, e3 = oe.alias("e1"), oe.alias("e2"), oe.alias("e3")
     return (
         e1.join(
@@ -436,23 +431,9 @@ def graph_triangles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     The edge build is shared by both sides via one cached slot."""
     from hadoop_map_reduce_spark.operators.caching import cache_one_slot
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
+    edges = cache_one_slot(
+        _copurchase_edges(spark, sf_dir), "graph_tri_approx_edges"
     )
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
-        )
-        .distinct()
-    )
-    edges = cache_one_slot(edges, "graph_tri_approx_edges")
     kept = F.substring(
         F.md5(
             F.concat(

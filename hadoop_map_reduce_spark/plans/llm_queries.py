@@ -1087,13 +1087,19 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same distribution shape as cosine_topk: the 10-anchor side
-    broadcasts, the corpus scans once, and BOTH rankings are
-    WindowGroupLimit top-k cuts over the same scored stream (per-
-    partition heaps before the anchor-keyed exchange). The easy-
-    negative ranking keys on md5(anchor, candidate) — uniform and
-    reproducible, the same discipline as sample_reservoir_hash; at
-    100 TB you'd hash-FILTER instead of rank for easies (no shuffle),
-    kept rank-based here so the sample size is exact per anchor."""
+    broadcasts, and each ranking is a WindowGroupLimit top-k cut
+    (per-partition heaps before the anchor-keyed exchange). The union
+    DELIBERATELY evaluates the scored subtree twice — one corpus scan
+    per branch — because fusing both ranks into one projection would
+    disable rank-limit pushdown (a row must survive if EITHER rank is
+    small), shuffling the full anchors×corpus stream instead of ≤k
+    rows per input partition; at 100 TB two cheap scans beat one
+    unpruned shuffle (r7 review finding #3: the cost is the scan, the
+    docstring previously claimed otherwise). The easy-negative ranking
+    keys on md5(anchor, candidate) — uniform and reproducible, the
+    same discipline as sample_reservoir_hash; at 100 TB you'd
+    hash-FILTER instead of rank for easies (no shuffle), kept
+    rank-based here so the sample size is exact per anchor."""
     from hadoop_map_reduce_spark.functions.vectors import (
         cosine_similarity,
     )

@@ -1019,9 +1019,9 @@ def timeseries_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Marketing attribution over the event stream: each purchase's "
         "revenue (exact cents) attributed to the user's most recent "
         "preceding touch event (last-touch: click/view/signup) and the "
-        "user's first-ever touch (first-touch) — conditional "
-        "IGNORE-NULLS window navigation, the canonical sessionless "
-        "attribution shape."
+        "user's first touch BEFORE the purchase (first-touch) — "
+        "conditional IGNORE-NULLS window navigation, the canonical "
+        "sessionless attribution shape."
     ),
     oracle="""
         WITH e AS (
@@ -1037,8 +1037,7 @@ def timeseries_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ) AS last_touch_id,
                    FIRST_VALUE(touch_id IGNORE NULLS) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING
-                                AND UNBOUNDED FOLLOWING
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                    ) AS first_touch_id
             FROM e
         )
@@ -1067,10 +1066,15 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # Both frames end at 1 PRECEDING: attribution looks strictly
+    # BACKWARD from the conversion — a touch after the purchase can be
+    # neither its first nor its last touch (r7 review finding #5; with
+    # the full-extent frame a purchase-then-click stream attributed
+    # revenue to the later click).
     w_all = (
         Window.partitionBy("user_id")
         .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (
         events.select(

@@ -280,16 +280,6 @@ class WarcWriter(DataSourceWriter):
         if not self.dir:
             raise ValueError("warcrecords writer requires a target directory")
         self.overwrite = overwrite
-        # DataSource.writer() constructs this on the DRIVER (executors
-        # get the pickled object, __init__ does not re-run), so clearing
-        # stale output here is race-free. Without it, mode("overwrite")
-        # would leave earlier part-*.warc.gz files mixed with new ones.
-        if overwrite and os.path.isdir(self.dir):
-            for name in os.listdir(self.dir):
-                if (
-                    name.startswith("part-") and name.endswith(".warc.gz")
-                ) or name == "_SUCCESS":
-                    os.remove(os.path.join(self.dir, name))
 
     def write(self, iterator: Iterator[Row]) -> WarcCommit:
         part = os.path.join(self.dir, f"part-{uuid.uuid4().hex}.warc.gz")
@@ -317,6 +307,25 @@ class WarcWriter(DataSourceWriter):
         # write() only makedirs for non-empty partitions; an all-empty
         # DataFrame must still produce an empty committed directory.
         os.makedirs(self.dir, exist_ok=True)
+        if self.overwrite:
+            # Overwrite clears stale parts HERE — after every task has
+            # succeeded — never at planning time: a failed overwrite job
+            # must leave the previous committed output intact (deleting
+            # in __init__ would destroy it before a single new byte was
+            # durably written). New-run parts are uuid-named and listed
+            # in the commit messages; anything else is stale.
+            keep = {
+                os.path.basename(m.path)
+                for m in messages
+                if m is not None and m.path
+            }
+            for name in os.listdir(self.dir):
+                if (
+                    name.startswith("part-")
+                    and name.endswith(".warc.gz")
+                    and name not in keep
+                ):
+                    os.remove(os.path.join(self.dir, name))
         with open(os.path.join(self.dir, "_SUCCESS"), "w"):
             pass
 

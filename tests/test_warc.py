@@ -191,7 +191,37 @@ def test_writer_overwrite_clears_stale_parts(spark, tmp_path):
     assert got == [b"add", b"new"]
 
 
-def test_datasource_corrupt_archive_contract(spark, tmp_path):
+def test_failed_overwrite_preserves_previous_output(spark, tmp_path):
+    """r7 review: overwrite must clear stale parts at COMMIT time, not
+    at writer construction — a failing overwrite job (here: a CR/LF
+    header value that build_warc_record rejects mid-task) must leave
+    the previously committed archive fully readable."""
+    from hadoop_map_reduce_spark.sources.warc import (
+        register_warc_datasource,
+    )
+
+    register_warc_datasource(spark)
+    schema = (
+        "record_id string, warc_type string, target_uri string, "
+        "content_type string, content binary"
+    )
+    out = str(tmp_path / "fow")
+    spark.createDataFrame(
+        [("urn:a:1", "response", "https://a", "text/plain", b"keepme")],
+        schema,
+    ).coalesce(1).write.format("warcrecords").mode("append").save(out)
+
+    bad = spark.createDataFrame(
+        [("urn:b:2", "response", "https://b\r\nWARC-Type: evil",
+          "text/plain", b"boom")],
+        schema,
+    )
+    with pytest.raises(Exception, match="CR/LF"):
+        bad.coalesce(1).write.format("warcrecords").mode(
+            "overwrite"
+        ).save(out)
+    back = spark.read.format("warcrecords").load(out + "/*.warc.gz")
+    assert [bytes(r["content"]) for r in back.collect()] == [b"keepme"]
     from hadoop_map_reduce_spark.sources.warc import (
         register_warc_datasource,
     )
