@@ -1,7 +1,8 @@
 """Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric", "value", "unit", "queries": {name: sec}, "sf",
-"calibration_sec", "queries_runs": {name: [s, s, s]}}.
+"calibration_sec", "calibration_runs": [s, s, s],
+"queries_runs": {name: [s, s, s]}, "regressions": [...]}.
 
 Each query executes end-to-end into the no-op sink (full pipeline runs,
 no driver-side result materialization skewing the numbers).
@@ -34,9 +35,10 @@ REPO = Path(__file__).resolve().parent
 if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
 
-# Constant-seed, no-I/O machine-speed probe: 48M-row xxhash64 chain +
-# 32-way hash aggregation, all inside whole-stage codegen. ~1 s idle on
-# this VM — long enough to sample ambient load, short enough to repeat.
+# Constant-seed, no-I/O machine-speed probe: 48M-row xxhash64 chain
+# hash-aggregated into up to ~1993 signed (h % 997) buckets over 32
+# input partitions, all inside whole-stage codegen. ~1 s idle on this
+# VM — long enough to sample ambient load, short enough to repeat.
 _CALIBRATION_ROWS = 48_000_000
 
 

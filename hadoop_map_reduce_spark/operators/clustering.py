@@ -133,15 +133,21 @@ def cluster_retention(
     :func:`dedup_representatives`; ``quality`` = (id, quality).
     Returns (id, representative, kept_id, action∈{keep,remove}).
 
+    Members missing a quality row are KEPT in the output (left join)
+    and rank after every scored member (nulls-last ordering) — an
+    incomplete quality table can therefore never silently drop a
+    member or leave a cluster with no ``keep`` row (an all-unscored
+    cluster keeps its lowest id).
+
     Scale shape: one broadcast-or-shuffle join on the id key plus ONE
     window shuffle keyed by representative — cluster sizes are the
     window partitions, bounded by the dedup density, never corpus-sized.
     """
     from pyspark.sql import Window
 
-    joined = representatives.join(quality, id_col)
+    joined = representatives.join(quality, id_col, "left")
     w = Window.partitionBy("representative").orderBy(
-        F.col(quality_col).desc(), F.col(id_col).asc()
+        F.col(quality_col).desc_nulls_last(), F.col(id_col).asc()
     )
     return (
         joined.withColumn(

@@ -1049,9 +1049,9 @@ def timeseries_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One hash exchange on user_id + one in-partition sort serves BOTH
-    window frames (Catalyst fuses same-partitioning windows into one
-    Window node). First-touch uses the full-extent frame over the same
-    sort — no second shuffle. At 100 TB this is the per-user
+    navigations: last- and first-touch share the SAME frame (unbounded
+    preceding .. 1 preceding), so Catalyst fuses them into one Window
+    node — no second shuffle. At 100 TB this is the per-user
     event-history shape: partitions are users, frames never cross
     them, and purchases project out AFTER navigation so touch rows
     never shuffle twice."""
@@ -1066,16 +1066,11 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    # Both frames end at 1 PRECEDING: attribution looks strictly
-    # BACKWARD from the conversion — a touch after the purchase can be
-    # neither its first nor its last touch (r7 review finding #5; with
-    # the full-extent frame a purchase-then-click stream attributed
-    # revenue to the later click).
-    w_all = (
-        Window.partitionBy("user_id")
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    # The frame ends at 1 PRECEDING for BOTH navigations: attribution
+    # looks strictly BACKWARD from the conversion — a touch after the
+    # purchase can be neither its first nor its last touch (r7 review
+    # finding #5; with a full-extent frame a purchase-then-click stream
+    # attributed revenue to the later click).
     return (
         events.select(
             "event_id",
@@ -1094,7 +1089,7 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .over(w_prev)
             .alias("last_touch_id"),
             F.first("_touch_id", ignorenulls=True)
-            .over(w_all)
+            .over(w_prev)
             .alias("first_touch_id"),
         )
         .filter(F.col("event_type") == "purchase")

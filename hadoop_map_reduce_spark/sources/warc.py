@@ -273,7 +273,14 @@ class WarcCommit(WriterCommitMessage):
 class WarcWriter(DataSourceWriter):
     """One ``.warc.gz`` per non-empty partition, each record its own
     gzip member (the Common Crawl layout), ``_SUCCESS`` on commit —
-    the same sink contract as the text and zip sinks (SURVEY.md O13)."""
+    the same sink contract as the text and zip sinks (SURVEY.md O13).
+
+    Precondition (shared with the text/zip sinks): ONE writer job per
+    target directory at a time. Overwrite-commit deletes every
+    ``part-*.warc.gz`` not named in this job's commit messages, so a
+    concurrent writer's freshly committed parts would read as stale
+    and be removed. Serialize jobs (or give each its own directory) —
+    the same rule HDFS output committers impose."""
 
     def __init__(self, options: dict, overwrite: bool):
         self.dir = options.get("path")
