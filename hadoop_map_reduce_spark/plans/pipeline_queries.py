@@ -3,6 +3,10 @@ language-model statistics, and iterative dedup clustering."""
 
 from __future__ import annotations
 
+import hashlib
+import os
+import shutil
+import tempfile
 from collections.abc import Iterator
 
 import pandas as pd
@@ -16,9 +20,11 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from hadoop_map_reduce_spark.functions.text import sanitize, tokenize
 from hadoop_map_reduce_spark.operators.bigram import ngram_counts
 from hadoop_map_reduce_spark.operators.clustering import dedup_representatives
 from hadoop_map_reduce_spark.operators.dedup import minhash_lsh_pairs
+from hadoop_map_reduce_spark.plans.llm_queries import _TOKS
 from hadoop_map_reduce_spark.plans.registry import register
 from hadoop_map_reduce_spark.session import load_table
 
@@ -247,4 +253,77 @@ def dedup_cluster_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         reps,
         docs.select("doc_id", F.col("n_chars").alias("quality")),
         quality_col="quality",
+    )
+
+
+@register(
+    "pack_write_shards",
+    tags=("llm", "pipeline", "sink"),
+    description=(
+        "Training-shard serialization census: documents written as "
+        "token-budgeted .txt.gz shards (sinks/shards.py — one "
+        "doc_id<TAB>text<LF> line per doc, gzip mtime=0) with a "
+        "parquet manifest and a _SUCCESS marker; the returned census "
+        "is the COMMITTED manifest read back, and the oracle replays "
+        "shard assignment, byte counts, and the uncompressed-content "
+        "md5 per shard directly from the documents table — so the "
+        "sink's files, framing, and checksums are all driver-checked."
+    ),
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, source, text,
+                   CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+            FROM documents
+        ), cum AS (
+            SELECT *, SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum_tokens
+            FROM toks
+        ), assigned AS (
+            SELECT *, CAST(FLOOR((cum_tokens - n_tokens) / 4096e0)
+                           AS BIGINT) AS shard_id
+            FROM cum
+        )
+        SELECT source, shard_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(SUM(strlen(CAST(doc_id AS VARCHAR) || chr(9)
+                               || text || chr(10))) AS BIGINT) AS n_bytes,
+               md5(string_agg(CAST(doc_id AS VARCHAR) || chr(9)
+                              || text || chr(10), '' ORDER BY doc_id))
+                   AS content_md5
+        FROM assigned
+        GROUP BY source, shard_id
+    """,
+)
+def pack_write_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus->trainer plumbing end-to-end: one source-keyed window
+    assigns shards (pack_token_chunks formula), one applyInPandas task
+    per shard writes its file executor-side, the manifest is a normal
+    distributed parquet write — the driver never holds corpus text. At
+    100 TB this is shard-count-parallel with shard sizes bounded by the
+    token budget."""
+    from hadoop_map_reduce_spark.sinks.shards import write_training_shards
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        "hmrs_shards_{}_{}".format(
+            os.getpid(), hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        ),
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        "source",
+        F.size(tokenize(sanitize(F.col("text"))))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    manifest = write_training_shards(
+        docs, out_dir, max_tokens_per_shard=4096
+    )
+    return manifest.select(
+        "source", "shard_id", "n_docs", "n_tokens", "n_bytes", "content_md5"
     )
