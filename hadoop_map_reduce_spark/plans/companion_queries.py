@@ -922,10 +922,12 @@ def _html_wrap_col():
 #
 # Determinism: both sides rank ROUND(sim, 6) DESC with neighbor-id
 # tie-break; planes/centroids/codebooks are md5/xxhash64-derived — the
-# recall at a given SF is a pure function of the data (measured r7:
-# LSH .48-.58, IVF .58-.70, PQ .54-.70 across sf0.001/0.01/0.1; bounds
-# sit at .30/.40/.40 — contract-with-margin, same stance as the 6%
-# HLL bound vs its 2% rsd).
+# recall at a given SF is a pure function of the data. Measured r8
+# across sf0.001/0.01/0.1: LSH .58/.48/.56, IVF .70/.62/.58,
+# PQ .64/.70/.54. Bounds sit at ~80% of each family's measured floor
+# (VERDICT r7 #4 — tight enough that a real recall regression flips
+# the contract, with margin for data-dependent drift): LSH .40,
+# IVF .46, PQ .43.
 
 _RECALL_ORACLE = """
     SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
@@ -983,9 +985,10 @@ def _ann_query_set(spark: SparkSession, sf_dir: str):
     description=(
         "Boolean recall contract for the sign-LSH ANN ladder rung: "
         "recall@5 of ann_topk_lsh (4 planes, 1-flip multiprobe) vs the "
-        "in-engine brute-force top-5 must be >= 0.30 (measured .48-.58 "
-        "across SFs); the oracle pins (n_queries, k, recall_ok=TRUE) — "
-        "a recall collapse fails the driver round."
+        "in-engine brute-force top-5 must be >= 0.40 (measured floor "
+        ".48 across SFs; bound = ~80% of floor); the oracle pins "
+        "(n_queries, k, recall_ok=TRUE) — a recall collapse fails the "
+        "driver round."
     ),
     oracle=_RECALL_ORACLE,
 )
@@ -1003,7 +1006,7 @@ def ann_lsh_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = ann_topk_lsh(
         emb, queries, k=5, dim=64, n_planes=4, probe_flips=1
     )
-    return _recall_bound(approx, exact, queries, k=5, bound_ppm=300_000)
+    return _recall_bound(approx, exact, queries, k=5, bound_ppm=400_000)
 
 
 @register(
@@ -1012,8 +1015,9 @@ def ann_lsh_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     description=(
         "Boolean recall contract for the IVF ANN rung: recall@5 of "
         "ivf_topk (16 sampled-centroid cells, 6 probes) vs in-engine "
-        "brute force must be >= 0.40 (measured .58-.70 across SFs); "
-        "oracle pins (n_queries, k, recall_ok=TRUE)."
+        "brute force must be >= 0.46 (measured floor .58 across SFs; "
+        "bound = ~80% of floor); oracle pins (n_queries, k, "
+        "recall_ok=TRUE)."
     ),
     oracle=_RECALL_ORACLE,
 )
@@ -1026,7 +1030,7 @@ def ivf_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb, queries = _ann_query_set(spark, sf_dir)
     exact = cosine_topk(emb, queries, k=5)
     approx = ivf_topk(emb, queries, k=5, n_cells=16, n_probe=6)
-    return _recall_bound(approx, exact, queries, k=5, bound_ppm=400_000)
+    return _recall_bound(approx, exact, queries, k=5, bound_ppm=460_000)
 
 
 @register(
@@ -1035,8 +1039,9 @@ def ivf_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     description=(
         "Boolean recall contract for the PQ-ADC ANN rung: recall@5 of "
         "pq_topk_adc (m=8 nibble codes, refine=8 exact re-rank) vs "
-        "in-engine brute force must be >= 0.40 (measured .54-.70 "
-        "across SFs); oracle pins (n_queries, k, recall_ok=TRUE)."
+        "in-engine brute force must be >= 0.43 (measured floor .54 "
+        "across SFs; bound = ~80% of floor); oracle pins (n_queries, "
+        "k, recall_ok=TRUE)."
     ),
     oracle=_RECALL_ORACLE,
 )
@@ -1053,7 +1058,7 @@ def pq_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = pq_train_codebooks(emb, m=8, ksub=16, n_iter=3)
     codes = pq_encode(emb, books)
     approx = pq_topk_adc(codes, emb, queries, books, k=5, refine=8)
-    return _recall_bound(approx, exact, queries, k=5, bound_ppm=400_000)
+    return _recall_bound(approx, exact, queries, k=5, bound_ppm=430_000)
 
 
 # ---------------------------------------------------------------------------
