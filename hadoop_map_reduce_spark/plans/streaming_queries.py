@@ -657,3 +657,99 @@ def stream_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_table(
         funnel_agg(docs), "_hmrs_stream_quality_funnel", "complete"
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_crawl_extract (round-8, VERDICT r7 #6): streaming crawl ingestion
+# ---------------------------------------------------------------------------
+
+
+def _crawl_stream_oracle() -> str:
+    from hadoop_map_reduce_spark.functions.html import html_to_text_sql
+    from hadoop_map_reduce_spark.plans.companion_queries import (
+        _html_wrap_sql,
+    )
+
+    extracted = html_to_text_sql(_html_wrap_sql())
+    return f"""
+        SELECT 'https://corpus.local/doc/' || CAST(doc_id AS VARCHAR)
+                   AS target_uri,
+               CAST(length({extracted}) AS BIGINT) AS n_chars,
+               md5({extracted}) AS digest,
+               length({extracted}) >= 64 AS passes_minlen
+        FROM (SELECT doc_id, text, lang, source FROM documents
+              ORDER BY doc_id LIMIT 40)
+    """
+
+
+@register(
+    "stream_crawl_extract",
+    tags=("streaming", "llm", "curation", "source"),
+    description=(
+        "Streaming twin of pipeline_crawl_extract: micro-batch file "
+        "discovery over arriving .warc.gz archives (the warcrecords "
+        "DataSourceStreamReader — offset = admitted-archive set, one "
+        "partition per new archive), html_to_text extraction and a "
+        "min-length quality gate evaluated map-side per micro-batch, "
+        "drained with availableNow; the final census must equal the "
+        "batch-derived oracle exactly."
+    ),
+    oracle=_crawl_stream_oracle(),
+)
+def stream_crawl_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl ingestion as it actually runs in production: archives
+    arrive over time, each micro-batch parses ONLY the newly admitted
+    archives (checkpointed offsets make replay skip committed ones —
+    pinned by the incremental test in tests/test_round8_queries.py),
+    and extraction + gates are stateless per-record work that scales
+    with the micro-batch, never the corpus. The batch twin proves the
+    WARC framing and regex chain; this proves the same pipeline is
+    incremental without semantic drift — both engines' censuses are
+    hash-pinned to one oracle."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from hadoop_map_reduce_spark.functions.html import html_to_text
+    from hadoop_map_reduce_spark.plans.companion_queries import (
+        _html_wrap_col,
+    )
+    from hadoop_map_reduce_spark.sources.warc import (
+        register_warc_datasource,
+    )
+
+    register_warc_datasource(spark)
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        "hmrs_crawlstream_{}_{}".format(
+            os.getpid(), hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        ),
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents").orderBy("doc_id").limit(40)
+    records = docs.select(
+        F.concat(F.lit("urn:doc:"), F.col("doc_id").cast("string")).alias(
+            "record_id"
+        ),
+        F.lit("response").alias("warc_type"),
+        F.concat(
+            F.lit("https://corpus.local/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("target_uri"),
+        F.lit("text/html").alias("content_type"),
+        _html_wrap_col().cast("binary").alias("content"),
+    )
+    records.repartition(4).write.format("warcrecords").mode(
+        "overwrite"
+    ).save(out_dir)
+    stream = spark.readStream.format("warcrecords").load(
+        os.path.join(out_dir, "*.warc.gz")
+    )
+    extracted = html_to_text(F.col("content").cast("string"))
+    census = stream.filter(F.col("warc_type") == "response").select(
+        "target_uri",
+        F.length(extracted).cast("long").alias("n_chars"),
+        F.md5(extracted).alias("digest"),
+        (F.length(extracted) >= 64).alias("passes_minlen"),
+    )
+    return _run_to_table(census, "_hmrs_stream_crawl_extract", "append")
