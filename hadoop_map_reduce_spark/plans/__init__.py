@@ -33,5 +33,6 @@ from hadoop_map_reduce_spark.plans import relational_queries8  # noqa: F401
 from hadoop_map_reduce_spark.plans import llm_queries4  # noqa: F401
 from hadoop_map_reduce_spark.plans import llm_queries5  # noqa: F401
 from hadoop_map_reduce_spark.plans import companion_queries  # noqa: F401
+from hadoop_map_reduce_spark.plans import relational_queries9  # noqa: F401
 
 __all__ = ["REGISTRY", "Query", "register"]
