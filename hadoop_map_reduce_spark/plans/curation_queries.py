@@ -2318,3 +2318,73 @@ def curation_url_normalize_dedup(
             F.min("doc_id").cast("long").alias("kept_doc_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8: tokenizer vocabulary coverage (OOV census)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tokenizer_oov_census",
+    tags=("llm", "curation", "text", "topk"),
+    description=(
+        "Out-of-vocabulary census: vocabulary = top-512 corpus tokens "
+        "by (count DESC, token ASC); per language, total token "
+        "instances, OOV instances, and integer-ppm OOV rate — the "
+        "coverage report that decides whether a tokenizer's vocab "
+        "budget fits a corpus before training starts."
+    ),
+    oracle=f"""
+        WITH tok AS (
+            SELECT lang,
+                   unnest(regexp_extract_all(lower(text),
+                                             '{_TOKEN_RE}')) AS t
+            FROM documents),
+        vocab AS (
+            SELECT t FROM (
+                SELECT t, COUNT(*) AS cnt FROM tok GROUP BY t)
+            ORDER BY cnt DESC, t ASC LIMIT 512)
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(CASE WHEN vocab.t IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_oov,
+               CAST(SUM(CASE WHEN vocab.t IS NULL THEN 1 ELSE 0 END)
+                    * 1000000 // COUNT(*) AS BIGINT) AS oov_ppm
+        FROM tok LEFT JOIN vocab ON vocab.t = tok.t
+        GROUP BY lang
+    """,
+)
+def tokenizer_oov_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two corpus passes (vocabulary build, coverage scan) — the vocab
+    is a TakeOrdered top-512 broadcast back as a membership flag, so
+    the coverage pass is scan + broadcast-hash lookup + one lang-keyed
+    aggregate. The top-k tie-break (count DESC, token ASC) is a total
+    order: the vocabulary set is identical cross-engine, making the
+    ppm census hash-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(_tokens(F.col("text"))).alias("t")
+    )
+    vocab = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("t").asc())
+        .limit(512)
+        .select("t", F.lit(True).alias("in_vocab"))
+    )
+    flagged = tok.join(F.broadcast(vocab), "t", "left")
+    n_oov = F.sum(
+        F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    ).cast("long")
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        n_oov.alias("n_oov"),
+        F.floor(
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            * 1_000_000
+            / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("oov_ppm"),
+    )

@@ -135,3 +135,63 @@ def layout_zorder_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("price_bucket").alias("max_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8: small-file compaction planning
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "layout_compaction_plan",
+    tags=("layout", "window", "aggregation"),
+    description=(
+        "Small-file compaction plan: documents stand in for data files "
+        "(doc_id = file id, n_chars = bytes); within each source, files "
+        "are packed in id order into target bins of 2000 bytes by "
+        "cumulative-size division — the census reports files, bytes, "
+        "and bin fill per (source, bin)."
+    ),
+    oracle="""
+        WITH sized AS (
+            SELECT source, doc_id, n_chars,
+                   COALESCE(SUM(n_chars) OVER (
+                       PARTITION BY source ORDER BY doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS bytes_before
+            FROM documents)
+        SELECT source,
+               CAST(bytes_before // 2000 AS BIGINT) AS bin_id,
+               CAST(COUNT(*) AS BIGINT) AS n_files,
+               CAST(SUM(n_chars) AS BIGINT) AS bin_bytes
+        FROM sized
+        GROUP BY 1, 2
+    """,
+)
+def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming-compactor rule (bin = floor(running bytes /
+    target), one pass in file order) rather than true bin packing:
+    deterministic, single window per source partition, and the rule a
+    table-maintenance service can apply incrementally as files land.
+    One exchange on source; no file content moves — this is the PLAN,
+    the rewrite itself is the zip/text/warc sink's job."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sized = docs.withColumn(
+        "bytes_before", F.coalesce(F.sum("n_chars").over(w), F.lit(0))
+    )
+    return sized.groupBy(
+        "source",
+        F.floor(F.col("bytes_before") / 2000).cast("long").alias("bin_id"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("n_chars").cast("long").alias("bin_bytes"),
+    )

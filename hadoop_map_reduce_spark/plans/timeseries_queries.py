@@ -1103,3 +1103,134 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_touch_id",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8: RFM segmentation and cohort lifetime value
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_rfm_segments",
+    tags=("timeseries", "window", "aggregation"),
+    description=(
+        "RFM segmentation: per-user recency (days to a fixed "
+        "2002-01-01 anchor), frequency, and integer-cents monetary "
+        "value, each cut into quintiles by NTILE over a total order "
+        "(metric, user_id tie-break — deterministic cross-engine), "
+        "censused per (r, f, m) segment."
+    ),
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   DATE_DIFF('day', MAX(ts),
+                             TIMESTAMP '2002-01-01 00:00:00')
+                       AS recency_days,
+                   CAST(COUNT(*) AS BIGINT) AS frequency,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT))
+                       AS monetary_cents
+            FROM events GROUP BY user_id),
+        scored AS (
+            SELECT CAST(NTILE(5) OVER (ORDER BY recency_days ASC,
+                                       user_id ASC) AS BIGINT) AS r,
+                   CAST(NTILE(5) OVER (ORDER BY frequency DESC,
+                                       user_id ASC) AS BIGINT) AS f,
+                   CAST(NTILE(5) OVER (ORDER BY monetary_cents DESC,
+                                       user_id ASC) AS BIGINT) AS m,
+                   monetary_cents
+            FROM per_user)
+        SELECT r, f, m,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(monetary_cents) AS BIGINT) AS segment_cents
+        FROM scored GROUP BY r, f, m
+    """,
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One user-keyed aggregation, then three EXACT global NTILEs via
+    operators/ranking.with_global_ntile — range-repartition + local
+    row_number + broadcast prefix-sum offsets, so the per-user table
+    (billions of rows at 100 TB of events) is never sorted on one
+    task: the oracle's ``NTILE() OVER (ORDER BY ...)`` semantics with
+    zero single-partition exchanges (plan-sweep enforced). Each metric
+    order carries the user_id tie-break that makes the order total —
+    the precondition for the distributed rank's invariance."""
+    from hadoop_map_reduce_spark.operators.ranking import (
+        with_global_ntile,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "value"
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.lit("2002-01-01").cast("timestamp").cast("date"),
+            F.max("ts").cast("date"),
+        ).alias("recency_days"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+            "monetary_cents"
+        ),
+    )
+    uid = F.col("user_id").asc()
+    scored = with_global_ntile(
+        per_user, [F.col("recency_days").asc(), uid], 5, "r"
+    )
+    scored = with_global_ntile(
+        scored, [F.col("frequency").desc(), uid], 5, "f"
+    )
+    scored = with_global_ntile(
+        scored, [F.col("monetary_cents").desc(), uid], 5, "m"
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("monetary_cents").cast("long").alias("segment_cents"),
+    )
+
+
+@register(
+    "events_cohort_ltv",
+    tags=("timeseries", "join", "aggregation"),
+    description=(
+        "Cohort lifetime value: users bucketed by first-seen day, "
+        "integer-cents revenue accumulated per (cohort_day, "
+        "day_offset) cell — the monetary companion of "
+        "events_retention's distinct-user matrix."
+    ),
+    oracle="""
+        WITH first_seen AS (
+            SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day
+            FROM events GROUP BY user_id)
+        SELECT f.cohort_day,
+               CAST(DATE_DIFF('day', f.cohort_day, CAST(e.ts AS DATE))
+                    AS BIGINT) AS day_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM events e JOIN first_seen f ON f.user_id = e.user_id
+        GROUP BY 1, 2
+    """,
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort assignment and the activity join share the user_id
+    shuffle (one exchange feeds both, as in events_retention); the
+    final aggregate is cohort*offset-sized — tiny. Day arithmetic is
+    calendar-date subtraction after an explicit DATE cast on both
+    sides, so both engines bucket identically at day boundaries."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "value"
+    )
+    first_seen = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("cohort_day")
+    )
+    joined = ev.join(first_seen, "user_id")
+    offset = F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).cast(
+        "long"
+    )
+    return joined.groupBy(
+        "cohort_day", offset.alias("day_offset")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("revenue_cents"),
+    )

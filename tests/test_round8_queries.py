@@ -15,10 +15,43 @@ from tests.oracle_utils import compare_query
     "name",
     [
         "pack_write_shards",
+        "stream_crawl_extract",
+        "graph_triangles_hybrid",
+        "q4_order_priority",
+        "q13_custdist",
+        "q14_promo_share",
+        "q17_small_quantity",
+        "q18_large_volume",
+        "q22_global_sales",
+        "graph_cc_bounded",
+        "events_rfm_segments",
+        "events_cohort_ltv",
+        "tokenizer_oov_census",
+        "layout_compaction_plan",
     ],
 )
 def test_oracle_differential(spark, sf_dir, name):
     compare_query(spark, sf_dir, name)
+
+
+def test_triangles_hybrid_reconciles_and_is_accurate(spark, sf_dir):
+    """The hybrid's arithmetic contract (n_total_est = n_light +
+    n_heavy_est, n_heavy_est a multiple of the 1/p^2 = 16 scale-up)
+    plus the accuracy contract vs the exact count: measured rel. err
+    is 1.05%/2.01%/0.76% at sf0.001/0.01/0.1 (deterministic md5
+    sample), pinned here at <= 5%."""
+    from hadoop_map_reduce_spark.plans.graph_queries import (
+        _copurchase_edges,
+        _spark_tri_count,
+    )
+
+    row = REGISTRY["graph_triangles_hybrid"].fn(spark, sf_dir).collect()[0]
+    assert row["n_heavy_est"] % 16 == 0
+    assert row["n_total_est"] == row["n_light"] + row["n_heavy_est"]
+    exact = _spark_tri_count(_copurchase_edges(spark, sf_dir)).collect()[
+        0
+    ][0]
+    assert abs(row["n_total_est"] - exact) <= 0.05 * exact
 
 
 def test_shard_write_roundtrip(spark, sf_dir, tmp_path):
@@ -123,3 +156,152 @@ def test_cluster_retention_keeps_unscored_members(spark):
     assert rows[10]["action"] == "keep"
     assert rows[11]["action"] == "remove"
     assert rows[11]["kept_id"] == 10
+
+
+def _warc_docs(spark, a, b):
+    return spark.range(a, b).select(
+        F.concat(F.lit("urn:doc:"), F.col("id").cast("string")).alias(
+            "record_id"
+        ),
+        F.lit("response").alias("warc_type"),
+        F.concat(F.lit("https://x.local/"), F.col("id").cast("string")).alias(
+            "target_uri"
+        ),
+        F.lit("text/html").alias("content_type"),
+        F.concat(
+            F.lit("<html><body>doc "),
+            F.col("id").cast("string"),
+            F.lit("</body></html>"),
+        )
+        .cast("binary")
+        .alias("content"),
+    )
+
+
+def test_warc_stream_incremental_replay(spark, tmp_path):
+    """Replay idempotence of the WARC stream source: a second
+    availableNow run from the same checkpoint processes ONLY archives
+    that arrived after the first run — nothing is re-emitted, nothing
+    is missed."""
+    import os
+
+    from hadoop_map_reduce_spark.sources.warc import (
+        register_warc_datasource,
+    )
+
+    register_warc_datasource(spark)
+    warc_dir = str(tmp_path / "crawl")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    _warc_docs(spark, 0, 20).repartition(4).write.format(
+        "warcrecords"
+    ).mode("overwrite").save(warc_dir)
+
+    def drain():
+        stream = spark.readStream.format("warcrecords").load(
+            os.path.join(warc_dir, "*.warc.gz")
+        )
+        q = (
+            stream.select("record_id", "target_uri", "size")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert spark.read.parquet(sink).count() == 20
+    _warc_docs(spark, 20, 30).repartition(2).write.format(
+        "warcrecords"
+    ).mode("append").save(warc_dir)
+    drain()
+    out = spark.read.parquet(sink)
+    assert out.count() == 30
+    assert out.select("record_id").distinct().count() == 30
+    # a third run with no new archives is a no-op
+    drain()
+    assert spark.read.parquet(sink).count() == 30
+
+
+def test_warc_stream_admission_cap(tmp_path):
+    """maxFilesPerTrigger admission control at the offset level: files
+    are admitted in lexicographic order, at most N per latestOffset
+    call, and a restarted reader learns the committed offset from
+    partitions() so progress resumes past it."""
+    from hadoop_map_reduce_spark.sources.warc import WarcStreamReader
+
+    for i in range(5):
+        (tmp_path / f"part-{i}.warc.gz").write_bytes(b"")
+    opts = {
+        "path": str(tmp_path / "*.warc.gz"),
+        "maxfilespertrigger": "2",
+    }
+    r = WarcStreamReader(opts)
+    assert r.initialOffset() == {"files": []}
+    o1 = r.latestOffset()
+    assert [p.rsplit("/", 1)[1] for p in o1["files"]] == [
+        "part-0.warc.gz",
+        "part-1.warc.gz",
+    ]
+    o2 = r.latestOffset()
+    assert len(o2["files"]) == 4
+    parts = r.partitions(o1, o2)
+    assert sorted(p.path.rsplit("/", 1)[1] for p in parts) == [
+        "part-2.warc.gz",
+        "part-3.warc.gz",
+    ]
+    # checkpoint restart: a FRESH reader's first capped latestOffset may
+    # admit only committed files (idle batch), but partitions() teaches
+    # it the committed offset and the next trigger advances.
+    r2 = WarcStreamReader(opts)
+    o3 = r2.latestOffset()
+    assert r2.partitions(o2, o3) == [] or all(
+        p.path in o2["files"] for p in r2.partitions(o2, o3)
+    )
+    o4 = r2.latestOffset()
+    new = [p.path.rsplit("/", 1)[1] for p in r2.partitions(o2, o4)]
+    assert new == ["part-4.warc.gz"]
+
+
+def test_global_rank_and_ntile_match_window(spark):
+    """The distributed ranking operator must equal the single-partition
+    Window definition exactly, including the SQL NTILE remainder rule
+    (first N mod k buckets get the extra row) — checked at several N to
+    cover N % k = 0, 1, k-1 and N < k."""
+    from pyspark.sql import Window
+
+    from hadoop_map_reduce_spark.operators.ranking import (
+        with_global_ntile,
+        with_global_rank,
+    )
+
+    for n_rows in (3, 100, 101, 104, 105):
+        df = (
+            spark.range(n_rows)
+            .select(
+                F.col("id"),
+                (F.xxhash64(F.col("id")) % 97).alias("metric"),
+            )
+        )
+        order = [F.col("metric").asc(), F.col("id").asc()]
+        w = Window.orderBy(*order)
+        want = df.select(
+            "id",
+            F.row_number().over(w).alias("rank"),
+            F.ntile(5).over(w).cast("long").alias("bucket"),
+        ).collect()
+        got_rank = {
+            r["id"]: r["global_rank"]
+            for r in with_global_rank(df, order).collect()
+        }
+        got_tile = {
+            r["id"]: r["b"]
+            for r in with_global_ntile(df, order, 5, "b").collect()
+        }
+        for row in want:
+            assert got_rank[row["id"]] == row["rank"], n_rows
+            assert got_tile[row["id"]] == row["bucket"], n_rows
