@@ -753,3 +753,58 @@ def cosine_neardup_grid_blas(
         .cogroup(rep_b.groupBy("_kb1", "_kb2"))
         .applyInPandas(cell, schema="id_a long, id_b long, sim double")
     )
+
+
+def prefix_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    prefix_dims: int,
+    shortlist: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage Matryoshka-style retrieval: coarse top-``shortlist``
+    by cosine over the first ``prefix_dims`` dimensions, exact
+    full-dimension re-rank of the shortlist to top-``k``.
+
+    The MRL deployment pattern (Kusupati et al., "Matryoshka
+    Representation Learning", NeurIPS'22): the coarse pass reads
+    prefix_dims/dim of the vector bytes (at 100 TB the shortlist pass
+    is the only corpus-wide scan and it touches a fraction of each
+    vector; column pruning cannot help inside an array, so production
+    stores the prefix as its own column — same plan shape), and the
+    re-rank touches shortlist x n_queries full vectors, a
+    broadcast-sized set. Same (query_id, neighbor_id, rank, sim)
+    contract and determinism discipline (round-6 sim, neighbor-id tie
+    break) as cosine_topk."""
+    prefix = F.slice(F.col(vec_col), 1, prefix_dims)
+    coarse = cosine_topk(
+        corpus.withColumn(vec_col, prefix),
+        queries.withColumn(vec_col, prefix),
+        k=shortlist,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select("query_id", "neighbor_id")
+    cand = coarse.join(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cvec"),
+        ),
+        "neighbor_id",
+    )
+    qfull = queries.select(
+        F.col("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    sim = F.round(
+        cosine_similarity(F.col("_qvec"), F.col("_cvec")), 6
+    )
+    scored = cand.join(F.broadcast(qfull), "query_id").select(
+        "query_id", "neighbor_id", sim.alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= k)

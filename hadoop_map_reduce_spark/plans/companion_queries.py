@@ -1172,3 +1172,33 @@ def bpe_merge_table_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(r), lhs, rhs, int(n)) for r, lhs, rhs, n in merges],
         "rank long, lhs string, rhs string, pair_count long",
     )
+
+
+@register(
+    "mrl_prefix_recall_bound",
+    tags=("llm", "similarity", "sketch"),
+    description=(
+        "Boolean recall contract for two-stage Matryoshka-style "
+        "retrieval (operators/similarity.prefix_rerank_topk): coarse "
+        "top-100 over the first 32 of 64 dims, exact full-dim re-rank "
+        "to top-5; recall@5 vs brute force must be >= 0.62 (measured "
+        ".92/.96/.78 at sf0.001/0.01/0.1; bound = ~80% of floor). The "
+        "oracle pins (n_queries, k, recall_ok=TRUE)."
+    ),
+    oracle=_RECALL_ORACLE,
+)
+def mrl_prefix_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same harness as the other three ANN rungs; the operator under
+    test is the prefix-scan + re-rank pipeline itself (one
+    fractional-read corpus pass, broadcast-bounded re-rank)."""
+    from hadoop_map_reduce_spark.operators.similarity import (
+        cosine_topk,
+        prefix_rerank_topk,
+    )
+
+    emb, queries = _ann_query_set(spark, sf_dir)
+    exact = cosine_topk(emb, queries, k=5)
+    approx = prefix_rerank_topk(
+        emb, queries, k=5, prefix_dims=32, shortlist=100
+    )
+    return _recall_bound(approx, exact, queries, k=5, bound_ppm=620_000)

@@ -748,3 +748,130 @@ def graph_cc_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_changed_last_round"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_kcore_bounded (round-8): k-core peeling, unrolled round budget
+# ---------------------------------------------------------------------------
+
+_KCORE_ROUNDS = 8
+
+
+def _kcore_oracle() -> str:
+    rounds = []
+    for i in range(1, _KCORE_ROUNDS + 1):
+        rounds.append(f"""
+        d{i} AS MATERIALIZED (SELECT node, COUNT(*) AS d FROM (
+                     SELECT u AS node FROM e{i-1}
+                     UNION ALL SELECT v FROM e{i-1}) GROUP BY node),
+        k{i} AS MATERIALIZED (SELECT node FROM d{i}, kk WHERE d >= kk.k),
+        e{i} AS MATERIALIZED (SELECT e.u, e.v FROM e{i-1} e
+                 JOIN k{i} a ON a.node = e.u
+                 JOIN k{i} b ON b.node = e.v)""")
+    steps = ",".join(rounds)
+    return f"""
+        WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+        e0 AS MATERIALIZED (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM li a JOIN li b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey),
+        v0 AS (SELECT DISTINCT node FROM (
+                   SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)),
+        kk AS MATERIALIZED (SELECT CAST(2 * (SELECT COUNT(*) FROM e0)
+                           // (SELECT COUNT(*) FROM v0) AS BIGINT) AS k),
+        {steps}
+        SELECT (SELECT k FROM kk) AS k,
+               CAST((SELECT COUNT(*) FROM k{_KCORE_ROUNDS}) AS BIGINT)
+                   AS n_core_nodes,
+               CAST((SELECT COUNT(*) FROM e{_KCORE_ROUNDS}) AS BIGINT)
+                   AS n_core_edges,
+               CAST((SELECT COUNT(*) FROM k{_KCORE_ROUNDS - 1})
+                    - (SELECT COUNT(*) FROM k{_KCORE_ROUNDS}) AS BIGINT)
+                   AS n_removed_last_round
+    """
+
+
+@register(
+    "graph_kcore_bounded",
+    tags=("graph", "join", "aggregation"),
+    description=(
+        "k-core decomposition census (MATERIALIZED oracle CTEs — an "
+        "inlined 8-round unroll re-expands exponentially in any "
+        "engine) with k = floor(average degree) of "
+        "the co-purchase graph (self-scaling across SFs): 8 unrolled "
+        "peeling rounds (drop nodes with degree < k, drop their edges, "
+        "repeat); reports core size, core edges, and nodes removed in "
+        "the final round (0 = converged — partial convergence is "
+        "reported, never hidden)."
+    ),
+    oracle=_kcore_oracle(),
+)
+def graph_kcore_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each peeling round is one degree aggregate plus two semi-joins,
+    all keyed on node ids — the same narrow-integer shuffle shape as
+    graph_cc_bounded. Unlike CC (whose per-round tree references the
+    previous labels ONCE, growing linearly), a peeling round references
+    the previous edge set through the degree aggregate AND both
+    semi-join sides — unrolled naively the logical plan grows ~5^rounds
+    and analysis OOMs the driver. Each round therefore ends in an eager
+    ``localCheckpoint``: the materialized edge list (shrinking, ≤ the
+    initial edge count of 16-byte rows) becomes the next round's leaf,
+    keeping plan size constant — the iterative-refinement twin of the
+    pagerank persist pattern. The threshold is a 1-row broadcast
+    crossed into every round's filter; no scalar collects."""
+    edges = _copurchase_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    kk = edges.agg(F.count(F.lit(1)).alias("_e")).crossJoin(
+        nodes.agg(F.count(F.lit(1)).alias("_v"))
+    ).select(
+        F.floor(F.lit(2) * F.col("_e") / F.col("_v")).alias("k")
+    )
+    kk = kk.localCheckpoint(eager=True)  # 1 row; fixes k for all rounds
+    e = edges.localCheckpoint(eager=True)
+    prev_k = None
+    keep = None
+    for _ in range(_KCORE_ROUNDS):
+        prev_k = keep
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = (
+            deg.crossJoin(F.broadcast(kk))
+            .filter(F.col("d") >= F.col("k"))
+            .select("node")
+        )
+        e = (
+            e.join(
+                keep.select(F.col("node").alias("u")), "u", "left_semi"
+            )
+            .join(
+                keep.select(F.col("node").alias("v")), "v", "left_semi"
+            )
+            .localCheckpoint(eager=True)
+        )
+    n_final = keep.agg(F.count(F.lit(1)).alias("n_core_nodes"))
+    n_prev = (prev_k if prev_k is not None else nodes).agg(
+        F.count(F.lit(1)).alias("_n_prev")
+    )
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_core_edges"))
+    return (
+        kk.crossJoin(F.broadcast(n_final))
+        .crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(n_prev))
+        .select(
+            "k",
+            "n_core_nodes",
+            "n_core_edges",
+            (F.col("_n_prev") - F.col("n_core_nodes")).alias(
+                "n_removed_last_round"
+            ),
+        )
+    )

@@ -195,3 +195,62 @@ def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_files"),
         F.sum("n_chars").cast("long").alias("bin_bytes"),
     )
+
+
+@register(
+    "layout_zonemap_prune",
+    tags=("layout", "aggregation"),
+    description=(
+        "Zone-map pruning audit: documents chunked into 64-row 'row "
+        "groups' (doc_id // 64) with per-chunk min/max n_chars zone "
+        "maps; for the predicate n_chars >= 400, the census reports "
+        "per source how many chunks a zone-map-aware scan skips "
+        "entirely, reads fully, or must partially scan — the "
+        "statistics that decide whether a sort/cluster rewrite "
+        "(layout_zorder_clusters) pays for itself."
+    ),
+    oracle="""
+        WITH zones AS (
+            SELECT source, doc_id // 64 AS chunk_id,
+                   MIN(n_chars) AS zmin, MAX(n_chars) AS zmax,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM documents GROUP BY 1, 2)
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(CASE WHEN zmax < 400 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_skipped,
+               CAST(SUM(CASE WHEN zmin >= 400 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_full,
+               CAST(SUM(CASE WHEN zmax < 400 THEN n_rows ELSE 0 END)
+                    AS BIGINT) AS rows_skipped
+        FROM zones GROUP BY source
+    """,
+)
+def layout_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two narrow integer aggregations (chunk zone maps, then the
+    per-source rollup); this is the engine-side HALF of predicate
+    pushdown — parquet row-group statistics do exactly this inside the
+    scan, and the audit quantifies what the current physical layout
+    actually buys before anyone pays for a re-cluster."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    zones = docs.groupBy(
+        "source", (F.col("doc_id") / 64).cast("long").alias("chunk_id")
+    ).agg(
+        F.min("n_chars").alias("zmin"),
+        F.max("n_chars").alias("zmax"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    return zones.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(F.when(F.col("zmax") < 400, 1).otherwise(0))
+        .cast("long")
+        .alias("n_skipped"),
+        F.sum(F.when(F.col("zmin") >= 400, 1).otherwise(0))
+        .cast("long")
+        .alias("n_full"),
+        F.sum(F.when(F.col("zmax") < 400, F.col("n_rows")).otherwise(0))
+        .cast("long")
+        .alias("rows_skipped"),
+    )

@@ -1234,3 +1234,67 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("revenue_cents"),
     )
+
+
+@register(
+    "events_pattern_strict_seq",
+    tags=("timeseries", "window"),
+    description=(
+        "MATCH_RECOGNIZE-lite: strictly consecutive view -> click -> "
+        "purchase runs inside each user's event sequence (ts order, "
+        "event_id tie-break), counted per user and censused — the "
+        "adjacency-strict pattern the gapped funnel family "
+        "(events_funnel) deliberately does not cover."
+    ),
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LEAD(event_type, 1) OVER w AS e1,
+                   LEAD(event_type, 2) OVER w AS e2
+            FROM events
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY ts ASC, event_id ASC)),
+        hits AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_runs
+            FROM seq
+            WHERE event_type = 'view' AND e1 = 'click'
+              AND e2 = 'purchase'
+            GROUP BY user_id)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(n_runs) AS BIGINT) AS n_matches,
+               CAST(MAX(n_runs) AS BIGINT) AS max_runs_per_user
+        FROM hits
+    """,
+)
+def events_pattern_strict_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One user-partitioned window (two LEADs share the frame and the
+    sort), one small aggregate — the standard distributed shape for
+    adjacency patterns: state never leaves the per-user partition, so
+    the operator scales with the largest single user's history, not
+    the corpus."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e1"),
+        F.lead("event_type", 2).over(w).alias("e2"),
+    )
+    hits = (
+        seq.filter(
+            (F.col("event_type") == "view")
+            & (F.col("e1") == "click")
+            & (F.col("e2") == "purchase")
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_runs"))
+    )
+    return hits.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("n_runs").cast("long").alias("n_matches"),
+        F.max("n_runs").cast("long").alias("max_runs_per_user"),
+    )

@@ -28,6 +28,10 @@ from tests.oracle_utils import compare_query
         "events_cohort_ltv",
         "tokenizer_oov_census",
         "layout_compaction_plan",
+        "mrl_prefix_recall_bound",
+        "events_pattern_strict_seq",
+        "layout_zonemap_prune",
+        "graph_kcore_bounded",
     ],
 )
 def test_oracle_differential(spark, sf_dir, name):
