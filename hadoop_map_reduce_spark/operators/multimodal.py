@@ -505,6 +505,43 @@ def frame_sample(
     )
 
 
+def _frame_phashes(
+    media: DataFrame, every_n_bytes: int, max_frames: int
+) -> DataFrame:
+    """(_mid, _fno, phash) per sampled frame — the shared encode ->
+    perceptual_hash -> decode ride used by frame_hash_matches and
+    scene_cuts (r8 review: one copy of the id packing, not two).
+
+    Synthetic per-frame id rides through perceptual_hash's
+    (media_id, content) contract; decoded right back. pmod (not %,
+    which keeps the dividend's sign) + exact long subtraction/div make
+    the decode correct for negative media ids too; the only
+    precondition is no long overflow in media_id * max_frames
+    (|media_id| < 2^63 / max_frames — every real id scheme). Frames
+    shorter than 2 bytes cannot carry a bigram profile and are
+    excluded (their hash-0 would otherwise alias across media)."""
+    frames = frame_sample(media, every_n_bytes, max_frames).filter(
+        F.length("frame") >= 2
+    )
+    fr = frames.select(
+        (F.col("media_id") * max_frames + F.col("frame_no")).alias(
+            "media_id"
+        ),
+        "modality",
+        F.col("frame").alias("content"),
+    )
+    # long `div`, not `/` (double division rounds above 2^53)
+    return perceptual_hash(fr).select(
+        F.expr(
+            f"(media_id - pmod(media_id, {max_frames})) div {max_frames}"
+        ).alias("_mid"),
+        F.pmod(F.col("media_id"), F.lit(max_frames))
+        .cast("long")
+        .alias("_fno"),
+        "phash",
+    )
+
+
 def frame_hash_matches(
     media: DataFrame,
     every_n_bytes: int = 128,
@@ -535,37 +572,14 @@ def frame_hash_matches(
     pair per partner frame — the postings-join semantics).
 
     Frames shorter than 2 bytes cannot carry a bigram profile and are
-    excluded (their hash-0 would otherwise alias across media).
+    excluded (see _frame_phashes).
     """
     from hadoop_map_reduce_spark.operators.caching import cache_one_slot
 
-    frames = frame_sample(media, every_n_bytes, max_frames).filter(
-        F.length("frame") >= 2
+    h = cache_one_slot(
+        _frame_phashes(media, every_n_bytes, max_frames),
+        "frame_hash_matches",
     )
-    # Synthetic per-frame id rides through perceptual_hash's
-    # (media_id, content) contract; decoded right back below. pmod (not
-    # %, which keeps the dividend's sign) + exact long subtraction/div
-    # make the decode correct for negative media ids too; the only
-    # precondition is no long overflow in media_id * max_frames
-    # (|media_id| < 2^63 / max_frames — every real id scheme).
-    fr = frames.select(
-        (F.col("media_id") * max_frames + F.col("frame_no")).alias(
-            "media_id"
-        ),
-        "modality",
-        F.col("frame").alias("content"),
-    )
-    # long `div`, not `/` (double division rounds above 2^53)
-    h = perceptual_hash(fr).select(
-        F.expr(
-            f"(media_id - pmod(media_id, {max_frames})) div {max_frames}"
-        ).alias("_mid"),
-        F.pmod(F.col("media_id"), F.lit(max_frames))
-        .cast("long")
-        .alias("_fno"),
-        "phash",
-    )
-    h = cache_one_slot(h, "frame_hash_matches")
     hot = (
         h.groupBy("phash")
         .agg(F.countDistinct("_mid").alias("_nd"))
@@ -745,3 +759,47 @@ def audio_energy(media: DataFrame, window: int = 256) -> DataFrame:
             )
 
     return media.mapInPandas(batches, AUDIO_ENERGY_SCHEMA)
+
+
+def scene_cuts(
+    media: DataFrame,
+    every_n_bytes: int = 128,
+    max_frames: int = 8,
+    max_hamming: int = 18,
+) -> DataFrame:
+    """Video scene segmentation over frame fingerprints: a scene
+    boundary wherever consecutive frames' perceptual hashes differ by
+    more than ``max_hamming`` bits (the standard shot-cut heuristic —
+    adjacent frames within a shot share their hash neighborhood).
+
+    Returns ``(media_id, n_frames, n_scenes, longest_scene)``. Same
+    bounded fan-out as ``frame_hash_matches`` (frames per media capped
+    by ``max_frames``; the same synthetic-id ride through
+    ``perceptual_hash``); the segmentation itself is one media-
+    partitioned window (lag + running cut-sum) and one aggregate —
+    state never leaves the per-media partition, so the operator scales
+    with the longest single video, not the corpus."""
+    from pyspark.sql.window import Window
+
+    h = _frame_phashes(media, every_n_bytes, max_frames)
+    w = Window.partitionBy("_mid").orderBy("_fno")
+    prev = F.lag("phash").over(w)
+    is_cut = F.when(
+        prev.isNull()
+        | (F.bit_count(F.col("phash").bitwiseXOR(prev)) > max_hamming),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    seg = h.select(
+        "_mid",
+        F.sum(is_cut).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("scene_id"),
+    )
+    per_scene = seg.groupBy("_mid", "scene_id").agg(
+        F.count(F.lit(1)).alias("_sl")
+    )
+    return per_scene.groupBy(F.col("_mid").alias("media_id")).agg(
+        F.sum("_sl").cast("long").alias("n_frames"),
+        F.count(F.lit(1)).cast("long").alias("n_scenes"),
+        F.max("_sl").cast("long").alias("longest_scene"),
+    )

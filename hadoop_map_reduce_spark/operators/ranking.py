@@ -36,14 +36,40 @@ def with_global_rank(
 ) -> DataFrame:
     """``df`` plus an exact 1-based global rank over ``order`` (which
     must be a total order — add a unique tie-break), computed without
-    any single-partition exchange."""
+    any single-partition exchange.
+
+    The partition-id'd rows are eagerly ``localCheckpoint``ed before
+    fanning out to the offsets subtree and the probe subtree:
+    ``repartitionByRange`` samples its boundaries with a seed that
+    involves the materialization's RDD id, so if the two consumers
+    ever materialized the exchange independently (exchange reuse
+    disabled, or a future plan divergence), their ``_pid`` assignments
+    could disagree and the offsets would silently misalign. The
+    barrier pins ONE partition assignment for both consumers —
+    correctness by construction, not by optimizer courtesy. The
+    checkpointed set is the ranking input (e.g. a per-user table), not
+    the raw fact table."""
+    ranked, _ = _ranked_with_counts(df, order, out)
+    return ranked
+
+
+def _ranked_with_counts(
+    df: DataFrame, order: Sequence[Column], out: str
+) -> tuple[DataFrame, DataFrame]:
+    """(ranked rows, ≤P-row per-partition counts) — the counts are
+    exposed so NTILE's total comes from a bounded aggregate instead of
+    re-counting the ranked stream."""
     cols = list(df.columns)
     rp = df.repartitionByRange(_RANGE_PARTS, *order)
-    local = rp.select(
-        *cols, F.spark_partition_id().alias("_pid")
-    ).withColumn(
-        "_lrank",
-        F.row_number().over(Window.partitionBy("_pid").orderBy(*order)),
+    local = (
+        rp.select(*cols, F.spark_partition_id().alias("_pid"))
+        .withColumn(
+            "_lrank",
+            F.row_number().over(
+                Window.partitionBy("_pid").orderBy(*order)
+            ),
+        )
+        .localCheckpoint(eager=True)
     )
     counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
     a, b = counts.alias("a"), counts.alias("b")
@@ -56,10 +82,10 @@ def with_global_rank(
             F.coalesce(F.sum("b._cnt"), F.lit(0)).alias("_off")
         )
     )
-    ranked = local.join(F.broadcast(offsets), "_pid")
-    return ranked.select(
+    ranked = local.join(F.broadcast(offsets), "_pid").select(
         *cols, (F.col("_off") + F.col("_lrank")).alias(out)
     )
+    return ranked, counts
 
 
 def with_global_ntile(
@@ -74,8 +100,8 @@ def with_global_ntile(
     first ``N mod n`` buckets hold ``ceil(N/n)`` rows, the rest
     ``floor(N/n)``."""
     cols = list(df.columns)
-    ranked = with_global_rank(df, order, "_grank")
-    total = ranked.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+    ranked, counts = _ranked_with_counts(df, order, "_grank")
+    total = counts.groupBy().agg(F.sum("_cnt").alias("_n"))
     q = F.floor(F.col("_n") / n)
     r = F.col("_n") % n
     rank = F.col("_grank")

@@ -236,7 +236,8 @@ def layout_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "doc_id", "n_chars"
     )
     zones = docs.groupBy(
-        "source", (F.col("doc_id") / 64).cast("long").alias("chunk_id")
+        "source",
+        F.floor(F.col("doc_id") / 64).cast("long").alias("chunk_id"),
     ).agg(
         F.min("n_chars").alias("zmin"),
         F.max("n_chars").alias("zmax"),

@@ -655,3 +655,112 @@ def sample_reservoir_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_scene_cuts (round-8): video scene segmentation census
+# ---------------------------------------------------------------------------
+#
+# The frame->phash CTE chain below is the SAME spec text as the
+# multimodal_frame_hash_matches oracle (llm_queries.py — 128-byte
+# frames, byte-bigram histogram gradient); duplicated verbatim rather
+# than shared so that editing one oracle can never silently re-enter
+# the other's driver verdict. The cut threshold (hamming > 18) sits at
+# the adjacent-frame distance median of this corpus (measured 6..31,
+# median ~18), so the census genuinely splits.
+
+
+@register(
+    "multimodal_scene_cuts",
+    tags=("llm", "multimodal", "window"),
+    description=(
+        "Video scene segmentation: per-frame perceptual hashes, a "
+        "scene boundary where consecutive frames differ by more than "
+        "18 bits (operators/multimodal.scene_cuts); census per media "
+        "of frames, scenes, and the longest scene."
+    ),
+    oracle="""
+        WITH fr AS (
+            SELECT doc_id, j, substring(text, j * 128 + 1, 128) AS f
+            FROM (
+                SELECT doc_id, text,
+                       unnest(generate_series(0, CAST(GREATEST(LEAST(
+                           CEIL(length(text) / 128.0) - 1, 7), 0)
+                           AS BIGINT))) AS j
+                FROM documents
+            )
+        ),
+        fr2 AS (SELECT doc_id, j, f FROM fr WHERE length(f) >= 2),
+        buck AS (
+            SELECT doc_id, j,
+                   (ord(substring(f, p, 1)) * 30
+                    + ord(substring(f, p + 1, 1))) % 64 AS k
+            FROM (
+                SELECT doc_id, j, f,
+                       unnest(generate_series(1, length(f) - 1)) AS p
+                FROM fr2
+            )
+        ),
+        cnt AS (
+            SELECT doc_id, j, k, COUNT(*) AS c FROM buck GROUP BY 1, 2, 3
+        ),
+        grid AS (
+            SELECT d.doc_id, d.j, i.i, COALESCE(cnt.c, 0) AS c
+            FROM (SELECT doc_id, j FROM fr2) d
+            CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) i
+            LEFT JOIN cnt ON cnt.doc_id = d.doc_id AND cnt.j = d.j
+                         AND cnt.k = i.i
+        ),
+        h AS (
+            SELECT g1.doc_id, g1.j,
+                   CAST(SUM(CASE WHEN g1.c > g2.c
+                                 THEN (CAST(1 AS BIGINT) << g1.i)
+                                 ELSE 0 END) AS BIGINT) AS phash
+            FROM grid g1
+            JOIN grid g2 ON g2.doc_id = g1.doc_id AND g2.j = g1.j
+                        AND g2.i = g1.i + 1
+            WHERE g1.i < 63
+            GROUP BY 1, 2
+        ),
+        lagd AS (
+            SELECT doc_id, j, phash,
+                   LAG(phash) OVER (PARTITION BY doc_id ORDER BY j)
+                       AS prev
+            FROM h),
+        cut AS (
+            SELECT doc_id, j,
+                   CASE WHEN prev IS NULL
+                             OR bit_count(xor(phash, prev)) > 18
+                        THEN 1 ELSE 0 END AS is_cut
+            FROM lagd),
+        seg AS (
+            SELECT doc_id,
+                   SUM(is_cut) OVER (PARTITION BY doc_id ORDER BY j)
+                       AS scene_id
+            FROM cut),
+        per_scene AS (
+            SELECT doc_id, scene_id, COUNT(*) AS sl
+            FROM seg GROUP BY 1, 2)
+        SELECT doc_id AS media_id,
+               CAST(SUM(sl) AS BIGINT) AS n_frames,
+               CAST(COUNT(*) AS BIGINT) AS n_scenes,
+               CAST(MAX(sl) AS BIGINT) AS longest_scene
+        FROM per_scene GROUP BY 1
+    """,
+)
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded fan-out (max 8 frames/media), one media-partitioned
+    window, two narrow aggregates — per-media state only. At 100 TB of
+    video this is the shot-boundary pass that precedes per-scene
+    sampling and dedup; the real pixel decoder slots into
+    perceptual_hash's use_real_decoder leg without changing this
+    plan."""
+    from hadoop_map_reduce_spark.operators.multimodal import (
+        scene_cuts,
+        with_binary_content,
+    )
+
+    media = with_binary_content(load_table(spark, sf_dir, "documents"))
+    return scene_cuts(
+        media, every_n_bytes=128, max_frames=8, max_hamming=18
+    )

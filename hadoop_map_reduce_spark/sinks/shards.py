@@ -162,9 +162,28 @@ def write_training_shards(
     manifest.write.mode("overwrite").parquet(
         os.path.join(out_dir, "_manifest")
     )
+    committed = docs.sparkSession.read.parquet(
+        os.path.join(out_dir, "_manifest")
+    )
+    # Overwrite discipline (the WARC writer's rule, r8 review finding):
+    # a previous run's shards not named in THIS manifest are stale —
+    # without this sweep, a rerun over a smaller/renamed corpus would
+    # commit a _SUCCESS over a directory whose glob returns phantom
+    # docs from the earlier run. Deletion happens only after the new
+    # manifest is durable, so a failed run never destroys the previous
+    # committed artifact.
+    keep = {r["file"] for r in committed.select("file").collect()}
+    if os.path.isdir(out_dir):
+        for name in os.listdir(out_dir):
+            if (
+                name.startswith("shard-")
+                and name.endswith(".txt.gz")
+                and name not in keep
+            ):
+                os.remove(os.path.join(out_dir, name))
     with open(os.path.join(out_dir, "_SUCCESS"), "w"):
         pass
-    return docs.sparkSession.read.parquet(os.path.join(out_dir, "_manifest"))
+    return committed
 
 
 def read_training_shards(spark, out_dir: str) -> DataFrame:

@@ -356,9 +356,20 @@ class WarcStreamReader(DataSourceStreamReader):
     exactly the unprocessed archives and never re-emits committed ones.
     ``maxFilesPerTrigger`` caps admission per micro-batch (arrival
     order = lexicographic path order, matching Common Crawl's
-    timestamped archive names). At 100 TB the offset list is the
-    analogue of the file-source's compacted log: O(archives), metadata
-    only, never payload bytes.
+    timestamped archive names), EXCEPT the instance's first trigger,
+    which admits the full backlog to keep offsets monotonic across
+    restarts (see the invariant note in ``__init__``). At 100 TB the
+    offset list is the analogue of the file-source's compacted log:
+    O(archives), metadata only, never payload bytes.
+
+    Preconditions (both shared with Spark's own file stream source):
+    archives must be written atomically (write to a temp name, rename
+    in) — ``skipCorrupt`` on a STREAM would otherwise turn a
+    half-written archive into a permanent silent skip, because the
+    file is admitted into the committed offset by name and never
+    re-read; without ``skipCorrupt`` a truncated archive fails the
+    batch and is retried, which is the safe default. And archives must
+    never be deleted from a live source directory.
     """
 
     def __init__(self, options: dict):
@@ -376,14 +387,21 @@ class WarcStreamReader(DataSourceStreamReader):
         # Admission high-water mark. The Python API's latestOffset()
         # takes no start argument, so the cap is applied against the
         # last offset THIS instance saw: offsets it returned, plus the
-        # checkpointed start offsets observed via partitions(). After a
-        # checkpoint restart the first capped latestOffset() may admit
-        # only already-committed archives (empty diff, an idle
-        # micro-batch); partitions() then teaches the instance the
-        # committed offset and the next trigger admits genuinely new
-        # archives. No archive is ever re-read either way — the diff
-        # against the checkpointed start is what plans partitions.
+        # checkpointed start offsets observed via partitions().
+        #
+        # Monotonicity invariant: every offset this reader returns must
+        # be a SUPERSET of any offset the engine may have committed.
+        # A capped latestOffset() on a FRESH instance would violate it
+        # (it doesn't know the checkpoint yet, and the engine durably
+        # logs the regressed end BEFORE partitions() runs — the next
+        # batch would then re-emit the difference as duplicates), so
+        # the first call of each instance returns the full glob,
+        # uncapped; maxFilesPerTrigger throttles from the second
+        # trigger on. Archives must never be deleted from a live
+        # source directory (the same invariant Spark's file source
+        # imposes).
         self._known: set[str] = set()
+        self._first_call = True
 
     def initialOffset(self) -> dict:
         return {"files": []}
@@ -394,8 +412,9 @@ class WarcStreamReader(DataSourceStreamReader):
             for p in sorted(glob.glob(self.pattern))
             if p not in self._known
         ]
-        if self.max_files > 0:
+        if self.max_files > 0 and not self._first_call:
             new = new[: self.max_files]
+        self._first_call = False
         self._known |= set(new)
         return {"files": sorted(self._known)}
 

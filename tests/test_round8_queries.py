@@ -32,6 +32,7 @@ from tests.oracle_utils import compare_query
         "events_pattern_strict_seq",
         "layout_zonemap_prune",
         "graph_kcore_bounded",
+        "multimodal_scene_cuts",
     ],
 )
 def test_oracle_differential(spark, sf_dir, name):
@@ -232,10 +233,12 @@ def test_warc_stream_incremental_replay(spark, tmp_path):
 
 
 def test_warc_stream_admission_cap(tmp_path):
-    """maxFilesPerTrigger admission control at the offset level: files
-    are admitted in lexicographic order, at most N per latestOffset
-    call, and a restarted reader learns the committed offset from
-    partitions() so progress resumes past it."""
+    """maxFilesPerTrigger admission control at the offset level: the
+    first latestOffset of an instance is UNCAPPED (offsets must be a
+    superset of anything previously committed — a capped first offset
+    on a restarted reader would regress the checkpoint and re-emit
+    committed archives); subsequent calls admit at most N new files in
+    lexicographic order."""
     from hadoop_map_reduce_spark.sources.warc import WarcStreamReader
 
     for i in range(5):
@@ -246,29 +249,29 @@ def test_warc_stream_admission_cap(tmp_path):
     }
     r = WarcStreamReader(opts)
     assert r.initialOffset() == {"files": []}
+    # first call: full backlog, cap not applied
     o1 = r.latestOffset()
-    assert [p.rsplit("/", 1)[1] for p in o1["files"]] == [
-        "part-0.warc.gz",
-        "part-1.warc.gz",
-    ]
+    assert len(o1["files"]) == 5
+    # steady state: cap applies to NEW arrivals only
+    for i in range(5, 9):
+        (tmp_path / f"part-{i}.warc.gz").write_bytes(b"")
     o2 = r.latestOffset()
-    assert len(o2["files"]) == 4
+    assert len(o2["files"]) == 7
     parts = r.partitions(o1, o2)
     assert sorted(p.path.rsplit("/", 1)[1] for p in parts) == [
-        "part-2.warc.gz",
-        "part-3.warc.gz",
+        "part-5.warc.gz",
+        "part-6.warc.gz",
     ]
-    # checkpoint restart: a FRESH reader's first capped latestOffset may
-    # admit only committed files (idle batch), but partitions() teaches
-    # it the committed offset and the next trigger advances.
+    # restart: a FRESH reader's first offset covers everything on disk,
+    # so it can never regress below the committed offset o2; the diff
+    # vs the checkpoint is exactly the unprocessed archives.
     r2 = WarcStreamReader(opts)
     o3 = r2.latestOffset()
-    assert r2.partitions(o2, o3) == [] or all(
-        p.path in o2["files"] for p in r2.partitions(o2, o3)
+    assert set(o3["files"]) >= set(o2["files"])
+    new = sorted(
+        p.path.rsplit("/", 1)[1] for p in r2.partitions(o2, o3)
     )
-    o4 = r2.latestOffset()
-    new = [p.path.rsplit("/", 1)[1] for p in r2.partitions(o2, o4)]
-    assert new == ["part-4.warc.gz"]
+    assert new == ["part-7.warc.gz", "part-8.warc.gz"]
 
 
 def test_global_rank_and_ntile_match_window(spark):
@@ -309,3 +312,29 @@ def test_global_rank_and_ntile_match_window(spark):
         for row in want:
             assert got_rank[row["id"]] == row["rank"], n_rows
             assert got_tile[row["id"]] == row["bucket"], n_rows
+
+
+def test_shard_overwrite_clears_stale_files(spark, tmp_path):
+    """Rerunning the sink over a smaller corpus must not leave phantom
+    shards from the previous run behind the new _SUCCESS (r8 review
+    finding: the WARC writer's overwrite discipline, applied here)."""
+    from hadoop_map_reduce_spark.sinks.shards import (
+        read_training_shards,
+        write_training_shards,
+    )
+
+    out = str(tmp_path / "shards")
+
+    def mkdocs(n, source):
+        return spark.range(n).selectExpr(
+            "id AS doc_id",
+            "concat('doc ', id) AS text",
+            f"'{source}' AS source",
+            "CAST(2 AS LONG) AS n_tokens",
+        )
+
+    write_training_shards(mkdocs(40, "a"), out, max_tokens_per_shard=4)
+    write_training_shards(mkdocs(4, "b"), out, max_tokens_per_shard=4)
+    back = read_training_shards(spark, out)
+    assert back.count() == 4
+    assert [r["source"] for r in back.select("source").distinct().collect()] == ["b"]
