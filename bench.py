@@ -126,6 +126,18 @@ def main() -> None:
 
     # JVM/codegen warmup so the first timed query isn't paying startup.
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    # Page-cache warmup: the bench MEASURES warm-input query time (the
+    # methodology every BASELINE pin uses). Without this, a dropped
+    # page cache inflates I/O-heavy queries while the no-I/O CPU probe
+    # still reads idle-class — observed r8: 41.8 s total with 6 false
+    # "regressions" at calibration 0.717, vs 21.3 s clean minutes
+    # earlier. Reading the input bytes once (~100 MB at sf0.1) removes
+    # cold-disk state from the measurement by construction.
+    for fname in sorted(os.listdir(sf_dir)):
+        if fname.endswith(".parquet"):
+            with open(os.path.join(sf_dir, fname), "rb") as fh:
+                while fh.read(1 << 24):
+                    pass
     _calibration(spark)  # untimed warmup for the probe itself
     calibration_sec, calibration_runs = _median_of_3(
         lambda: _calibration(spark)
