@@ -162,3 +162,153 @@ def cluster_retention(
             .alias("action"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Log-round connected components (large-star / small-star)
+# ---------------------------------------------------------------------------
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star operation (Kiveris et al., "Connected Components
+    in MapReduce and Beyond", SoCC'14, Alg. 2): every node connects its
+    strictly-larger neighbors to the minimum of its closed neighborhood.
+    One shuffle for the per-node min, one equi-join to emit."""
+    nbrs = edges.select("u", "v").unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = nbrs.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("_m")
+    )
+    return (
+        nbrs.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        # v > u >= m, so the emitted pair is never a self-loop.
+        .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star operation: every node connects its
+    smaller-or-equal neighbors (and itself) to the minimum of that set.
+    Same narrow two-shuffle shape as :func:`_large_star`."""
+    canon = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct()
+    mins = canon.groupBy("u").agg(F.min("v").alias("_m"))
+    return (
+        canon.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+        .unionAll(mins.select("u", F.col("_m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components_loground(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 64,
+) -> tuple[DataFrame, int]:
+    """Connected components in O(log n) rounds via alternating
+    large-star / small-star (Kiveris et al., SoCC'14) — the 100-TB
+    replacement for min-label propagation, whose round count is the
+    graph DIAMETER (:func:`connected_components`; a 3000-node path
+    needs 3000 rounds there and ~a dozen here).
+
+    Returns ``(labels, n_rounds)``: labels is (node, component) with
+    component = min node id of the component; ``nodes`` (a one-column
+    ``node`` frame, optional) contributes isolated vertices as their
+    own singleton components. Raises ``RuntimeError`` if the edge set
+    is still changing after ``max_rounds`` pair-rounds.
+
+    Scale shape: each round is two grouped mins + two equi-joins, all
+    keyed on 8-byte node ids; the edge set never grows beyond the input
+    (large-star emits one pair per directed neighbor above the pivot,
+    small-star contracts toward star forests) and each round ends in an
+    eager ``localCheckpoint`` so the plan stays constant-size — the
+    ``graph_kcore_bounded`` discipline. Convergence is detected from a
+    1-row canonical checksum of the checkpointed round result (bounded
+    scalar collect), so no round executes twice and a representation
+    change can never masquerade as progress.
+    """
+    edges = pairs.select(
+        F.col(id_a).cast("long").alias("u"),
+        F.col(id_b).cast("long").alias("v"),
+    ).filter(F.col("u") != F.col("v"))
+    star, release = local_checkpoint(edges)
+    prev_chk: tuple | None = None
+    try:
+        for rounds in range(1, max_rounds + 1):
+            nxt, next_release = local_checkpoint(
+                _small_star(_large_star(star))
+            )
+            release()
+            release = next_release
+            star = nxt
+            # pmod bounds each summand so the ANSI-mode long SUM can
+            # never overflow (the bench-calibration pattern): 2^31-ish
+            # entropy per edge x two independent hashes — a silent
+            # collision across rounds is ~2^-62 per comparison.
+            chk = tuple(
+                star.agg(
+                    F.count(F.lit(1)),
+                    F.sum(
+                        F.pmod(
+                            F.xxhash64(
+                                F.least("u", "v"),
+                                F.greatest("u", "v"),
+                            ),
+                            F.lit(2_147_483_629),
+                        )
+                    ),
+                    F.sum(
+                        F.pmod(
+                            F.xxhash64(
+                                F.greatest("u", "v"),
+                                F.least("u", "v"),
+                                F.lit(13),
+                            ),
+                            F.lit(2_147_483_629),
+                        )
+                    ),
+                ).first()
+            )
+            if chk == prev_chk:
+                break
+            prev_chk = chk
+        else:
+            raise RuntimeError(
+                f"connected_components_loground did not converge in "
+                f"{max_rounds} rounds; raise max_rounds"
+            )
+        # Converged star forest: every non-root appears exactly once as
+        # u pointing at its component min; roots appear only as v.
+        children = star.select(
+            F.col("u").alias("node"), F.col("v").alias("component")
+        )
+        roots = (
+            star.select(F.col("v").alias("node"))
+            .distinct()
+            .withColumn("component", F.col("node"))
+        )
+        labels = children.unionAll(roots)
+        if nodes is not None:
+            isolated = (
+                nodes.select(F.col("node").cast("long").alias("node"))
+                .join(labels, "node", "left_anti")
+                .withColumn("component", F.col("node"))
+            )
+            labels = labels.unionAll(isolated)
+        # The final checkpoint backs the returned labels; hand the
+        # caller nothing to release (session-lifetime blocks are the
+        # price of a lazily-consumed result, same as
+        # connected_components' final iteration).
+        release = None
+        return labels, rounds
+    finally:
+        if release is not None:
+            release()

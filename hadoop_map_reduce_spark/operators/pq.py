@@ -307,3 +307,263 @@ def pq_topk_adc(
     return exact.withColumn(
         "rank", F.row_number().over(w2).cast("long")
     ).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composition (round-9, VERDICT r8 #5): the billion-vector
+# production layout — IVF coarse cells with shared PQ residual codebooks
+# (Jégou et al., TPAMI 2011, §V "IVFADC"), probe + ADC + exact re-rank.
+# ---------------------------------------------------------------------------
+
+
+def _nearest_cell(vec: Column, centroids: list[list[float]]) -> Column:
+    """Index of the nearest coarse centroid by squared L2 (ties to the
+    lower cell) — the struct-argsort argmin device over literal
+    centroids; one shuffle-free expression."""
+    scored = []
+    for i, cent in enumerate(centroids):
+        cvec = F.array(*[F.lit(x) for x in cent])
+        d2 = F.aggregate(
+            F.zip_with(vec, cvec, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        scored.append(F.struct(d2.alias("d"), F.lit(i).alias("cell")))
+    return F.array_sort(F.array(*scored))[0]["cell"]
+
+
+def ivfpq_coarse_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Deterministic coarse-quantizer centroids: the ``n_cells``
+    corpus vectors with the smallest ``xxhash64(id)`` — the identical
+    bounded-sample device ``similarity.ivf_topk`` uses, stable across
+    runs and partitionings."""
+    rows = (
+        corpus.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        .orderBy(F.xxhash64(F.col("_id").cast("string")), F.col("_id"))
+        .limit(n_cells)
+        .collect()
+    )
+    return [list(r["_v"]) for r in rows]
+
+
+def ivfpq_train_codebooks(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    m: int = 8,
+    ksub: int = 16,
+    n_iter: int = 3,
+    train_rows: int = 4096,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Train the SHARED residual codebooks (one codebook set across all
+    cells — the standard IVFADC memory/accuracy trade): a deterministic
+    bounded sample is cell-assigned IN SPARK (no driver replay of the
+    argmin), residuals ``v - c_cell`` are formed driver-side on the
+    collected sample, and ``_lloyd_driver`` runs the exact bit-pinned
+    Lloyd arithmetic per subspace. Training cost is fixed at any corpus
+    scale (``train_rows`` caps the collect); encode/search stay fully
+    distributed."""
+    dim = len(centroids[0])
+    if dim % m != 0:
+        raise ValueError("dim must divide into m equal subspaces")
+    dsub = dim // m
+    vec = F.col(vec_col).cast("array<double>")
+    sample = (
+        corpus.select(F.col(id_col).alias("_id"), vec.alias("_v"))
+        .orderBy(F.xxhash64(F.col("_id").cast("string")), F.col("_id"))
+        .limit(train_rows)
+        .withColumn("_cell", _nearest_cell(F.col("_v"), centroids))
+    )
+    collected = [
+        (r["_id"], list(r["_v"]), int(r["_cell"]))
+        for r in sample.collect()
+    ]
+    resids = [
+        (i, [x - c for x, c in zip(v, centroids[cell])])
+        for i, v, cell in collected
+    ]
+    return [
+        _lloyd_driver(
+            [(i, r[j * dsub : (j + 1) * dsub]) for i, r in resids],
+            ksub,
+            n_iter,
+        )
+        for j in range(m)
+    ]
+
+
+def ivfpq_encode(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode the corpus as ``(pq_id, cell, pq_codes)`` — the
+    billion-vector layout: an INT cell id plus one packed long of ``m``
+    nibble codes quantizing the RESIDUAL ``v - c_cell`` against the
+    shared codebooks (~20 B a row regardless of dimensionality; the
+    floats can be dropped from the hot path after this one scan).
+
+    Pure Column arithmetic against literal centroids/codebooks —
+    shuffle-free, whole-stage-codegen, no Python in the scan."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    vec = F.col(vec_col).cast("array<double>")
+    cell = _nearest_cell(vec, centroids)
+    cent_lit = F.array(
+        *[F.array(*[F.lit(x) for x in c]) for c in centroids]
+    )
+    resid = F.zip_with(
+        vec,
+        F.element_at(cent_lit, (cell + 1).cast("int")),
+        lambda a, b: a - b,
+    )
+    packed = F.lit(0).cast("long")
+    for j, book in enumerate(codebooks):
+        sub = F.slice(resid, j * dsub + 1, dsub)
+        packed = packed + F.shiftleft(
+            _nearest_code(sub, book).cast("long"), CODE_BITS * j
+        )
+    return corpus.select(
+        F.col(id_col).alias("pq_id"),
+        cell.cast("int").alias("cell"),
+        packed.alias("pq_codes"),
+    )
+
+
+def ivfpq_topk_adc(
+    encoded: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    n_probe: int = 4,
+    refine: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVFADC top-k: probe the ``n_probe`` nearest cells per query,
+    score only THOSE cells' packed codes by ``<q, c_cell> + Σ_j
+    LUT[j][code_j]`` (the residual decomposition of the inner product),
+    keep the per-query top ``k * refine``, re-rank exactly by cosine.
+
+    Scale shape — the piece neither rung had alone: candidate
+    generation is an EQUI-JOIN on the cell id (the IVF cut: roughly
+    ``n_probe/n_cells`` of the corpus is ever scored), and the scored
+    side reads only the ~20-byte code rows (the PQ cut: no floats in
+    the scan). The query side broadcasts its per-query ``m*ksub`` LUT
+    and per-probe coarse inner product; the candidate cut is a
+    WindowGroupLimit, never a single-partition sort; only ``k*refine``
+    rows a query rejoin the float corpus for the exact re-rank. Recall
+    < 1 by construction — pinned by the ``ivfpq_recall_bound``
+    contract; returned sims are exact (re-ranked)."""
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    qvec = F.col(vec_col).cast("array<double>")
+
+    # Per-query probe list: n_probe nearest cells by squared L2 (the
+    # assignment metric), each carrying its coarse term <q, c_cell>.
+    cell_structs = []
+    for i, cent in enumerate(centroids):
+        cvec = F.array(*[F.lit(x) for x in cent])
+        d2 = F.aggregate(
+            F.zip_with(qvec, cvec, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        coarse = F.aggregate(
+            F.zip_with(qvec, cvec, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cell_structs.append(
+            F.struct(
+                d2.alias("d"),
+                F.lit(i).alias("cell"),
+                coarse.alias("coarse"),
+            )
+        )
+    probes = F.slice(F.array_sort(F.array(*cell_structs)), 1, n_probe)
+
+    # Shared-codebook LUT: entry j*ksub + c = <q_j, codebook_j[c]> —
+    # cell-independent because codebooks quantize residuals against
+    # one shared set (the IVFADC trade).
+    lut_entries = []
+    for j, book in enumerate(codebooks):
+        sub = F.slice(qvec, j * dsub + 1, dsub)
+        for cent in book:
+            cvec = F.array(*[F.lit(x) for x in cent])
+            lut_entries.append(
+                F.aggregate(
+                    F.zip_with(sub, cvec, lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("_qid"),
+            qvec.alias("_qvec"),
+            F.array(*lut_entries).alias("_lut"),
+            F.explode(probes).alias("_p"),
+        )
+        .select(
+            "_qid",
+            "_qvec",
+            "_lut",
+            F.col("_p.cell").cast("int").alias("cell"),
+            F.col("_p.coarse").alias("_coarse"),
+        )
+    )
+
+    codes = F.col("pq_codes")
+    approx = F.col("_coarse")
+    for j in range(m):
+        approx = approx + F.element_at(
+            F.col("_lut"),
+            (F.lit(j * ksub) + _code_at(codes, j) + F.lit(1)).cast(
+                "int"
+            ),
+        )
+    scored = encoded.join(F.broadcast(q), "cell").select(
+        "_qid",
+        "_qvec",
+        F.col("pq_id").alias("neighbor_id"),
+        approx.alias("_approx"),
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("neighbor_id") != F.col("_qid"))
+    w = Window.partitionBy("_qid").orderBy(
+        F.col("_approx").desc(), F.col("neighbor_id").asc()
+    )
+    cands = scored.withColumn("_rk", F.row_number().over(w)).filter(
+        F.col("_rk") <= k * refine
+    )
+    cvecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cvec"),
+    )
+    sim = F.round(cosine_similarity(F.col("_qvec"), F.col("_cvec")), 6)
+    exact = cands.join(cvecs, "neighbor_id").select(
+        F.col("_qid").alias("query_id"), "neighbor_id", sim.alias("sim")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return exact.withColumn(
+        "rank", F.row_number().over(w2).cast("long")
+    ).filter(F.col("rank") <= k)

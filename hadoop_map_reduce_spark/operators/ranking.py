@@ -101,15 +101,21 @@ def with_global_ntile(
     ``floor(N/n)``."""
     cols = list(df.columns)
     ranked, counts = _ranked_with_counts(df, order, "_grank")
-    total = counts.groupBy().agg(F.sum("_cnt").alias("_n"))
-    q = F.floor(F.col("_n") / n)
-    r = F.col("_n") % n
+    # Long `div`, not `/` — double division rounds above 2^53 rows,
+    # which would misbucket on a 100-TB input (the _frame_phashes
+    # discipline; r8 review finding).
+    total = counts.groupBy().agg(F.sum("_cnt").alias("_n")).select(
+        F.expr(f"_n div {n}").alias("_q"),
+        (F.col("_n") % n).alias("_r"),
+    )
     rank = F.col("_grank")
-    big = (q + 1) * r  # rows living in the ceil-sized buckets
+    big = (F.col("_q") + 1) * F.col("_r")  # rows in ceil-sized buckets
     bucket = F.when(
-        rank <= big, F.floor((rank - 1) / (q + 1)) + 1
+        rank <= big, F.expr("(_grank - 1) div (_q + 1)") + 1
     ).otherwise(
-        r + 1 + F.floor((rank - big - 1) / F.greatest(q, F.lit(1)))
+        F.col("_r")
+        + 1
+        + F.expr("(_grank - (_q + 1) * _r - 1) div greatest(_q, 1L)")
     )
     return ranked.crossJoin(F.broadcast(total)).select(
         *cols, bucket.cast("long").alias(out)

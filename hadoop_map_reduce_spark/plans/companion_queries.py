@@ -1202,3 +1202,205 @@ def mrl_prefix_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, k=5, prefix_dims=32, shortlist=100
     )
     return _recall_bound(approx, exact, queries, k=5, bound_ppm=620_000)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composition (round-9, VERDICT r8 #5): the billion-vector
+# production layout as a fifth ANN rung — coarse cells + shared PQ
+# residual codebooks, probe + ADC + exact re-rank — with the same
+# two-query pinning the other rungs carry: an integer code census
+# (exact, driver-oracled) and a recall contract (bound at ~80% of the
+# measured floor).
+# ---------------------------------------------------------------------------
+
+_IVFPQ_CELLS = 16
+_IVFPQ_M = 8
+_IVFPQ_KSUB = 16
+_IVFPQ_DSUB = 8
+
+
+def _ivfpq_census_books() -> list[list[list[float]]]:
+    """Crafted integer RESIDUAL codebooks spanning the residual range
+    (|e6 - ce6| ≤ ~1.2e6): cent(j,c,p) = (((c*29 + p*13 + j*7) % 23)
+    - 11) * 6e4 — distinct constants from ``_pq_census_books`` so the
+    two censuses cannot mask each other's regressions."""
+    return [
+        [
+            [
+                float((((c * 29 + p * 13 + j * 7) % 23) - 11) * 60000)
+                for p in range(_IVFPQ_DSUB)
+            ]
+            for c in range(_IVFPQ_KSUB)
+        ]
+        for j in range(_IVFPQ_M)
+    ]
+
+
+def _ivfpq_census_oracle() -> str:
+    books = _ivfpq_census_books()
+    selects = []
+    for j in range(_IVFPQ_M):
+        off = j * _IVFPQ_DSUB
+        cands = ", ".join(
+            "[list_sum([(r[{off} + i] - ([{lits}])[i]) * "
+            "(r[{off} + i] - ([{lits}])[i]) "
+            "for i in generate_series(1, {dsub})]), {c}]".format(
+                off=off,
+                lits=", ".join(str(int(x)) for x in books[j][c]),
+                dsub=_IVFPQ_DSUB,
+                c=c,
+            )
+            for c in range(_IVFPQ_KSUB)
+        )
+        selects.append(
+            f"SELECT vec_id, cell, CAST({j} AS BIGINT) AS subspace, "
+            f"CAST((list_sort([{cands}]))[1][2] AS BIGINT) AS code "
+            "FROM a"
+        )
+    union = "\n            UNION ALL\n            ".join(selects)
+    return f"""
+        WITH e AS (
+            SELECT vec_id, {_E6_SQL} AS e6 FROM embeddings
+        ), cent AS (
+            SELECT e6 AS ce6,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                   ) - 1 AS BIGINT) AS cell
+            FROM e
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT {_IVFPQ_CELLS}
+        ), d AS (
+            SELECT e.vec_id, c.cell,
+                   list_sum([(e.e6[i] - c.ce6[i]) * (e.e6[i] - c.ce6[i])
+                             for i in generate_series(1, 64)]) AS d2,
+                   [e.e6[i] - c.ce6[i]
+                    for i in generate_series(1, 64)] AS r
+            FROM e, cent c
+        ), b AS (
+            SELECT vec_id, cell, r,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY d2, cell
+                   ) AS rn
+            FROM d
+        ), a AS (
+            SELECT vec_id, cell, r FROM b WHERE rn = 1
+        ), u AS (
+            {union}
+        )
+        SELECT cell, subspace, code,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(SUM(vec_id) AS BIGINT) AS sum_vec_ids
+        FROM u
+        GROUP BY 1, 2, 3
+    """
+
+
+@register(
+    "ivfpq_code_census",
+    tags=("llm", "similarity", "aggregation"),
+    description=(
+        "Driver-checkable companion of the IVF-PQ rung: run the REAL "
+        "ivfpq_encode operator (md5-sampled coarse cells, residual "
+        "v - c_cell, per-subspace squared-L2 argmin against crafted "
+        "integer codebooks, nibble packing) over 1e6-quantized "
+        "coordinates, then census every (cell, subspace, code) — the "
+        "full coarse-assign -> residual -> code pipeline hash-pinned "
+        "cross-engine; codebook TRAINING stays pinned by the "
+        "kmeans-parity tests."
+    ),
+    oracle=_ivfpq_census_oracle(),
+)
+def ivfpq_code_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All arithmetic exact in the double fold: cell d2 terms ≤
+    (1.2e6)^2 * 64 ≈ 9e13 ≪ 2^53, code d2 terms ≤ (1.9e6)^2 * 8 ≈
+    2.9e13 ≪ 2^53; ties break to the lower cell/code on both engines
+    (struct-argsort vs ROW_NUMBER/list_sort). One bounded 16-row
+    collect, one shuffle-free encode scan, one partial-agg'd groupBy —
+    the code-balance audit (dead codes, hot cells) an IVF-PQ build
+    runs before committing the layout."""
+    from hadoop_map_reduce_spark.operators.pq import (
+        _code_at,
+        ivfpq_encode,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _e6_col().cast("array<double>").alias("_e6d")
+    )
+    cent_rows = (
+        emb.orderBy(
+            F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+        )
+        .limit(_IVFPQ_CELLS)
+        .collect()
+    )
+    centroids = [list(r["_e6d"]) for r in cent_rows]
+    enc = ivfpq_encode(
+        emb,
+        centroids,
+        _ivfpq_census_books(),
+        vec_col="_e6d",
+        id_col="vec_id",
+    )
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).cast("long").alias("subspace"),
+                    _code_at(F.col("pq_codes"), j)
+                    .cast("long")
+                    .alias("code"),
+                )
+                for j in range(_IVFPQ_M)
+            ]
+        )
+    )
+    return (
+        enc.select(
+            "pq_id", F.col("cell").cast("long").alias("cell"), pairs.alias("_p")
+        )
+        .select("pq_id", "cell", "_p.subspace", "_p.code")
+        .groupBy("cell", "subspace", "code")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("pq_id").cast("long").alias("sum_vec_ids"),
+        )
+    )
+
+
+@register(
+    "ivfpq_recall_bound",
+    tags=("llm", "similarity", "sketch"),
+    description=(
+        "Boolean recall contract for the composed IVF-PQ rung: "
+        "recall@5 of ivfpq_topk_adc (16 sampled cells, shared m=8 "
+        "residual codebooks, 6 probes, refine=8 exact re-rank) vs "
+        "in-engine brute force must be >= 0.40 (measured floor "
+        ".50/.52 at sf0.001/0.01; bound = ~80% of floor); oracle pins "
+        "(n_queries, k, recall_ok=TRUE)."
+    ),
+    oracle=_RECALL_ORACLE,
+)
+def ivfpq_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives the REAL composed pipeline end-to-end: deterministic
+    coarse sample, Spark-assigned bounded training sample, driver
+    Lloyd on residual slices, distributed encode, probe + ADC + exact
+    re-rank — the billion-vector layout exercised whole."""
+    from hadoop_map_reduce_spark.operators.pq import (
+        ivfpq_coarse_centroids,
+        ivfpq_encode,
+        ivfpq_topk_adc,
+        ivfpq_train_codebooks,
+    )
+    from hadoop_map_reduce_spark.operators.similarity import cosine_topk
+
+    emb, queries = _ann_query_set(spark, sf_dir)
+    exact = cosine_topk(emb, queries, k=5)
+    cents = ivfpq_coarse_centroids(emb, n_cells=_IVFPQ_CELLS)
+    books = ivfpq_train_codebooks(
+        emb, cents, m=_IVFPQ_M, ksub=_IVFPQ_KSUB, n_iter=3
+    )
+    enc = ivfpq_encode(emb, cents, books)
+    approx = ivfpq_topk_adc(
+        enc, emb, queries, cents, books, k=5, n_probe=6, refine=8
+    )
+    return _recall_bound(approx, exact, queries, k=5, bound_ppm=400_000)

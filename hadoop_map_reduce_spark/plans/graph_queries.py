@@ -538,6 +538,7 @@ _TRI_HYBRID_SQL = f"""
 
 @register(
     "graph_triangles_hybrid",
+    headline=True,
     tags=("graph", "join", "sketch"),
     description=(
         "Hub-split triangle count: pivots with oriented outdeg <= 32 "
@@ -794,6 +795,7 @@ def _kcore_oracle() -> str:
 
 @register(
     "graph_kcore_bounded",
+    headline=True,
     tags=("graph", "join", "aggregation"),
     description=(
         "k-core decomposition census (MATERIALIZED oracle CTEs — an "
@@ -874,4 +876,97 @@ def graph_kcore_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_removed_last_round"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_cc_loground (round-9): log-round connected components
+# (large-star/small-star) run to CONVERGENCE — the 100-TB path the
+# graph_cc_bounded docstring cites (Kiveris et al., SoCC'14)
+# ---------------------------------------------------------------------------
+#
+# The fixture graph is built to have a LONG diameter — the regime where
+# the bounded hash-min unroll honestly cannot converge: orders sorted by
+# (o_orderpriority, o_orderkey), an edge between rank-consecutive orders
+# of the same priority. Five disjoint paths of ~n/5 nodes each: diameter
+# ~3,000 at sf0.01 (hash-min would need ~3,000 rounds; the alternating
+# star operations converge in ~13). Because the construction chains each
+# priority class into one path, the GROUND-TRUTH labels are exactly
+# "min o_orderkey of the priority class" — which gives the oracle an
+# exact non-recursive form; the Spark side never uses that fact (it runs
+# the generic operator on the edge list alone), so the oracle verifies
+# the converged fixpoint label of every node via label_sum = Σ c·m.
+
+_CC_LOGROUND_SQL = """
+    WITH p AS (
+        SELECT o_orderpriority, COUNT(*) AS c, MIN(o_orderkey) AS m
+        FROM orders GROUP BY o_orderpriority)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_components,
+           CAST(SUM(c) AS BIGINT) AS n_nodes,
+           CAST(MAX(c) AS BIGINT) AS largest_component,
+           CAST(SUM(c * m) AS BIGINT) AS label_sum
+    FROM p
+"""
+
+
+@register(
+    "graph_cc_loground",
+    tags=("graph", "join", "aggregation"),
+    description=(
+        "Connected-components census of a long-diameter path fixture "
+        "(rank-consecutive orders within each priority class) via "
+        "alternating large-star/small-star run to convergence — "
+        "O(log n) rounds where hash-min label propagation needs "
+        "O(diameter); label_sum verifies every node's converged label "
+        "against the per-class ground truth."
+    ),
+    oracle=_CC_LOGROUND_SQL,
+)
+def graph_cc_loground(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge construction uses the repo's own distributed ranking
+    operator (no skewed 5-partition window): global rank over
+    (priority, orderkey) via range-partition + broadcast prefix-sum
+    offsets, then a rank+1 self-equi-join within the priority emits the
+    path edges. The component loop is
+    :func:`~hadoop_map_reduce_spark.operators.clustering.
+    connected_components_loground` — per round two grouped mins + two
+    equi-joins on 8-byte ids, eager localCheckpoint keeping the plan
+    constant-size, convergence detected from a 1-row checksum (raises
+    rather than returning a partial clustering). Converged by
+    construction: there is no n_changed_last_round column because a
+    returned result IS the fixpoint."""
+    from hadoop_map_reduce_spark.operators.clustering import (
+        connected_components_loground,
+    )
+    from hadoop_map_reduce_spark.operators.ranking import with_global_rank
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    ranked = with_global_rank(
+        orders,
+        order=[F.col("o_orderpriority"), F.col("o_orderkey")],
+        out="_r",
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    edges = a.join(
+        b,
+        (F.col("b._r") == F.col("a._r") + 1)
+        & (F.col("a.o_orderpriority") == F.col("b.o_orderpriority")),
+    ).select(
+        F.col("a.o_orderkey").alias("id_a"),
+        F.col("b.o_orderkey").alias("id_b"),
+    )
+    nodes = orders.select(F.col("o_orderkey").alias("node"))
+    labels, _rounds = connected_components_loground(edges, nodes=nodes)
+    sizes = labels.groupBy("component").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    return sizes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_components"),
+        F.sum("_c").cast("long").alias("n_nodes"),
+        F.max("_c").cast("long").alias("largest_component"),
+        F.sum(F.col("component") * F.col("_c"))
+        .cast("long")
+        .alias("label_sum"),
     )

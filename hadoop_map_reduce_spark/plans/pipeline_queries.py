@@ -258,6 +258,7 @@ def dedup_cluster_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pack_write_shards",
+    headline=True,
     tags=("llm", "pipeline", "sink"),
     description=(
         "Training-shard serialization census: documents written as "
@@ -326,4 +327,137 @@ def pack_write_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return manifest.select(
         "source", "shard_id", "n_docs", "n_tokens", "n_bytes", "content_md5"
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_clusters_loground (round-9): the log-round CC engine on the REAL
+# near-dup pair graph — result-parity twin of dedup_clusters
+# ---------------------------------------------------------------------------
+
+from hadoop_map_reduce_spark.plans.registry import REGISTRY as _REG
+
+
+@register(
+    "dedup_clusters_loground",
+    tags=("llm", "dedup", "iterative", "graph"),
+    description=(
+        "dedup_clusters' exact pipeline with the min-label propagation "
+        "loop replaced by alternating large-star/small-star connected "
+        "components (Kiveris et al. SoCC'14) — the O(log n)-round "
+        "engine for 100-TB duplicate graphs whose chain diameter "
+        "exceeds any fixed round budget; identical (doc_id, "
+        "representative) output, same recursive-CTE oracle."
+    ),
+    # Result parity BY CONSTRUCTION: the same reachability oracle as
+    # dedup_clusters — two independent Spark algorithms and one SQL
+    # ground truth triangulate each other.
+    oracle=_REG["dedup_clusters"].oracle,
+)
+def dedup_clusters_loground(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same LSH pair generation (banded equi-join, b=32 r=2), then
+    :func:`~hadoop_map_reduce_spark.operators.clustering.
+    connected_components_loground`: two grouped mins + two equi-joins
+    per round on 8-byte ids, eager localCheckpoint per round, 1-row
+    checksum convergence — rounds grow with log(component size), not
+    cluster-chain diameter. Docs without edges keep themselves as
+    representative via the left join (no nodes frame needed — the
+    labels cover exactly the edge-touched ids)."""
+    from hadoop_map_reduce_spark.operators.clustering import (
+        connected_components_loground,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, threshold=0.5, n=3, num_hashes=64, bands=32
+    )
+    labels, _rounds = connected_components_loground(pairs)
+    return (
+        docs.select("doc_id")
+        .join(labels, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias(
+                "representative"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# pack_curriculum_order (round-9): curriculum staging by exact global
+# quality rank — the distributed-ranking operator on a corpus-curation
+# job (easy->hard schedule for training-data ordering)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pack_curriculum_order",
+    tags=("llm", "curation", "window"),
+    description=(
+        "Curriculum staging: rank every document by lexical-diversity "
+        "ppm (distinct tokens per million tokens, integer-exact), "
+        "split the exact global order into 4 stages with the "
+        "distributed NTILE (range-partition + broadcast prefix "
+        "offsets — zero single-partition sorts), census per stage. "
+        "The easy->hard schedule a curriculum-ordered training run "
+        "consumes."
+    ),
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS} AS t FROM documents
+        ), q AS (
+            SELECT doc_id,
+                   CAST(1000000 * len(list_distinct(t)) // len(t)
+                        AS BIGINT) AS quality_ppm,
+                   CAST(len(t) AS BIGINT) AS n_tokens
+            FROM toks WHERE len(t) >= 1
+        ), staged AS (
+            SELECT *, CAST(NTILE(4) OVER (
+                       ORDER BY quality_ppm, doc_id) AS BIGINT) AS stage
+            FROM q
+        )
+        SELECT stage,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+               CAST(MIN(quality_ppm) AS BIGINT) AS min_quality_ppm,
+               CAST(MAX(quality_ppm) AS BIGINT) AS max_quality_ppm
+        FROM staged
+        GROUP BY stage
+    """,
+)
+def pack_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality is integer ppm via long `div` (exact at any scale); the
+    stage assignment is
+    :func:`~hadoop_map_reduce_spark.operators.ranking.with_global_ntile`
+    over the (quality_ppm, doc_id) total order — the same machinery as
+    events_rfm_segments, exercised here on the corpus table. One token
+    scan, one range exchange, one bounded offsets broadcast, one
+    partial-agg'd census."""
+    from hadoop_map_reduce_spark.operators.ranking import (
+        with_global_ntile,
+    )
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokenize(sanitize(F.col("text"))).alias("_t")
+    )
+    q = (
+        toks.filter(F.size("_t") >= 1)
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(1000000 * size(array_distinct(_t)) AS BIGINT) "
+                "div size(_t)"
+            ).alias("quality_ppm"),
+            F.size("_t").cast("long").alias("n_tokens"),
+        )
+    )
+    staged = with_global_ntile(
+        q, [F.col("quality_ppm"), F.col("doc_id")], 4, "stage"
+    )
+    return staged.groupBy("stage").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        F.min("quality_ppm").alias("min_quality_ppm"),
+        F.max("quality_ppm").alias("max_quality_ppm"),
     )

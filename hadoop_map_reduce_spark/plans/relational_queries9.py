@@ -243,6 +243,7 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q18_large_volume",
+    headline=True,
     tags=("relational", "join", "topk", "subquery"),
     description=(
         "TPC-H Q18 shape: top-100 large-volume customers — orders whose "

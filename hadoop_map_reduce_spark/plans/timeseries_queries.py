@@ -1112,6 +1112,7 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_rfm_segments",
+    headline=True,
     tags=("timeseries", "window", "aggregation"),
     description=(
         "RFM segmentation: per-user recency (days to a fixed "

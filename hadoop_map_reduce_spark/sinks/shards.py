@@ -109,6 +109,19 @@ def write_training_shards(
     header guard's stance: refuse at write time, never emit a
     misframed artifact). Escape upstream if the corpus needs it.
     """
+    # Invalidate-first (r8 review finding): shard names are
+    # deterministic, so a rerun over a changed corpus overwrites
+    # committed shard bytes IN PLACE. If the previous run's _SUCCESS
+    # stayed live while that happened, a crash mid-run would leave a
+    # _SUCCESS-marked directory whose manifest content_md5 entries no
+    # longer match the files. Dropping the marker before the first
+    # shard byte is written makes the directory visibly uncommitted
+    # for the whole rewrite window; it is re-created only after the
+    # new manifest is durable and the stale sweep completes.
+    success_path = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(success_path):
+        os.remove(success_path)
+
     assigned = assign_shards(
         docs.select(
             F.col(id_col).alias("doc_id"),
@@ -181,7 +194,20 @@ def write_training_shards(
                 and name not in keep
             ):
                 os.remove(os.path.join(out_dir, name))
-    with open(os.path.join(out_dir, "_SUCCESS"), "w"):
+    else:
+        # The sweep is driver-side by design (module precondition:
+        # driver and executors share the filesystem). If the driver
+        # cannot list out_dir — e.g. executors wrote to an object
+        # store the driver does not mount — the phantom-shard hazard
+        # the sweep exists for silently returns, so refuse loudly
+        # instead of committing an unswept directory.
+        raise OSError(
+            f"write_training_shards: {out_dir!r} is not listable from "
+            "the driver, so the stale-shard sweep cannot run; this "
+            "sink requires a filesystem shared between driver and "
+            "executors (see module docstring preconditions)"
+        )
+    with open(success_path, "w"):
         pass
     return committed
 

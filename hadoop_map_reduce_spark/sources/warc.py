@@ -38,6 +38,7 @@ from __future__ import annotations
 import glob
 import gzip
 import io
+import json
 import os
 import uuid
 from collections.abc import Iterable, Iterator, Sequence
@@ -400,8 +401,30 @@ class WarcStreamReader(DataSourceStreamReader):
         # trigger on. Archives must never be deleted from a live
         # source directory (the same invariant Spark's file source
         # imposes).
+        #
+        # admissionLog (round-9, ADVICE r8 #3): the uncapped first call
+        # exists only because a fresh instance cannot see the committed
+        # offset. ``.option("admissionLog", path)`` persists every
+        # admission THIS source makes (append-only JSON lines, written
+        # BEFORE the offset is returned, so the log is always a
+        # superset of anything the engine committed). A restarted
+        # instance primes its high-water mark from the log and can
+        # therefore throttle from its very first trigger — restarts
+        # against a large backlog stay both monotonic AND capped. If
+        # the log is configured but absent (brand-new stream, or lost
+        # log), the reader falls back to the documented uncapped first
+        # call: a superset never breaks correctness, a lost log only
+        # costs one big batch.
         self._known: set[str] = set()
+        self._admission_log = options.get("admissionlog")
         self._first_call = True
+        if self._admission_log and os.path.exists(self._admission_log):
+            with open(self._admission_log) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if line:
+                        self._known.update(json.loads(line))
+            self._first_call = False
 
     def initialOffset(self) -> dict:
         return {"files": []}
@@ -416,13 +439,25 @@ class WarcStreamReader(DataSourceStreamReader):
             new = new[: self.max_files]
         self._first_call = False
         self._known |= set(new)
+        if self._admission_log and new:
+            # Logged BEFORE the engine sees the offset: the log is a
+            # superset of every committable offset by construction.
+            with open(self._admission_log, "a") as fh:
+                fh.write(json.dumps(sorted(new)) + "\n")
         return {"files": sorted(self._known)}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         seen = set(start["files"])
-        # Learn the committed offset (relevant after a checkpoint
-        # restart, where this instance never returned `start` itself).
-        self._known |= seen
+        # Learn BOTH checkpointed offsets (relevant after a restart,
+        # where this instance never returned either itself): start is
+        # committed, end is durably logged — each is a floor the next
+        # returned offset must cover. Once learned, capping is
+        # monotonicity-safe, so a restart that replays an uncommitted
+        # batch throttles from its next trigger even without an
+        # admission log.
+        self._known |= seen | set(end["files"])
+        if seen:
+            self._first_call = False
         return [
             WarcArchivePartition(p)
             for p in end["files"]

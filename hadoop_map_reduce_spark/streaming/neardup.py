@@ -16,11 +16,15 @@ documents' signatures are appended to the store, so later batches are
 deduped against everything admitted before them.
 
 Store layout: one parquet subdirectory per increment
-(``seed/``, ``b0/``, ``b1/`` …), read back as a glob — append-only, no
-rewrite, no pointer. ``foreachBatch`` replays a failed micro-batch with
-the same batch_id and the per-batch subdir is written with
-mode=overwrite, so replay is idempotent (the ``cdc_sink`` exactly-once
-argument).
+(``seed/``, ``b0/``, ``b1/`` …), read back as a glob — append-only
+between compactions, no pointer. ``foreachBatch`` replays a failed
+micro-batch with the same batch_id and the per-batch subdir is written
+with mode=overwrite, so replay is idempotent (the ``cdc_sink``
+exactly-once argument). ``compact_store`` periodically folds committed
+increments back into ``seed`` (two-rename crash-safe swap), bounding
+the directory count for a long-lived stream without changing what any
+replayable batch can observe — see its docstring for the
+replay-safety contract.
 
 100-TB scale: signatures are computed ONCE per document ever (the store
 is the asset); per-batch cost is the batch's shingle/signature pass plus
@@ -163,6 +167,72 @@ class IncrementalAdmitter:
             if blocked is not None:
                 blocked.unpersist()
             batch_sig.unpersist()
+
+    def compact_store(
+        self, spark: SparkSession, through_batch: int
+    ) -> int:
+        """Retention for the append-only signature store (VERDICT r8
+        #6): merge ``seed`` + increments ``b0..b<through_batch>`` into
+        one rewritten ``seed`` increment and delete the merged subdirs,
+        so a long-lived stream's store stays O(corpus signatures), not
+        O(corpus + one directory per micro-batch ever processed).
+
+        Replay-safety contract: safe iff ``through_batch`` <= the
+        stream's last CHECKPOINT-committed batch id. Structured
+        Streaming replays only batches that were NOT committed, so no
+        future ``read_store(before_batch=B)`` call with
+        ``B <= through_batch`` can occur; for every possible replay
+        (``B > through_batch``) the compacted seed holds exactly the
+        increments that batch must see (seed + all earlier batches),
+        bit-for-bit the same signature set as before compaction — the
+        AS-OF-batch semantics are preserved by construction, and the
+        replay test pins it against a compacted store.
+
+        Crash safety (the ``storage.compact`` two-rename protocol,
+        single-writer precondition as everywhere in this module):
+        write the merged increment to ``.seed_compact``, rename
+        ``seed`` -> ``.seed_old``, rename the compact dir into place,
+        then delete the backup and the merged ``b*`` dirs. A crash
+        between the renames leaves ``.seed_old`` holding the intact
+        original; the next call detects and restores it before
+        proceeding. Dot-prefixed names never match ``_store_subdirs``'s
+        pattern, so a half-written compact dir is invisible to readers.
+
+        Returns the number of store increments merged away.
+        """
+        import shutil
+
+        seed_dir = os.path.join(self.store_dir, "seed")
+        old_dir = os.path.join(self.store_dir, ".seed_old")
+        tmp_dir = os.path.join(self.store_dir, ".seed_compact")
+        if os.path.exists(old_dir):
+            # Crashed previous run: the backup is authoritative.
+            if not os.path.exists(seed_dir):
+                os.rename(old_dir, seed_dir)
+            else:
+                shutil.rmtree(old_dir)
+        merged = [
+            d
+            for d in self._store_subdirs()
+            if os.path.basename(d) == "seed"
+            or int(os.path.basename(d)[1:]) <= through_batch
+        ]
+        if len(merged) <= 1:
+            return 0  # nothing to merge away
+        spark.read.parquet(*merged).write.mode("overwrite").parquet(
+            tmp_dir
+        )
+        if os.path.exists(seed_dir):
+            os.rename(seed_dir, old_dir)
+        os.rename(tmp_dir, seed_dir)
+        if os.path.exists(old_dir):
+            shutil.rmtree(old_dir)
+        n = 0
+        for d in merged:
+            if os.path.basename(d) != "seed":
+                shutil.rmtree(d)
+                n += 1
+        return n
 
     def result(self, spark: SparkSession) -> DataFrame:
         """The admitted ``(id, batch)`` manifest, read back from the

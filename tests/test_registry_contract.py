@@ -81,11 +81,18 @@ def test_headline_set_is_stable_and_timed():
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
         "embedding_neardup",
+        # round-9 rotation (VERDICT r8 #1): the round-8 operator
+        # families enter the regression gate
+        "events_rfm_segments",
+        "graph_kcore_bounded",
+        "graph_triangles_hybrid",
         "interval_union_days",
         "join_asof",
         "join_bloom_semi",
         "multimodal_phash_neardup",
         "pack_global_shuffle",
+        "pack_write_shards",
+        "q18_large_volume",
         "q1_pricing_summary",
         "q3_shipping_priority",
         "q5_local_supplier",

@@ -169,3 +169,72 @@ def test_phash_blocking_plan_has_no_cartesian(spark, sf_dir):
     plan = blocked._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_compact_store_preserves_replay_view(spark, sf_dir, tmp_path):
+    """VERDICT r8 #6 retention contract: compacting committed
+    increments back into seed must (a) leave the signature SET every
+    still-replayable batch observes bit-identical, (b) make identical
+    admission decisions on the next batch, and (c) bound the directory
+    count. through_batch=1 here stands in for 'last checkpoint-
+    committed batch'; b2 stays an increment."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seed = docs.filter(F.col("doc_id") % 5 == 4)
+    batches = [docs.filter(F.col("doc_id") % 5 == i) for i in range(4)]
+
+    plain = NearDupAdmitter(str(tmp_path / "plain"), threshold=0.5)
+    compacted = NearDupAdmitter(str(tmp_path / "compact"), threshold=0.5)
+    for adm in (plain, compacted):
+        adm.seed(seed)
+        for i in range(3):
+            adm.apply_batch(batches[i], i)
+
+    sig_before = sorted(
+        map(tuple, compacted.read_store(spark, before_batch=3).collect())
+    )
+    n_merged = compacted.compact_store(spark, through_batch=1)
+    assert n_merged == 2  # b0, b1 folded into seed; b2 survives
+    assert sorted(os.listdir(tmp_path / "compact")) == [
+        "b2",
+        "manifest",
+        "seed",
+    ]
+    # (a) the as-of-batch-3 replay view is the identical signature set
+    sig_after = sorted(
+        map(tuple, compacted.read_store(spark, before_batch=3).collect())
+    )
+    assert sig_after == sig_before
+
+    # (b) the next batch admits identically against both stores
+    plain.apply_batch(batches[3], 3)
+    compacted.apply_batch(batches[3], 3)
+    assert sorted(map(tuple, plain.result(spark).collect())) == sorted(
+        map(tuple, compacted.result(spark).collect())
+    )
+
+    # idempotent / no-op second compaction at the same watermark
+    assert compacted.compact_store(spark, through_batch=1) == 0
+
+
+def test_compact_store_crash_self_heals(spark, sf_dir, tmp_path):
+    """A crash between the two renames leaves .seed_old holding the
+    intact original; the next compact_store call must restore it and
+    proceed (the storage.compact protocol)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    admitter = NearDupAdmitter(str(tmp_path / "store"), threshold=0.5)
+    admitter.seed(docs.filter(F.col("doc_id") % 3 == 2))
+    for i in range(2):
+        admitter.apply_batch(docs.filter(F.col("doc_id") % 3 == i), i)
+    before = sorted(map(tuple, admitter.read_store(spark).collect()))
+
+    # simulate the worst crash window: seed renamed away, compact dir
+    # not yet renamed in (and lost — rewritten next time)
+    os.rename(
+        tmp_path / "store" / "seed", tmp_path / "store" / ".seed_old"
+    )
+    assert admitter.read_store(spark, before_batch=0) is None
+    admitter.compact_store(spark, through_batch=1)
+    assert sorted(os.listdir(tmp_path / "store")) == ["manifest", "seed"]
+    assert (
+        sorted(map(tuple, admitter.read_store(spark).collect())) == before
+    )
