@@ -157,18 +157,27 @@ def pq_train_codebooks(
 
 
 def _nearest_code(sub: Column, book: list[list[float]]) -> Column:
-    """Index of the nearest centroid by squared L2 — the struct-sort
-    argmin device (sort (distance, idx) structs ascending, take [0])."""
-    scored = []
-    for c, cent in enumerate(book):
-        cvec = F.array(*[F.lit(x) for x in cent])
-        d2 = F.aggregate(
+    """Index of the nearest centroid by squared L2, ties to the lower
+    code. One 2-level literal array + one ``transform`` lambda instead
+    of ``ksub`` separate expression subtrees: the unrolled struct-sort
+    form made analysis/codegen scale with ``ksub x dsub`` PER OPERATOR
+    USE (measured r9: a 16-cell x 64-dim assignment scan spent ~40 s in
+    plan machinery vs ~2.6 s in this form — the data was never the
+    cost). ``array_position`` returns the FIRST index of the min, the
+    same tie the struct-sort device broke (pinned by the census
+    oracles)."""
+    book_lit = F.array(
+        *[F.array(*[F.lit(x) for x in cent]) for cent in book]
+    )
+    d2s = F.transform(
+        book_lit,
+        lambda cvec: F.aggregate(
             F.zip_with(sub, cvec, lambda a, b: (a - b) * (a - b)),
             F.lit(0.0),
             lambda acc, x: acc + x,
-        )
-        scored.append(F.struct(d2.alias("d"), F.lit(c).alias("c")))
-    return F.array_sort(F.array(*scored))[0]["c"]
+        ),
+    )
+    return (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
 
 
 def pq_encode(
@@ -201,6 +210,37 @@ def pq_encode(
 def _code_at(codes: Column, j: int) -> Column:
     return F.shiftright(codes, CODE_BITS * j).bitwiseAND(
         F.lit((1 << CODE_BITS) - 1)
+    )
+
+
+def _query_lut(
+    qvec: Column, codebooks: list[list[list[float]]], dsub: int
+) -> Column:
+    """Flat ``m * ksub`` ADC lookup table <q_sub_j, centroid_{j,c}> as
+    nested transforms over one literal codebook array — a constant-size
+    expression tree whatever m/ksub are."""
+    books_lit = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(x) for x in cent]) for cent in book])
+            for book in codebooks
+        ]
+    )
+    return F.flatten(
+        F.transform(
+            books_lit,
+            lambda book, j: F.transform(
+                book,
+                lambda cvec: F.aggregate(
+                    F.zip_with(
+                        F.slice(qvec, j * dsub + 1, dsub),
+                        cvec,
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+            ),
+        )
     )
 
 
@@ -244,23 +284,13 @@ def pq_topk_adc(
     qvec = F.col(vec_col).cast("array<double>")
 
     # LUT entry (j, c): <query_sub_j, centroid_{j,c}> — flat array,
-    # element j*ksub + c (0-based; element_at is 1-based).
-    lut_entries = []
-    for j, book in enumerate(codebooks):
-        sub = F.slice(qvec, j * dsub + 1, dsub)
-        for cent in book:
-            cvec = F.array(*[F.lit(x) for x in cent])
-            lut_entries.append(
-                F.aggregate(
-                    F.zip_with(sub, cvec, lambda a, b: a * b),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-            )
+    # element j*ksub + c (0-based; element_at is 1-based). Built as
+    # nested transforms over ONE literal codebook array (not m*ksub
+    # unrolled subtrees — the r9 plan-size fix, see _nearest_code).
     q = queries.select(
         F.col(query_id_col).alias("_qid"),
         qvec.alias("_qvec"),
-        F.array(*lut_entries).alias("_lut"),
+        _query_lut(qvec, codebooks, dsub).alias("_lut"),
     )
 
     codes = F.col("pq_codes")
@@ -318,18 +348,20 @@ def pq_topk_adc(
 
 def _nearest_cell(vec: Column, centroids: list[list[float]]) -> Column:
     """Index of the nearest coarse centroid by squared L2 (ties to the
-    lower cell) — the struct-argsort argmin device over literal
-    centroids; one shuffle-free expression."""
-    scored = []
-    for i, cent in enumerate(centroids):
-        cvec = F.array(*[F.lit(x) for x in cent])
-        d2 = F.aggregate(
+    lower cell) — same compact transform-over-literal-array argmin as
+    :func:`_nearest_code` (one lambda, not ``n_cells`` subtrees)."""
+    cent_lit = F.array(
+        *[F.array(*[F.lit(x) for x in c]) for c in centroids]
+    )
+    d2s = F.transform(
+        cent_lit,
+        lambda cvec: F.aggregate(
             F.zip_with(vec, cvec, lambda a, b: (a - b) * (a - b)),
             F.lit(0.0),
             lambda acc, x: acc + x,
-        )
-        scored.append(F.struct(d2.alias("d"), F.lit(i).alias("cell")))
-    return F.array_sort(F.array(*scored))[0]["cell"]
+        ),
+    )
+    return (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
 
 
 def ivfpq_coarse_centroids(
@@ -414,31 +446,54 @@ def ivfpq_encode(
     shared codebooks (~20 B a row regardless of dimensionality; the
     floats can be dropped from the hot path after this one scan).
 
-    Pure Column arithmetic against literal centroids/codebooks —
-    shuffle-free, whole-stage-codegen, no Python in the scan."""
+    One shuffle-free Arrow-batched ``mapInPandas`` scan: the full
+    coarse-assign -> residual -> per-subspace argmin chain is a dense
+    (batch x cells/codes) numpy broadcast. Column-expression forms
+    were measured and rejected — Spark evaluates higher-order
+    functions (transform/zip_with/aggregate) INTERPRETED per element,
+    and the n_cells x dim + m x ksub x dsub lambda evaluations cost
+    ~80 ms/row (40.7 s for a 500-row batch vs 2.3 s vectorized,
+    bit-identical output incl. argmin's first-index tie rule); the
+    unrolled-literal codegen form pays ~40 s of Catalyst
+    analysis/codegen per use instead. Exactness: inputs are either e6
+    integer micro-units (census path — every product/sum exact in
+    float64 regardless of summation order) or raw floats (recall
+    path, pinned by bound not bitness)."""
+    import numpy as np
+    import pandas as pd
+
     m = len(codebooks)
     dsub = len(codebooks[0][0])
-    vec = F.col(vec_col).cast("array<double>")
-    cell = _nearest_cell(vec, centroids)
-    cent_lit = F.array(
-        *[F.array(*[F.lit(x) for x in c]) for c in centroids]
-    )
-    resid = F.zip_with(
-        vec,
-        F.element_at(cent_lit, (cell + 1).cast("int")),
-        lambda a, b: a - b,
-    )
-    packed = F.lit(0).cast("long")
-    for j, book in enumerate(codebooks):
-        sub = F.slice(resid, j * dsub + 1, dsub)
-        packed = packed + F.shiftleft(
-            _nearest_code(sub, book).cast("long"), CODE_BITS * j
-        )
+    cents_np = np.asarray(centroids, dtype=np.float64)
+    books_np = np.asarray(codebooks, dtype=np.float64)
+
+    def _encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf["_vec"].to_numpy()).astype(np.float64)
+            d2 = ((v[:, None, :] - cents_np[None, :, :]) ** 2).sum(-1)
+            cell = d2.argmin(1)  # first index of min = tie-to-lower
+            resid = v - cents_np[cell]
+            codes = np.zeros(len(v), dtype=np.int64)
+            for j in range(m):
+                sub = resid[:, j * dsub : (j + 1) * dsub]
+                dd = ((sub[:, None, :] - books_np[j][None, :, :]) ** 2).sum(
+                    -1
+                )
+                codes |= dd.argmin(1).astype(np.int64) << (CODE_BITS * j)
+            yield pd.DataFrame(
+                {
+                    "pq_id": pdf["pq_id"],
+                    "cell": cell.astype(np.int32),
+                    "pq_codes": codes,
+                }
+            )
+
     return corpus.select(
         F.col(id_col).alias("pq_id"),
-        cell.cast("int").alias("cell"),
-        packed.alias("pq_codes"),
-    )
+        F.col(vec_col).cast("array<double>").alias("_vec"),
+    ).mapInPandas(_encode, schema="pq_id long, cell int, pq_codes long")
 
 
 def ivfpq_topk_adc(
@@ -477,48 +532,37 @@ def ivfpq_topk_adc(
 
     # Per-query probe list: n_probe nearest cells by squared L2 (the
     # assignment metric), each carrying its coarse term <q, c_cell>.
-    cell_structs = []
-    for i, cent in enumerate(centroids):
-        cvec = F.array(*[F.lit(x) for x in cent])
-        d2 = F.aggregate(
-            F.zip_with(qvec, cvec, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        coarse = F.aggregate(
-            F.zip_with(qvec, cvec, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        cell_structs.append(
-            F.struct(
-                d2.alias("d"),
-                F.lit(i).alias("cell"),
-                coarse.alias("coarse"),
-            )
-        )
-    probes = F.slice(F.array_sort(F.array(*cell_structs)), 1, n_probe)
+    # One 2-arg transform over the literal centroid array (constant
+    # expression tree; struct sort ties break on the cell index).
+    cent_lit = F.array(
+        *[F.array(*[F.lit(x) for x in c]) for c in centroids]
+    )
+    probe_structs = F.transform(
+        cent_lit,
+        lambda cvec, i: F.struct(
+            F.aggregate(
+                F.zip_with(qvec, cvec, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            i.cast("int").alias("cell"),
+            F.aggregate(
+                F.zip_with(qvec, cvec, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("coarse"),
+        ),
+    )
+    probes = F.slice(F.array_sort(probe_structs), 1, n_probe)
 
     # Shared-codebook LUT: entry j*ksub + c = <q_j, codebook_j[c]> —
     # cell-independent because codebooks quantize residuals against
     # one shared set (the IVFADC trade).
-    lut_entries = []
-    for j, book in enumerate(codebooks):
-        sub = F.slice(qvec, j * dsub + 1, dsub)
-        for cent in book:
-            cvec = F.array(*[F.lit(x) for x in cent])
-            lut_entries.append(
-                F.aggregate(
-                    F.zip_with(sub, cvec, lambda a, b: a * b),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-            )
     q = (
         queries.select(
             F.col(query_id_col).alias("_qid"),
             qvec.alias("_qvec"),
-            F.array(*lut_entries).alias("_lut"),
+            _query_lut(qvec, codebooks, dsub).alias("_lut"),
             F.explode(probes).alias("_p"),
         )
         .select(

@@ -351,19 +351,25 @@ def ivf_topk(
     )
     centroids = [list(r[1]) for r in cent_rows]
 
+    cent_lit = F.array(
+        *[F.array(*[F.lit(x) for x in c]) for c in centroids]
+    )
+
     def cell_ranking(vec: Column) -> Column:
         """Array of (negated cosine, cell idx) structs, ascending — the
-        struct ordering makes element 1 the nearest cell."""
-        scored = []
-        for i, c in enumerate(centroids):
-            cvec = F.array(*[F.lit(x) for x in c])
-            scored.append(
-                F.struct(
+        struct ordering makes element 1 the nearest cell (ties to the
+        lower index). One 2-arg transform over the literal centroid
+        array — the round-9 plan-size fix (see pq._nearest_code), not
+        n_cells unrolled subtrees."""
+        return F.array_sort(
+            F.transform(
+                cent_lit,
+                lambda cvec, i: F.struct(
                     (-cosine_similarity(vec, cvec)).alias("d"),
-                    F.lit(i).alias("cell"),
-                )
+                    i.cast("int").alias("cell"),
+                ),
             )
-        return F.array_sort(F.array(*scored))
+        )
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -437,26 +443,34 @@ def ivf_cell_census(
             "ivf_cell_census: corpus has no rows to sample centroids from"
         )
 
-    scored = []
-    for rank, (_cvid, cvec) in enumerate(cents):
-        lit = F.array(*[F.lit(int(x)).cast("long") for x in cvec])
-        d2 = F.aggregate(
+    # Transform-over-literal-array argmin (round-9 plan-size fix, see
+    # pq._nearest_code): one lambda instead of n_cells unrolled
+    # subtrees; first-index-of-min keeps the tie-to-lower-rank rule.
+    cent_lit = F.array(
+        *[
+            F.array(*[F.lit(int(x)).cast("long") for x in cvec])
+            for _cvid, cvec in cents
+        ]
+    )
+    d2s = F.transform(
+        cent_lit,
+        lambda lit: F.aggregate(
             F.zip_with(F.col("_e6"), lit, lambda a, b: (a - b) * (a - b)),
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
-        )
-        scored.append(
-            F.struct(d2.alias("d"), F.lit(rank).cast("int").alias("c"))
-        )
-    best = F.array_sort(F.array(*scored))[0]
+        ),
+    )
+    min_d2 = F.array_min(d2s)
     cvid_map = F.map_from_arrays(
         F.array(*[F.lit(i) for i in range(len(cents))]),
         F.array(*[F.lit(cv).cast("long") for cv, _ in cents]),
     )
     return (
         base.select(
-            best["c"].cast("long").alias("cell_rank"),
-            best["d"].alias("_d2"),
+            (F.array_position(d2s, min_d2) - 1)
+            .cast("long")
+            .alias("cell_rank"),
+            min_d2.alias("_d2"),
         )
         .withColumn(
             "centroid_vec_id", cvid_map[F.col("cell_rank").cast("int")]

@@ -194,7 +194,7 @@ def _pq_census_oracle() -> str:
     description=(
         "Driver-checkable companion of similarity_pq: run the REAL "
         "pq_encode operator (per-subspace squared-L2 argmin via the "
-        "struct-argsort device, nibble packing) over 1e6-quantized "
+        "transform-argmin device, nibble packing) over 1e6-quantized "
         "integer coordinates against crafted integer codebooks, then "
         "census every (subspace, code) cell — the encode arithmetic "
         "the rows-only ADC query rides on, hash-pinned cross-engine. "
@@ -205,7 +205,7 @@ def _pq_census_oracle() -> str:
 def pq_code_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Squared-L2 terms ((a-b)^2 ≤ 1.3e12, 8-term sums ≤ 1e13 ≪ 2^53)
     are exact in pq_encode's double fold, argmin ties break to the
-    lower code on both engines (struct-argsort vs lexicographic
+    lower code on both engines (first-index argmin vs lexicographic
     list_sort), so every packed code matches DuckDB's BIGINT replay.
     One shuffle-free encode scan + one partial-agg'd groupBy; the
     census is the codebook-balance audit (dead codes, hot cells) a
@@ -1314,7 +1314,7 @@ def ivfpq_code_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All arithmetic exact in the double fold: cell d2 terms ≤
     (1.2e6)^2 * 64 ≈ 9e13 ≪ 2^53, code d2 terms ≤ (1.9e6)^2 * 8 ≈
     2.9e13 ≪ 2^53; ties break to the lower cell/code on both engines
-    (struct-argsort vs ROW_NUMBER/list_sort). One bounded 16-row
+    (first-index argmin vs ROW_NUMBER/list_sort). One bounded 16-row
     collect, one shuffle-free encode scan, one partial-agg'd groupBy —
     the code-balance audit (dead codes, hot cells) an IVF-PQ build
     runs before committing the layout."""
@@ -1404,3 +1404,95 @@ def ivfpq_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         enc, emb, queries, cents, books, k=5, n_probe=6, refine=8
     )
     return _recall_bound(approx, exact, queries, k=5, bound_ppm=400_000)
+
+
+# ---------------------------------------------------------------------------
+# embedding_gram_census (round-9): exact distributed Gram-matrix
+# accumulation — the inner loop of PCA / whitening / covariance-drift
+# monitoring over an embedding column, pinned cross-engine in integer
+# micro-units.
+# ---------------------------------------------------------------------------
+
+_GRAM_DIMS = 16  # upper triangle of the leading 16x16 block: 136 cells
+
+
+def _gram_census_oracle() -> str:
+    cells = ", ".join(
+        f"({i}, {j})"
+        for i in range(1, _GRAM_DIMS + 1)
+        for j in range(i, _GRAM_DIMS + 1)
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id, {_E6_SQL} AS e6 FROM embeddings
+        ), cells(i, j) AS (VALUES {cells})
+        SELECT CAST(c.i - 1 AS BIGINT) AS i,
+               CAST(c.j - 1 AS BIGINT) AS j,
+               CAST(SUM(e.e6[c.i] * e.e6[c.j]) AS BIGINT) AS gram_e12,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs
+        FROM e, cells c
+        GROUP BY 1, 2
+    """
+
+
+@register(
+    "embedding_gram_census",
+    tags=("llm", "similarity", "aggregation"),
+    description=(
+        "Exact Gram-matrix accumulation over the embedding corpus "
+        "(upper triangle of the leading 16x16 block in 1e-12 "
+        "micro-units^2): the one-scan distributed primitive under PCA "
+        "whitening, covariance drift monitors, and Oja-style streaming "
+        "eigenupdates — 136 long sums in a single partial-aggregated "
+        "pass, hash-pinned cross-engine."
+    ),
+    oracle=_gram_census_oracle(),
+)
+def embedding_gram_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: ONE corpus scan computing all 136 cell sums as
+    columns of a single hash aggregate (map-side partial -> one 1-row
+    exchange), then a literal-array explode unpivots the 1-row result
+    into (i, j, gram_e12) rows — no per-row fan-out, no shuffle keyed
+    by cell. Long arithmetic throughout: |e6| <= ~6e5, so a product is
+    <= 3.6e11 and 2^63 holds ~2.5e7 corpus rows per cell before
+    overflow; at larger scales the same plan shards the sum by a
+    deterministic row bucket first (documented, not needed at any test
+    SF)."""
+    e6l = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.round(x * 1e6).cast("long"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        e6l.alias("_e")
+    )
+    aggs = []
+    names = []
+    for i in range(_GRAM_DIMS):
+        for j in range(i, _GRAM_DIMS):
+            name = f"_g_{i}_{j}"
+            names.append((i, j, name))
+            aggs.append(
+                F.sum(
+                    F.element_at("_e", i + 1)
+                    * F.element_at("_e", j + 1)
+                ).alias(name)
+            )
+    row = emb.agg(*aggs, F.count(F.lit(1)).alias("_n"))
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).cast("long").alias("i"),
+                    F.lit(j).cast("long").alias("j"),
+                    F.col(name).alias("gram_e12"),
+                )
+                for i, j, name in names
+            ]
+        )
+    )
+    return row.select(cells.alias("_c"), F.col("_n")).select(
+        "_c.i",
+        "_c.j",
+        "_c.gram_e12",
+        F.col("_n").alias("n_vecs"),
+    )

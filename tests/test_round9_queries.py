@@ -19,6 +19,7 @@ from tests.oracle_utils import compare_query
         "ivfpq_recall_bound",
         "dedup_clusters_loground",
         "pack_curriculum_order",
+        "embedding_gram_census",
     ],
 )
 def test_oracle_differential(spark, sf_dir, name):
@@ -240,3 +241,19 @@ def test_warc_stream_uncommitted_replay_throttles_next_trigger(tmp_path):
     ]
     nxt = r.latestOffset()
     assert len(nxt["files"]) == 6  # 4 known + 2 admitted, capped
+
+
+def test_bench_pins_cover_headline_set_exactly():
+    """VERDICT r8 #1 done-bar: every headline query carries a pin (no
+    'unpinned' leftovers in BENCH_r09) and no pin is stale (naming a
+    query that left the headline set)."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", Path(__file__).resolve().parent.parent / "bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    headline = {n for n, q in REGISTRY.items() if q.headline}
+    assert set(bench.PINS) == headline
