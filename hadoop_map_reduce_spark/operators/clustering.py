@@ -249,30 +249,26 @@ def connected_components_loground(
             release()
             release = next_release
             star = nxt
-            # pmod bounds each summand so the ANSI-mode long SUM can
-            # never overflow (the bench-calibration pattern): 2^31-ish
-            # entropy per edge x two independent hashes — a silent
-            # collision across rounds is ~2^-62 per comparison.
+            # Order-insensitive set checksum via XOR-fold of two
+            # independent 64-bit hashes: overflow-free at ANY edge
+            # count (an ANSI long SUM of bounded summands would still
+            # abort past ~2^32 edges — the 100-TB graphs this
+            # operator exists for), and rows within a round are
+            # distinct by construction so XOR cancellation needs a
+            # genuine 2^-128 double-hash collision across rounds.
             chk = tuple(
                 star.agg(
                     F.count(F.lit(1)),
-                    F.sum(
-                        F.pmod(
-                            F.xxhash64(
-                                F.least("u", "v"),
-                                F.greatest("u", "v"),
-                            ),
-                            F.lit(2_147_483_629),
+                    F.bit_xor(
+                        F.xxhash64(
+                            F.least("u", "v"), F.greatest("u", "v")
                         )
                     ),
-                    F.sum(
-                        F.pmod(
-                            F.xxhash64(
-                                F.greatest("u", "v"),
-                                F.least("u", "v"),
-                                F.lit(13),
-                            ),
-                            F.lit(2_147_483_629),
+                    F.bit_xor(
+                        F.xxhash64(
+                            F.greatest("u", "v"),
+                            F.least("u", "v"),
+                            F.lit(13),
                         )
                     ),
                 ).first()

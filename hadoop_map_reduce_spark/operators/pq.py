@@ -398,30 +398,40 @@ def ivfpq_train_codebooks(
 ) -> list[list[list[float]]]:
     """Train the SHARED residual codebooks (one codebook set across all
     cells — the standard IVFADC memory/accuracy trade): a deterministic
-    bounded sample is cell-assigned IN SPARK (no driver replay of the
-    argmin), residuals ``v - c_cell`` are formed driver-side on the
-    collected sample, and ``_lloyd_driver`` runs the exact bit-pinned
-    Lloyd arithmetic per subspace. Training cost is fixed at any corpus
-    scale (``train_rows`` caps the collect); encode/search stay fully
+    bounded sample is collected once, cell-assigned with the SAME dense
+    numpy argmin kernel ``ivfpq_encode`` runs (first-index ties;
+    assigning the driver-bound sample through the interpreted
+    higher-order-function column path would cost ~40 ms/row for rows
+    about to be collected anyway), residuals ``v - c_cell`` are formed
+    driver-side, and ``_lloyd_driver`` runs the exact bit-pinned Lloyd
+    arithmetic per subspace. Training cost is fixed at any corpus scale
+    (``train_rows`` caps the collect); encode/search stay fully
     distributed."""
+    import numpy as np
+
     dim = len(centroids[0])
     if dim % m != 0:
         raise ValueError("dim must divide into m equal subspaces")
+    if ksub > (1 << CODE_BITS):
+        raise ValueError(
+            f"ksub must be <= {1 << CODE_BITS} to pack nibbles"
+        )
     dsub = dim // m
     vec = F.col(vec_col).cast("array<double>")
     sample = (
         corpus.select(F.col(id_col).alias("_id"), vec.alias("_v"))
         .orderBy(F.xxhash64(F.col("_id").cast("string")), F.col("_id"))
         .limit(train_rows)
-        .withColumn("_cell", _nearest_cell(F.col("_v"), centroids))
     )
-    collected = [
-        (r["_id"], list(r["_v"]), int(r["_cell"]))
-        for r in sample.collect()
-    ]
+    collected = [(r["_id"], list(r["_v"])) for r in sample.collect()]
+    v_np = np.asarray([v for _i, v in collected], dtype=np.float64)
+    cents_np = np.asarray(centroids, dtype=np.float64)
+    cells = (
+        ((v_np[:, None, :] - cents_np[None, :, :]) ** 2).sum(-1).argmin(1)
+    )
     resids = [
-        (i, [x - c for x, c in zip(v, centroids[cell])])
-        for i, v, cell in collected
+        (i, [x - c for x, c in zip(v, centroids[int(cell)])])
+        for (i, v), cell in zip(collected, cells)
     ]
     return [
         _lloyd_driver(

@@ -1458,12 +1458,8 @@ def embedding_gram_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     overflow; at larger scales the same plan shards the sum by a
     deterministic row bucket first (documented, not needed at any test
     SF)."""
-    e6l = F.transform(
-        F.col("embedding").cast("array<double>"),
-        lambda x: F.round(x * 1e6).cast("long"),
-    )
     emb = load_table(spark, sf_dir, "embeddings").select(
-        e6l.alias("_e")
+        _e6_col().alias("_e")
     )
     aggs = []
     names = []

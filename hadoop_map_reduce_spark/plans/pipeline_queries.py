@@ -445,8 +445,10 @@ def pack_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.filter(F.size("_t") >= 1)
         .select(
             "doc_id",
+            # Widen BEFORE the multiply: 1000000 * size(...) in 32-bit
+            # INT overflows (ANSI abort) at >= 2148 distinct tokens.
             F.expr(
-                "CAST(1000000 * size(array_distinct(_t)) AS BIGINT) "
+                "CAST(size(array_distinct(_t)) AS BIGINT) * 1000000 "
                 "div size(_t)"
             ).alias("quality_ppm"),
             F.size("_t").cast("long").alias("n_tokens"),

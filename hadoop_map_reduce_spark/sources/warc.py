@@ -419,12 +419,24 @@ class WarcStreamReader(DataSourceStreamReader):
         self._admission_log = options.get("admissionlog")
         self._first_call = True
         if self._admission_log and os.path.exists(self._admission_log):
+            torn = False
             with open(self._admission_log) as fh:
                 for line in fh:
                     line = line.strip()
-                    if line:
+                    if not line:
+                        continue
+                    try:
                         self._known.update(json.loads(line))
-            self._first_call = False
+                    except ValueError:
+                        # A crash mid-append leaves one torn final
+                        # line. Keep the parsed prefix (a subset of
+                        # admissions — always safe to know) but fall
+                        # back to the uncapped first call: a torn log
+                        # costs one big batch, never a wedged stream
+                        # or a regressed offset.
+                        torn = True
+                        break
+            self._first_call = torn
 
     def initialOffset(self) -> dict:
         return {"files": []}
@@ -455,7 +467,16 @@ class WarcStreamReader(DataSourceStreamReader):
         # monotonicity-safe, so a restart that replays an uncommitted
         # batch throttles from its next trigger even without an
         # admission log.
-        self._known |= seen | set(end["files"])
+        learned = (seen | set(end["files"])) - self._known
+        if learned and self._admission_log:
+            # The log must stay a superset of every committable
+            # offset, including files this instance learned FROM the
+            # checkpoint rather than admitted itself — otherwise a
+            # later instance priming from the log could return a
+            # non-superset offset and re-emit committed archives.
+            with open(self._admission_log, "a") as fh:
+                fh.write(json.dumps(sorted(learned)) + "\n")
+        self._known |= learned
         if seen:
             self._first_call = False
         return [

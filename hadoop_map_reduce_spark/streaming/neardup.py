@@ -118,6 +118,11 @@ class IncrementalAdmitter:
     def read_store(
         self, spark: SparkSession, before_batch: int | None = None
     ) -> DataFrame | None:
+        # Readers resolve crashed-compaction state too (cheap no-op in
+        # the steady state): without this, a crash after the seed swap
+        # would leave subsumed b* increments readable IN ADDITION to
+        # the merged seed until the next compact_store call.
+        self._heal_compaction()
         dirs = self._store_subdirs(before_batch)
         if not dirs:
             return None
@@ -188,29 +193,27 @@ class IncrementalAdmitter:
         AS-OF-batch semantics are preserved by construction, and the
         replay test pins it against a compacted store.
 
-        Crash safety (the ``storage.compact`` two-rename protocol,
-        single-writer precondition as everywhere in this module):
-        write the merged increment to ``.seed_compact``, rename
-        ``seed`` -> ``.seed_old``, rename the compact dir into place,
-        then delete the backup and the merged ``b*`` dirs. A crash
-        between the renames leaves ``.seed_old`` holding the intact
-        original; the next call detects and restores it before
-        proceeding. Dot-prefixed names never match ``_store_subdirs``'s
-        pattern, so a half-written compact dir is invisible to readers.
+        Crash safety (extends the ``storage.compact`` two-rename
+        protocol to ALSO cover the post-swap window, r9 review
+        finding; single-writer precondition as everywhere in this
+        module): the merged increment is written to ``.seed_compact``
+        together with a ``_THROUGH_BATCH`` marker file recording which
+        increments it subsumes, then ``seed`` -> ``.seed_old``, tmp ->
+        ``seed``, merged ``b*`` dirs deleted, backup deleted, marker
+        removed LAST. Every call first heals any in-flight state:
+        a durable tmp (has ``_SUCCESS`` + marker) is COMPLETED, a torn
+        tmp is discarded, a stranded ``.seed_old`` is restored, and a
+        marker still inside ``seed`` means the swap landed but the
+        subsumed ``b*`` dirs may survive — they are deleted by the
+        recorded bound, so a crash can never leave merged rows
+        readable twice. Dot-prefixed names never match
+        ``_store_subdirs``'s pattern, so in-flight state is invisible
+        to readers.
 
         Returns the number of store increments merged away.
         """
-        import shutil
-
-        seed_dir = os.path.join(self.store_dir, "seed")
-        old_dir = os.path.join(self.store_dir, ".seed_old")
+        self._heal_compaction()
         tmp_dir = os.path.join(self.store_dir, ".seed_compact")
-        if os.path.exists(old_dir):
-            # Crashed previous run: the backup is authoritative.
-            if not os.path.exists(seed_dir):
-                os.rename(old_dir, seed_dir)
-            else:
-                shutil.rmtree(old_dir)
         merged = [
             d
             for d in self._store_subdirs()
@@ -222,17 +225,83 @@ class IncrementalAdmitter:
         spark.read.parquet(*merged).write.mode("overwrite").parquet(
             tmp_dir
         )
-        if os.path.exists(seed_dir):
-            os.rename(seed_dir, old_dir)
-        os.rename(tmp_dir, seed_dir)
-        if os.path.exists(old_dir):
-            shutil.rmtree(old_dir)
+        # Marker written AFTER the parquet is durable: its presence is
+        # the commit point — a tmp without it is torn and discarded.
+        with open(os.path.join(tmp_dir, "_THROUGH_BATCH"), "w") as fh:
+            fh.write(str(int(through_batch)))
+        return self._finish_compaction()
+
+    def _drop_merged(self, through_batch: int) -> int:
+        import shutil
+
         n = 0
-        for d in merged:
-            if os.path.basename(d) != "seed":
+        for d in self._store_subdirs():
+            name = os.path.basename(d)
+            if name != "seed" and int(name[1:]) <= through_batch:
                 shutil.rmtree(d)
                 n += 1
         return n
+
+    def _finish_compaction(self) -> int:
+        """Complete a compaction whose durable artifact sits in
+        ``.seed_compact``: swap it into place, drop the subsumed
+        increments, clear the marker. Idempotent — callable from the
+        heal path after a crash at any point past the commit point."""
+        import shutil
+
+        seed_dir = os.path.join(self.store_dir, "seed")
+        old_dir = os.path.join(self.store_dir, ".seed_old")
+        tmp_dir = os.path.join(self.store_dir, ".seed_compact")
+        with open(os.path.join(tmp_dir, "_THROUGH_BATCH")) as fh:
+            through_batch = int(fh.read().strip())
+        if os.path.exists(seed_dir):
+            if os.path.exists(old_dir):
+                shutil.rmtree(old_dir)
+            os.rename(seed_dir, old_dir)
+        os.rename(tmp_dir, seed_dir)
+        n = self._drop_merged(through_batch)
+        if os.path.exists(old_dir):
+            shutil.rmtree(old_dir)
+        os.remove(os.path.join(seed_dir, "_THROUGH_BATCH"))
+        return n
+
+    def _heal_compaction(self) -> None:
+        """Resolve any crashed-compaction state before reading or
+        compacting again. States, by surviving artifact:
+
+        * durable ``.seed_compact`` (``_SUCCESS`` + marker): the
+          compaction committed — complete it (idempotent);
+        * torn ``.seed_compact`` (no marker): discard, originals are
+          intact;
+        * stranded ``.seed_old`` with no ``seed``: the pre-marker
+          protocol's rename window — restore the backup;
+        * marker inside ``seed``: the swap landed but cleanup was cut
+          short — drop the subsumed ``b*`` dirs by the recorded bound
+          (otherwise their rows would read DUPLICATED next to the
+          merged seed) and clear the marker.
+        """
+        import shutil
+
+        seed_dir = os.path.join(self.store_dir, "seed")
+        old_dir = os.path.join(self.store_dir, ".seed_old")
+        tmp_dir = os.path.join(self.store_dir, ".seed_compact")
+        if os.path.isdir(tmp_dir):
+            if os.path.exists(
+                os.path.join(tmp_dir, "_SUCCESS")
+            ) and os.path.exists(os.path.join(tmp_dir, "_THROUGH_BATCH")):
+                self._finish_compaction()
+                return
+            shutil.rmtree(tmp_dir)
+        if os.path.exists(old_dir):
+            if not os.path.exists(seed_dir):
+                os.rename(old_dir, seed_dir)
+            else:
+                shutil.rmtree(old_dir)
+        marker = os.path.join(seed_dir, "_THROUGH_BATCH")
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                self._drop_merged(int(fh.read().strip()))
+            os.remove(marker)
 
     def result(self, spark: SparkSession) -> DataFrame:
         """The admitted ``(id, batch)`` manifest, read back from the

@@ -8,6 +8,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from hadoop_map_reduce_spark.plans import REGISTRY
+from hadoop_map_reduce_spark.session import load_table
+from hadoop_map_reduce_spark.streaming.neardup import NearDupAdmitter
 from tests.oracle_utils import compare_query
 
 
@@ -257,3 +259,109 @@ def test_bench_pins_cover_headline_set_exactly():
     spec.loader.exec_module(bench)
     headline = {n for n, q in REGISTRY.items() if q.headline}
     assert set(bench.PINS) == headline
+
+
+def test_warc_admission_log_covers_checkpoint_learned_files(tmp_path):
+    """Review finding: files learned via partitions() (checkpoint
+    replay) must be appended to the admission log too, or a later
+    instance priming from the log could return a non-superset offset
+    and re-emit committed archives."""
+    from hadoop_map_reduce_spark.sources.warc import WarcStreamReader
+
+    for i in range(6):
+        (tmp_path / f"part-{i}.warc.gz").write_bytes(b"")
+    log = tmp_path / "admissions.jsonl"
+    opts = {
+        "path": str(tmp_path / "*.warc.gz"),
+        "maxfilespertrigger": "2",
+        "admissionlog": str(log),
+    }
+    committed = {
+        "files": sorted(
+            str(tmp_path / f"part-{i}.warc.gz") for i in range(3)
+        )
+    }
+    logged_end = {
+        "files": sorted(
+            str(tmp_path / f"part-{i}.warc.gz") for i in range(4)
+        )
+    }
+    # instance 1: log absent, learns A..D only via partitions(), then
+    # admits E,F capped — and crashes (we just drop it)
+    r1 = WarcStreamReader(opts)
+    r1.partitions(committed, logged_end)
+    o1 = r1.latestOffset()
+    assert len(o1["files"]) == 6
+    # instance 2 primes from the log alone: must cover the COMMITTED
+    # files (A..D), not just instance 1's own admissions
+    r2 = WarcStreamReader(opts)
+    o2 = r2.latestOffset()
+    assert set(o2["files"]) >= set(logged_end["files"])
+    assert set(o2["files"]) >= set(o1["files"])
+
+
+def test_warc_admission_log_torn_line_falls_back_uncapped(tmp_path):
+    """Review finding: a crash mid-append leaves a torn JSON line; the
+    reader must fall back to the uncapped first call instead of
+    raising forever."""
+    from hadoop_map_reduce_spark.sources.warc import WarcStreamReader
+
+    for i in range(5):
+        (tmp_path / f"part-{i}.warc.gz").write_bytes(b"")
+    log = tmp_path / "admissions.jsonl"
+    log.write_text('["/gone/a.warc.gz"]\n["/torn/b.w')
+    r = WarcStreamReader(
+        {
+            "path": str(tmp_path / "*.warc.gz"),
+            "maxfilespertrigger": "2",
+            "admissionlog": str(log),
+        }
+    )
+    o = r.latestOffset()  # uncapped fallback: full glob + parsed prefix
+    assert len(o["files"]) == 6  # 5 on disk + the parsed-prefix entry
+
+
+def test_compact_store_post_swap_crash_drops_subsumed_dirs(
+    spark, sf_dir, tmp_path
+):
+    """Review finding: a crash AFTER the seed swap but before the
+    merged b* dirs are deleted must not leave their rows readable
+    twice — the marker-driven heal removes them on the next read."""
+    import shutil
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    admitter = NearDupAdmitter(str(tmp_path / "store"), threshold=0.5)
+    admitter.seed(docs.filter(F.col("doc_id") % 3 == 2))
+    for i in range(2):
+        admitter.apply_batch(docs.filter(F.col("doc_id") % 3 == i), i)
+    clean = sorted(map(tuple, admitter.read_store(spark).collect()))
+
+    # simulate: swap landed (marker inside seed), b* dirs survived
+    assert admitter.compact_store(spark, through_batch=1) == 2
+    compacted = sorted(map(tuple, admitter.read_store(spark).collect()))
+    assert compacted == clean
+    # resurrect a subsumed increment + the marker, as the crash leaves it
+    shutil.copytree(tmp_path / "store" / "seed", tmp_path / "store" / "b0")
+    (tmp_path / "store" / "seed" / "_THROUGH_BATCH").write_text("1")
+    # duplicated rows would now be visible without the heal
+    healed = sorted(map(tuple, admitter.read_store(spark).collect()))
+    assert healed == clean
+    assert not (tmp_path / "store" / "b0").exists()
+    assert not (
+        tmp_path / "store" / "seed" / "_THROUGH_BATCH"
+    ).exists()
+
+
+def test_ivfpq_train_rejects_wide_ksub(spark, sf_dir):
+    """Review finding: ksub > 16 would silently corrupt the nibble
+    packing in ivfpq_encode; training must refuse it like
+    pq_train_codebooks does."""
+    from hadoop_map_reduce_spark.operators.pq import (
+        ivfpq_coarse_centroids,
+        ivfpq_train_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivfpq_coarse_centroids(emb, n_cells=4)
+    with pytest.raises(ValueError, match="ksub"):
+        ivfpq_train_codebooks(emb, cents, m=8, ksub=32)
