@@ -4,7 +4,23 @@ JSON line: {"metric", "value", "unit", "queries": {name: sec}, "sf",
 "calibration_sec", "calibration_pre", "calibration_post",
 "calibration_runs": [s, s, s], "calibration_post_runs": [s, s, s],
 "queries_runs": {name: [s, s, s]}, "regressions": [names] | null,
-"unpinned": [names]}.
+"regressions_median": [names], "unpinned": [names]}.
+
+"regressions_median" (round-10, ADVICE r9 #3): advisory — queries whose
+MEDIAN exceeds 1.5x pin, computed on every run including loaded ones.
+The hard gate ("regressions") stays min-of-3 + idle-class so neighbor
+load cannot fabricate failures, but the advisory surfaces candidates a
+weakened gate would hide (an intermittent regression inflating 2 of 3
+runs, or persistent load masking everything) for human triage.
+
+Pin minting (round-10, VERDICT r9 #1): run ``python bench.py
+--mint-pins`` to print a PINS-ready block of this session's medians.
+It REFUSES when either calibration probe reads above the idle line
+(0.8) — the round-9 pins were minted in a 0.831-calibration session
+and did not reproduce on idle machines. The protocol: mint from >= 2
+SEPARATE idle-class sessions, pin the per-query median across
+sessions, and keep an unchanged-code control (prior pins must read
+within gate in the same sessions).
 
 "calibration_sec" is the WORSE of two probe medians bracketing the
 query window (round-9): a pre-probe alone misses load that arrives
@@ -200,7 +216,50 @@ def main() -> None:
         if idle
         else None
     )
+    # Advisory (ADVICE r9 #3): median-based, emitted on EVERY run —
+    # catches what the hardened min-of-3 + idle-only gate cannot (an
+    # intermittent regression inflating 2 of 3 runs; persistent load
+    # nulling the gate forever). Advisory only: a name here and not in
+    # "regressions" means "look, do not block".
+    regressions_median = sorted(
+        name
+        for name, med in timings.items()
+        if name in PINS and med > REGRESSION_FACTOR * PINS[name]
+    )
     unpinned = sorted(name for name in timings if name not in PINS)
+    if "--mint-pins" in sys.argv:
+        if not idle:
+            print(
+                json.dumps(
+                    {
+                        "mint_refused": True,
+                        "reason": (
+                            "calibration above idle line "
+                            f"({calibration_sec} > {CALIBRATION_IDLE}); "
+                            "pins minted on a loaded machine do not "
+                            "reproduce (round-9 lesson) — rerun idle"
+                        ),
+                        "calibration_pre": calibration_pre,
+                        "calibration_post": calibration_post,
+                    }
+                )
+            )
+            spark.stop()
+            sys.exit(1)
+        print(
+            json.dumps(
+                {
+                    "mint_ok": True,
+                    "calibration_pre": calibration_pre,
+                    "calibration_post": calibration_post,
+                    "pin_candidates": timings,
+                    "queries_runs": raw_runs,
+                    "control_regressions": regressions,
+                }
+            )
+        )
+        spark.stop()
+        return
     print(
         json.dumps(
             {
@@ -216,6 +275,7 @@ def main() -> None:
                 "calibration_post_runs": calibration_post_runs,
                 "queries_runs": raw_runs,
                 "regressions": regressions,
+                "regressions_median": regressions_median,
                 "unpinned": unpinned,
             }
         )

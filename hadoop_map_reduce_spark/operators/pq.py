@@ -132,6 +132,13 @@ def pq_train_codebooks(
     )
     if driver_train:
         collected = [(r["_id"], list(r["_v"])) for r in sample.collect()]
+        if len(collected) < ksub:
+            raise ValueError(
+                f"PQ training sample has {len(collected)} rows but "
+                f"ksub={ksub} centroids are requested; Lloyd seeding "
+                "needs at least ksub rows (grow the corpus or lower "
+                "ksub/train_rows)"
+            )
         return [
             _lloyd_driver(
                 [(i, v[j * dsub : (j + 1) * dsub]) for i, v in collected],
@@ -424,6 +431,13 @@ def ivfpq_train_codebooks(
         .limit(train_rows)
     )
     collected = [(r["_id"], list(r["_v"])) for r in sample.collect()]
+    if len(collected) < ksub:
+        raise ValueError(
+            f"IVF-PQ training sample has {len(collected)} rows but "
+            f"ksub={ksub} centroids are requested; Lloyd seeding needs "
+            "at least ksub rows (grow the corpus or lower "
+            "ksub/train_rows)"
+        )
     v_np = np.asarray([v for _i, v in collected], dtype=np.float64)
     cents_np = np.asarray(centroids, dtype=np.float64)
     cells = (

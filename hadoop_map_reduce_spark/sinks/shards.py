@@ -215,7 +215,19 @@ def write_training_shards(
 def read_training_shards(spark, out_dir: str) -> DataFrame:
     """Read committed shards back as (source, shard_id, doc_id, text) —
     the roundtrip side of the sink, one input task per shard file via
-    the binaryFile source (shard files are small by construction)."""
+    the binaryFile source (shard files are small by construction).
+
+    Refuses an uncommitted directory (ADVICE r9 #1): the writer
+    invalidates ``_SUCCESS`` before its first shard write and restores
+    it last, so a missing marker means the directory is mid-rewrite or
+    a failed write — globbing it would silently return a torn mix of
+    old and new shard files."""
+    if not os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        raise FileNotFoundError(
+            f"{out_dir}: no _SUCCESS marker — the shard directory is "
+            "uncommitted (mid-rewrite or failed write); refusing to "
+            "read a torn shard set"
+        )
     files = (
         spark.read.format("binaryFile")
         .load(os.path.join(out_dir, "shard-*.txt.gz"))

@@ -415,7 +415,27 @@ class WarcStreamReader(DataSourceStreamReader):
         # log), the reader falls back to the documented uncapped first
         # call: a superset never breaks correctness, a lost log only
         # costs one big batch.
+        #
+        # Contract (round-10, ADVICE r9 #2): admissionLog is IMMUTABLE
+        # for the life of the checkpoint, like the path pattern —
+        # always on with the same path, or never on. A batch that runs
+        # with the log disabled (or pointed elsewhere) leaves admissions
+        # the log never saw; a later instance priming from that log can
+        # then return a capped first offset that is NOT a superset of
+        # the committed offset. The offset-level invariant can only be
+        # violated by breaking the contract, but partitions() below
+        # additionally tracks every committed start it has seen and
+        # refuses to RE-EMIT a committed archive even when handed such
+        # a regressed (start, end) pair — so a contract breach degrades
+        # to a one-batch non-superset offset in the engine's log, never
+        # to duplicate records downstream.
         self._known: set[str] = set()
+        # Union of every committed start offset partitions() has seen:
+        # a file in here was durably processed, so it must never be
+        # emitted again by THIS instance even if a regressed offset
+        # (admissionLog contract breach, see above) hands it back in a
+        # later batch's end-minus-start difference.
+        self._committed: set[str] = set()
         self._admission_log = options.get("admissionlog")
         self._first_call = True
         if self._admission_log and os.path.exists(self._admission_log):
@@ -477,12 +497,19 @@ class WarcStreamReader(DataSourceStreamReader):
             with open(self._admission_log, "a") as fh:
                 fh.write(json.dumps(sorted(learned)) + "\n")
         self._known |= learned
+        self._committed |= seen
         if seen:
             self._first_call = False
+        # end - start is the batch; the _committed filter additionally
+        # drops files a regressed offset would replay (possible only
+        # when the admissionLog immutability contract was broken — see
+        # __init__). Files this batch emits are NOT marked committed
+        # (only start offsets are), so a legitimate replay of the same
+        # (start, end) pair re-emits identically.
         return [
             WarcArchivePartition(p)
             for p in end["files"]
-            if p not in seen
+            if p not in seen and p not in self._committed
         ]
 
     def read(self, partition: WarcArchivePartition) -> Iterator[tuple]:
