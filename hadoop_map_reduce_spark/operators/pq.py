@@ -45,6 +45,19 @@ from hadoop_map_reduce_spark.operators.ml import kmeans_lloyd
 CODE_BITS = 4  # ksub <= 16 packs one code per nibble
 
 
+def _require_sample_rows(n: int, ksub: int, family: str) -> None:
+    """Lloyd seeding takes the first ``ksub`` sample rows; fail with a
+    named error instead of a bare IndexError (or, worse, a silently
+    smaller codebook on the distributed path) when the corpus cannot
+    supply them."""
+    if n < ksub:
+        raise ValueError(
+            f"{family} training sample has {n} rows but ksub={ksub} "
+            "centroids are requested; Lloyd seeding needs at least "
+            "ksub rows (grow the corpus or lower ksub/train_rows)"
+        )
+
+
 def _round_half_up(v: float) -> int:
     """Spark's ROUND on doubles: half away from zero (not banker's) —
     the semantics ``ml.kmeans_lloyd``'s exact-integer mean uses and
@@ -132,13 +145,7 @@ def pq_train_codebooks(
     )
     if driver_train:
         collected = [(r["_id"], list(r["_v"])) for r in sample.collect()]
-        if len(collected) < ksub:
-            raise ValueError(
-                f"PQ training sample has {len(collected)} rows but "
-                f"ksub={ksub} centroids are requested; Lloyd seeding "
-                "needs at least ksub rows (grow the corpus or lower "
-                "ksub/train_rows)"
-            )
+        _require_sample_rows(len(collected), ksub, "PQ")
         return [
             _lloyd_driver(
                 [(i, v[j * dsub : (j + 1) * dsub]) for i, v in collected],
@@ -147,10 +154,16 @@ def pq_train_codebooks(
             )
             for j in range(m)
         ]
-    # One materialized pass feeds all m subspace trainings.
+    # One materialized pass feeds all m subspace trainings. The sample
+    # guard covers this branch too (r10 review: the distributed path
+    # would otherwise silently seed kmeans_lloyd from fewer-than-ksub
+    # rows and return structurally different codebooks, breaking the
+    # documented bit-parity between the two paths); the count is
+    # bounded by train_rows.
     from hadoop_map_reduce_spark.operators.caching import cache_one_slot
 
     sample = cache_one_slot(sample, "pq_train_sample")
+    _require_sample_rows(sample.count(), ksub, "PQ")
     books: list[list[list[float]]] = []
     for j in range(m):
         sliced = sample.select(
@@ -431,13 +444,7 @@ def ivfpq_train_codebooks(
         .limit(train_rows)
     )
     collected = [(r["_id"], list(r["_v"])) for r in sample.collect()]
-    if len(collected) < ksub:
-        raise ValueError(
-            f"IVF-PQ training sample has {len(collected)} rows but "
-            f"ksub={ksub} centroids are requested; Lloyd seeding needs "
-            "at least ksub rows (grow the corpus or lower "
-            "ksub/train_rows)"
-        )
+    _require_sample_rows(len(collected), ksub, "IVF-PQ")
     v_np = np.asarray([v for _i, v in collected], dtype=np.float64)
     cents_np = np.asarray(centroids, dtype=np.float64)
     cells = (
@@ -463,6 +470,7 @@ def ivfpq_encode(
     codebooks: list[list[list[float]]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode the corpus as ``(pq_id, cell, pq_codes)`` — the
     billion-vector layout: an INT cell id plus one packed long of ``m``
@@ -482,7 +490,14 @@ def ivfpq_encode(
     analysis/codegen per use instead. Exactness: inputs are either e6
     integer micro-units (census path — every product/sum exact in
     float64 regardless of summation order) or raw floats (recall
-    path, pinned by bound not bitness)."""
+    path, pinned by bound not bitness).
+
+    ``passthrough`` names extra ``corpus`` columns to carry through the
+    encode scan unchanged (e.g. the raw float vector a downstream exact
+    verify needs) — the default empty tuple keeps the classic
+    ``(pq_id, cell, pq_codes)`` output and plan; with it, consumers
+    avoid a batch-sized join-back onto the source just to recover
+    columns the scan already held in the same Arrow batch."""
     import numpy as np
     import pandas as pd
 
@@ -506,18 +521,28 @@ def ivfpq_encode(
                     -1
                 )
                 codes |= dd.argmin(1).astype(np.int64) << (CODE_BITS * j)
-            yield pd.DataFrame(
-                {
-                    "pq_id": pdf["pq_id"],
-                    "cell": cell.astype(np.int32),
-                    "pq_codes": codes,
-                }
-            )
+            out = {
+                "pq_id": pdf["pq_id"],
+                "cell": cell.astype(np.int32),
+                "pq_codes": codes,
+            }
+            for name in passthrough:
+                out[name] = pdf[name]
+            yield pd.DataFrame(out)
 
-    return corpus.select(
+    src = corpus.select(
         F.col(id_col).alias("pq_id"),
         F.col(vec_col).cast("array<double>").alias("_vec"),
-    ).mapInPandas(_encode, schema="pq_id long, cell int, pq_codes long")
+        *[F.col(name) for name in passthrough],
+    )
+    extra = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in src.schema.fields
+        if f.name not in ("pq_id", "_vec")
+    )
+    return src.mapInPandas(
+        _encode, schema=f"pq_id long, cell int, pq_codes long{extra}"
+    )
 
 
 def ivfpq_topk_adc(

@@ -249,10 +249,17 @@ def pq_code_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_CELLS = 16
 
 
-def _ivf_census_oracle() -> str:
+def _ivf_census_oracle(assign_where: str = "") -> str:
+    """Shared builder for the IVF cell-census oracle; ``assign_where``
+    restricts the ASSIGNMENT side only (the filtered-ANN twin) while
+    centroids always sample from the full corpus — parameterized so the
+    exact-arithmetic devices (md5 ordering, d2 formula, rn tie rule)
+    stay character-identical across both registrations. The base CTE
+    always exposes ``label`` (unused when no WHERE — result-identical
+    to the pre-parameterized oracle)."""
     return f"""
         WITH e AS (
-            SELECT vec_id, {_E6_SQL} AS e6 FROM embeddings
+            SELECT vec_id, label, {_E6_SQL} AS e6 FROM embeddings
         ), cent AS (
             SELECT vec_id AS cvid, e6 AS ce6,
                    CAST(ROW_NUMBER() OVER (
@@ -266,6 +273,7 @@ def _ivf_census_oracle() -> str:
                    list_sum([(e.e6[i] - c.ce6[i]) * (e.e6[i] - c.ce6[i])
                              for i in generate_series(1, 64)]) AS d2
             FROM e, cent c
+            {assign_where}
         ), b AS (
             SELECT vec_id, crank, cvid, d2,
                    ROW_NUMBER() OVER (
@@ -1295,6 +1303,57 @@ def _ivfpq_census_oracle() -> str:
     """
 
 
+
+def _md5_centroids_e6(emb, n_cells: int) -> list[list[float]]:
+    """md5-smallest ``n_cells`` e6 vectors — the cross-engine centroid
+    sampling device shared by the IVF-PQ census and the persisted-index
+    census (one implementation for the block both oracles replay)."""
+    rows = (
+        emb.orderBy(
+            F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+        )
+        .limit(n_cells)
+        .collect()
+    )
+    return [list(r["_e6d"]) for r in rows]
+
+
+def _ivfpq_census_frame(enc) -> DataFrame:
+    """(cell, subspace, code, n_vecs, sum_vec_ids) census over an
+    encoded (pq_id, cell, pq_codes) frame — the engine-side shape both
+    ivfpq_code_census and ann_index_store_census pin against the SHARED
+    _ivfpq_census_oracle; one implementation so the shape cannot
+    drift."""
+    from hadoop_map_reduce_spark.operators.pq import _code_at
+
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).cast("long").alias("subspace"),
+                    _code_at(F.col("pq_codes"), j)
+                    .cast("long")
+                    .alias("code"),
+                )
+                for j in range(_IVFPQ_M)
+            ]
+        )
+    )
+    return (
+        enc.select(
+            "pq_id",
+            F.col("cell").cast("long").alias("cell"),
+            pairs.alias("_p"),
+        )
+        .select("pq_id", "cell", "_p.subspace", "_p.code")
+        .groupBy("cell", "subspace", "code")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("pq_id").cast("long").alias("sum_vec_ids"),
+        )
+    )
+
+
 @register(
     "ivfpq_code_census",
     tags=("llm", "similarity", "aggregation"),
@@ -1318,53 +1377,19 @@ def ivfpq_code_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect, one shuffle-free encode scan, one partial-agg'd groupBy —
     the code-balance audit (dead codes, hot cells) an IVF-PQ build
     runs before committing the layout."""
-    from hadoop_map_reduce_spark.operators.pq import (
-        _code_at,
-        ivfpq_encode,
-    )
+    from hadoop_map_reduce_spark.operators.pq import ivfpq_encode
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _e6_col().cast("array<double>").alias("_e6d")
     )
-    cent_rows = (
-        emb.orderBy(
-            F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
-        )
-        .limit(_IVFPQ_CELLS)
-        .collect()
-    )
-    centroids = [list(r["_e6d"]) for r in cent_rows]
     enc = ivfpq_encode(
         emb,
-        centroids,
+        _md5_centroids_e6(emb, _IVFPQ_CELLS),
         _ivfpq_census_books(),
         vec_col="_e6d",
         id_col="vec_id",
     )
-    pairs = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(j).cast("long").alias("subspace"),
-                    _code_at(F.col("pq_codes"), j)
-                    .cast("long")
-                    .alias("code"),
-                )
-                for j in range(_IVFPQ_M)
-            ]
-        )
-    )
-    return (
-        enc.select(
-            "pq_id", F.col("cell").cast("long").alias("cell"), pairs.alias("_p")
-        )
-        .select("pq_id", "cell", "_p.subspace", "_p.code")
-        .groupBy("cell", "subspace", "code")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_vecs"),
-            F.sum("pq_id").cast("long").alias("sum_vec_ids"),
-        )
-    )
+    return _ivfpq_census_frame(enc)
 
 
 @register(
@@ -1492,3 +1517,181 @@ def embedding_gram_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_c.gram_e12",
         F.col("_n").alias("n_vecs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted ANN index (round-10, VERDICT r9 #3): build/serve/append as
+# driver-green rows — the production gap in the otherwise-complete ANN
+# ladder. Census = the full build -> append -> read-back-from-disk life
+# cycle hash-pinned; recall contract = search served from the STORED
+# index with no retraining.
+# ---------------------------------------------------------------------------
+
+
+def _index_work_dir(tag: str, sf_dir: str) -> str:
+    """Deterministic per-(process, sf_dir) working dir, cleared at the
+    start of each invocation and LEFT on disk after it — the returned
+    DataFrame is lazy and reads the committed index when the driver
+    collects (the pack_write_shards discipline)."""
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "hmrs_{}_{}_{}".format(
+            tag, os.getpid(), hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        ),
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    return out
+
+
+@register(
+    "ann_index_store_census",
+    tags=("llm", "similarity", "sink", "aggregation"),
+    description=(
+        "Persisted-index life cycle hash-pinned: ann_index_build "
+        "encodes the vec_id%4!=0 corpus against md5-sampled coarse "
+        "cells + crafted integer residual codebooks and commits codes "
+        "v=0 + meta.json; ann_index_append encodes the vec_id%4==0 "
+        "remainder against the FROZEN quantizers and commits v=1; the "
+        "census reads the committed pointer BACK FROM DISK — so "
+        "build, append, version/pointer protocol, and the stored code "
+        "bytes are all driver-checked against the whole-table oracle."
+    ),
+    oracle=_ivfpq_census_oracle(),
+)
+def ann_index_store_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build ∪ append covers every vector exactly once (disjoint id
+    split), so the stored latest version must census identically to
+    one-shot encoding of the full table (the ivfpq_code_census oracle,
+    reused verbatim). Exactness argument as there: e6 micro-unit
+    inputs keep every squared-L2 fold inside exact float64."""
+    from hadoop_map_reduce_spark.operators.ann_index import (
+        ann_index_build,
+        ann_index_append,
+        ann_index_codes,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _e6_col().cast("array<double>").alias("_e6d")
+    )
+    index_dir = _index_work_dir("ann_index_census", sf_dir)
+    ann_index_build(
+        emb.filter(F.col("vec_id") % 4 != 0),
+        index_dir,
+        centroids=_md5_centroids_e6(emb, _IVFPQ_CELLS),
+        codebooks=_ivfpq_census_books(),
+        vec_col="_e6d",
+        id_col="vec_id",
+    )
+    ann_index_append(
+        spark,
+        index_dir,
+        emb.filter(F.col("vec_id") % 4 == 0),
+        vec_col="_e6d",
+        id_col="vec_id",
+    )
+    return _ivfpq_census_frame(ann_index_codes(spark, index_dir))
+
+
+@register(
+    "ann_index_recall_bound",
+    tags=("llm", "similarity", "sketch", "sink"),
+    description=(
+        "Boolean recall contract for search SERVED FROM THE STORED "
+        "index: ann_index_build trains and persists a real IVF-PQ "
+        "index (16 sampled cells, shared m=8 residual codebooks), "
+        "ann_index_search answers top-5 from the committed codes with "
+        "no retraining, and recall@5 vs in-engine brute force must be "
+        ">= 0.40 (same algorithm and parameters as ivfpq_recall_bound "
+        "— measured floor .50/.52; bound = ~80% of floor); oracle "
+        "pins (n_queries, k, recall_ok=TRUE)."
+    ),
+    oracle=_RECALL_ORACLE,
+)
+def ann_index_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_map_reduce_spark.operators.ann_index import (
+        ann_index_build,
+        ann_index_search,
+    )
+    from hadoop_map_reduce_spark.operators.similarity import cosine_topk
+
+    emb, queries = _ann_query_set(spark, sf_dir)
+    exact = cosine_topk(emb, queries, k=5)
+    index_dir = _index_work_dir("ann_index_recall", sf_dir)
+    ann_index_build(
+        emb,
+        index_dir,
+        n_cells=_IVFPQ_CELLS,
+        m=_IVFPQ_M,
+        ksub=_IVFPQ_KSUB,
+        n_iter=3,
+    )
+    approx = ann_index_search(
+        spark, index_dir, emb, queries, k=5, n_probe=6, refine=8
+    )
+    return _recall_bound(approx, exact, queries, k=5, bound_ppm=400_000)
+
+
+# ---------------------------------------------------------------------------
+# Metadata-filtered ANN (round-10, VERDICT r9 #4): predicate + probe,
+# recall contracted against brute force ON THE FILTERED SUBSET, census
+# pinned with the predicate pruning before the probe join.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_filtered_cell_census",
+    tags=("llm", "similarity", "aggregation"),
+    description=(
+        "Filtered-search census: the ivf_cell_census integer pipeline "
+        "with the label%2=0 predicate applied to the ASSIGNMENT scan "
+        "only (centroids still md5-sampled from the full corpus) — "
+        "pins ivf_topk_filtered's pre-filter semantics cross-engine; "
+        "the plan test pins that the predicate reaches the parquet "
+        "scan below the probe join."
+    ),
+    oracle=_ivf_census_oracle(assign_where="WHERE e.label % 2 = 0"),
+)
+def ann_filtered_cell_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_map_reduce_spark.operators.similarity import (
+        ivf_cell_census,
+    )
+
+    return ivf_cell_census(
+        load_table(spark, sf_dir, "embeddings"),
+        n_cells=_IVF_CELLS,
+        predicate=(F.col("label") % 2 == 0),
+    )
+
+
+@register(
+    "ann_filtered_recall_bound",
+    tags=("llm", "similarity", "sketch"),
+    description=(
+        "Boolean recall contract for metadata-filtered ANN: recall@5 "
+        "of ivf_topk_filtered (label%2=0 predicate, pre-filter "
+        "strategy, 16 cells, 6 probes) vs in-engine brute force ON THE "
+        "FILTERED SUBSET must be >= 0.48 (measured floor .60/.62 at "
+        "sf0.001/0.01/0.1; bound = ~80% of floor); oracle pins "
+        "(n_queries, k, recall_ok=TRUE)."
+    ),
+    oracle=_RECALL_ORACLE,
+)
+def ann_filtered_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact side = cosine_topk over corpus.filter(predicate) — the
+    only honest denominator for filtered search (a full-corpus exact
+    side would count unreachable neighbors against the filter). The
+    pre-filter strategy keeps recall predicate-independent; the post
+    strategy's selectivity degradation is pinned by tests."""
+    from hadoop_map_reduce_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk_filtered,
+    )
+
+    emb, queries = _ann_query_set(spark, sf_dir)
+    pred = F.col("label") % 2 == 0
+    exact = cosine_topk(emb.filter(pred), queries, k=5)
+    approx = ivf_topk_filtered(
+        emb, queries, k=5, predicate=pred,
+        n_cells=_IVF_CELLS, n_probe=6, strategy="pre",
+    )
+    return _recall_bound(approx, exact, queries, k=5, bound_ppm=480_000)

@@ -440,3 +440,250 @@ def run_neardup_stream(
     )
     q.awaitTermination()
     return admitter.result(spark)
+
+
+class AnnIndexAdmitter(IncrementalAdmitter):
+    """Embedding near-dup admission probing the persisted IVF-PQ index
+    layout (round-10, VERDICT r9 #7): the signature store's rows ARE
+    the ``operators/ann_index.py`` code rows — ``(vec_id, cell,
+    pq_codes)`` encoded against quantizers FROZEN at seed time and
+    persisted in the index's ``meta.json`` format — plus the float
+    vector for the exact verify (a production deployment reads floats
+    from the corpus table; carrying them in the store keeps the
+    harness self-contained). Blocking is the IVF cut: an arriving
+    vector probes its ``n_probe`` nearest cells and is exact-verified
+    (round-6 cosine >= threshold) ONLY against store rows in those
+    cells — per-batch cost ~n_probe/n_cells of the store, never the
+    corpus, and the text/float payload of unprobed cells never joins.
+
+    Unlike the MinHash twin, NO recall assumption connects engine to
+    oracle: cell assignment and probe ranking run in exact 1e6
+    micro-unit integer arithmetic (the ivf_cell_census device — d2
+    terms <= (2.4e6)^2 * 64 ~ 3.7e14 << 2^53) on BOTH engines, and the
+    oracle replays the probe rule itself, so the blocked set is
+    bit-reproducible. Centroids are the md5-smallest ``n_cells`` SEED
+    vectors (the cross-engine sampling device); codebooks train once
+    at seed time and never retrain (the frozen-quantizer contract the
+    persisted index serves under).
+    """
+
+    def __init__(
+        self,
+        store_dir: str,
+        threshold: float = 0.4,
+        n_cells: int = 16,
+        n_probe: int = 6,
+        m: int = 8,
+        ksub: int = 16,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        super().__init__(store_dir, id_col=id_col)
+        self.threshold = threshold
+        self.n_cells = n_cells
+        self.n_probe = n_probe
+        self.m = m
+        self.ksub = ksub
+        self.vec_col = vec_col
+        self._meta: dict | None = None
+
+    # -- frozen quantizers -------------------------------------------------
+
+    def _e6(self):
+        return F.transform(
+            F.col(self.vec_col).cast("array<double>"),
+            lambda x: F.round(x * 1e6).cast("long"),
+        )
+
+    def _load_meta(self) -> dict:
+        from hadoop_map_reduce_spark.operators.ann_index import (
+            ann_index_meta,
+        )
+
+        if self._meta is None:
+            self._meta = ann_index_meta(self.store_dir)
+        return self._meta
+
+    def seed(self, docs: DataFrame) -> None:
+        """Freeze the quantizers on the seed corpus (md5-smallest
+        ``n_cells`` e6 vectors as coarse centroids, driver-Lloyd
+        residual codebooks), persist them as index metadata, then
+        store the seed's encoded signatures — restarts reload the
+        frozen quantizers from disk, never retrain."""
+        from hadoop_map_reduce_spark.operators.ann_index import (
+            write_index_meta,
+        )
+        from hadoop_map_reduce_spark.operators.pq import (
+            ivfpq_train_codebooks,
+        )
+
+        e6d = self._e6().cast("array<double>")
+        cent_rows = (
+            docs.select(
+                F.col(self.id_col).alias("_id"), e6d.alias("_v")
+            )
+            .orderBy(
+                F.md5(F.col("_id").cast("string")), F.col("_id")
+            )
+            .limit(self.n_cells)
+            .collect()
+        )
+        centroids = [list(r["_v"]) for r in cent_rows]
+        books = ivfpq_train_codebooks(
+            docs.select(F.col(self.id_col), e6d.alias("_e6d")),
+            centroids,
+            m=self.m,
+            ksub=self.ksub,
+            vec_col="_e6d",
+            id_col=self.id_col,
+        )
+        self._meta = {
+            "dim": len(centroids[0]),
+            "n_cells": len(centroids),
+            "m": self.m,
+            "ksub": self.ksub,
+            "centroids": centroids,
+            "codebooks": books,
+        }
+        write_index_meta(self.store_dir, self._meta)
+        super().seed(docs)
+
+    # -- signature table: the persisted-index code row + the floats -------
+
+    def _sig(self, docs: DataFrame) -> DataFrame:
+        from hadoop_map_reduce_spark.operators.pq import ivfpq_encode
+
+        meta = self._load_meta()
+        # The raw float vector rides through the encode scan
+        # (passthrough) — the exact verify needs it, and a join-back
+        # onto the batch would pay one extra shuffle per micro-batch
+        # for a column the same Arrow batch already held.
+        enc = ivfpq_encode(
+            docs.select(
+                F.col(self.id_col),
+                self._e6().cast("array<double>").alias("_e6d"),
+                F.col(self.vec_col),
+            ),
+            meta["centroids"],
+            meta["codebooks"],
+            vec_col="_e6d",
+            id_col=self.id_col,
+            passthrough=(self.vec_col,),
+        )
+        return enc.select(
+            F.col("pq_id").alias(self.id_col),
+            "cell",
+            "pq_codes",
+            self.vec_col,
+        )
+
+    # -- blocking: probe the stored cells, exact-verify survivors ---------
+
+    def _probes(self, docs_sig: DataFrame) -> DataFrame:
+        """(id, probe_cell) — the n_probe nearest cells by exact
+        integer e6 squared-L2, ties to the lower cell (one transform
+        over the literal centroid array, the plan-size-safe argmin)."""
+        meta = self._load_meta()
+        cent_lit = F.array(
+            *[
+                F.array(*[F.lit(int(x)).cast("long") for x in c])
+                for c in meta["centroids"]
+            ]
+        )
+        e6 = self._e6()
+        ranked = F.array_sort(
+            F.transform(
+                cent_lit,
+                lambda cvec, i: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            e6, cvec, lambda a, b: (a - b) * (a - b)
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ).alias("d2"),
+                    i.cast("int").alias("cell"),
+                ),
+            )
+        )
+        return docs_sig.select(
+            F.col(self.id_col).alias("_bid"),
+            F.col(self.vec_col).alias("_bvec"),
+            F.explode(
+                F.slice(ranked, 1, self.n_probe)["cell"]
+            ).alias("cell"),
+        )
+
+    def _verify_blocked(self, cand: DataFrame) -> DataFrame:
+        """Exact round-6 cosine verify of candidate pairs as ONE
+        vectorized Arrow scan directly on the probe-join output (a map
+        stage — no extra shuffle). The Column-HOF form evaluates
+        interpreted at ~0.18 ms/pair, and in-cell candidate volume
+        grows ~n²/n_cells — at a 20k-vector corpus that is ~19M pairs,
+        an hour interpreted vs seconds vectorized (the r9 argmin rule's
+        pairwise-scoring corollary). Summation-order ulp noise is
+        absorbed by the proven round-6 device, same as the DuckDB
+        oracle's own independent summation order."""
+        import numpy as np
+
+        threshold = self.threshold
+        id_field = self.id_col
+
+        def _verify(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                b = np.stack(pdf["_bvec"].to_numpy()).astype(np.float64)
+                q = np.stack(pdf["_qvec"].to_numpy()).astype(np.float64)
+                sims = np.round(
+                    (b * q).sum(1)
+                    / (
+                        np.sqrt((b * b).sum(1))
+                        * np.sqrt((q * q).sum(1))
+                    ),
+                    6,
+                )
+                out = pdf.loc[sims >= threshold, ["_bid"]]
+                yield out.rename(columns={"_bid": id_field})
+
+        id_type = cand.schema["_bid"].dataType.simpleString()
+        return cand.select(
+            F.col("_bid"),
+            F.col("_bvec").cast("array<double>").alias("_bvec"),
+            F.col("_qvec").cast("array<double>").alias("_qvec"),
+        ).mapInPandas(_verify, schema=f"{id_field} {id_type}")
+
+    def _blocked(
+        self, batch_sig: DataFrame, store_sig: DataFrame | None
+    ) -> DataFrame:
+        probes = self._probes(batch_sig)
+        sides = []
+        if store_sig is not None:
+            sides.append(
+                store_sig.select(
+                    F.col(self.id_col).alias("_qid"),
+                    F.col("cell"),
+                    F.col(self.vec_col).alias("_qvec"),
+                )
+            )
+        # earlier (lower-id) rows of the batch itself block later ones
+        sides.append(
+            batch_sig.select(
+                F.col(self.id_col).alias("_qid"),
+                F.col("cell"),
+                F.col(self.vec_col).alias("_qvec"),
+            )
+        )
+        blocked = []
+        for i, q in enumerate(sides):
+            cond = (
+                F.col("_qid") != F.col("_bid")
+                if (store_sig is not None and i == 0)
+                else F.col("_qid") < F.col("_bid")
+            )
+            cand = probes.join(q, "cell").filter(cond)
+            blocked.append(self._verify_blocked(cand))
+        out = blocked[0]
+        for b in blocked[1:]:
+            out = out.unionByName(b)
+        return out.distinct()
