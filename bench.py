@@ -79,36 +79,44 @@ _CALIBRATION_ROWS = 48_000_000
 # are not comparable then (BASELINE.md, round-7 protocol). Queries added
 # to the headline set after r7 get a pin when first recorded in
 # BASELINE.md; until then they appear in "unpinned" instead.
+# Round-10 full-board re-pin (VERDICT r9 #1). The r7/r9 pins stopped
+# reproducing on idle machines — the judge's three r9 runs flagged
+# 5-6 UNCHANGED queries at idle, and round-10 idle sessions confirmed
+# the whole board reads ~1.5-2x the r7 pins while the CPU calibration
+# probe reads FASTER (0.56-0.60 vs the r7 pin session's 0.785): the
+# VM epoch drifted in a way the no-I/O probe cannot see (shuffle/
+# python-worker/IO paths slowed, codegen got faster), which also rules
+# out calibration-normalized pins for this drift profile. New pins =
+# per-query MEDIAN OF SIX RUNS across two SEPARATE mint_ok sessions
+# (calibrations 0.598/0.559 and 0.584/0.569, both probes <= 0.8 per
+# the --mint-pins guard); the cross-session agreement is the
+# unchanged-code control (raw sessions recorded in BASELINE.md r10).
 PINS: dict[str, float] = {
-    "bigram_count": 0.916,
-    "q1_pricing_summary": 0.935,
-    "q3_shipping_priority": 0.942,
-    "q5_local_supplier": 1.006,
-    "join_asof": 0.81,
-    "sessionization": 0.596,
-    "dedup_ngram_jaccard": 2.941,
-    "dedup_minhash_lsh": 1.324,
-    "similarity_topk": 1.086,
-    "embedding_neardup": 1.193,
-    "text_quality": 0.542,
-    "multimodal_phash_neardup": 0.42,
-    "subq_large_orders": 1.248,
-    "tfidf_top_terms": 1.093,
-    "curation_dsir_score": 1.928,
-    "pack_global_shuffle": 0.563,
-    "dedup_containment": 2.217,
-    "search_hybrid_rrf": 2.438,
-    "join_bloom_semi": 1.592,
-    "interval_union_days": 1.43,
-    # Round-9 rotation (VERDICT r8 #1): the round-8 operator families
-    # enter the gate. Pins = first idle medians (BASELINE.md r9 table;
-    # cleanest of three back-to-back runs, total 33.7 s, every prior
-    # pin within gate).
-    "events_rfm_segments": 1.764,
-    "graph_kcore_bounded": 5.074,
-    "graph_triangles_hybrid": 2.01,
-    "pack_write_shards": 1.124,
-    "q18_large_volume": 0.618,
+    "bigram_count": 0.851,
+    "q1_pricing_summary": 1.274,
+    "q3_shipping_priority": 1.042,
+    "q5_local_supplier": 1.053,
+    "join_asof": 0.76,
+    "sessionization": 0.552,
+    "dedup_ngram_jaccard": 3.679,
+    "dedup_minhash_lsh": 2.038,
+    "similarity_topk": 1.468,
+    "embedding_neardup": 1.745,
+    "text_quality": 0.93,
+    "multimodal_phash_neardup": 0.587,
+    "subq_large_orders": 1.232,
+    "pack_write_shards": 1.839,
+    "tfidf_top_terms": 1.631,
+    "curation_dsir_score": 2.064,
+    "pack_global_shuffle": 0.835,
+    "events_rfm_segments": 4.124,
+    "join_bloom_semi": 2.899,
+    "interval_union_days": 1.823,
+    "graph_triangles_hybrid": 2.708,
+    "graph_kcore_bounded": 6.679,
+    "dedup_containment": 2.213,
+    "search_hybrid_rrf": 2.285,
+    "q18_large_volume": 1.031,
 }
 CALIBRATION_IDLE = 0.8
 REGRESSION_FACTOR = 1.5
