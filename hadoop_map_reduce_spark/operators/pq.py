@@ -558,11 +558,19 @@ def ivfpq_topk_adc(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     exclude_self: bool = True,
+    keep_col: str | None = None,
 ) -> DataFrame:
     """IVFADC top-k: probe the ``n_probe`` nearest cells per query,
     score only THOSE cells' packed codes by ``<q, c_cell> + Σ_j
     LUT[j][code_j]`` (the residual decomposition of the inner product),
     keep the per-query top ``k * refine``, re-rank exactly by cosine.
+
+    ``keep_col`` (round-11): name of a boolean column on ``encoded``
+    applied AFTER the probe join — the "post" strategy of a filtered
+    search against an index whose cells cannot prune by the predicate
+    (``similarity.ivf_topk_filtered`` documents the recall crossover).
+    The "pre" strategy needs no hook: filter ``encoded`` before calling
+    and the predicate reaches the code scan.
 
     Scale shape — the piece neither rung had alone: candidate
     generation is an EQUI-JOIN on the cell id (the IVF cut: roughly
@@ -632,7 +640,10 @@ def ivfpq_topk_adc(
                 "int"
             ),
         )
-    scored = encoded.join(F.broadcast(q), "cell").select(
+    joined = encoded.join(F.broadcast(q), "cell")
+    if keep_col is not None:
+        joined = joined.filter(F.col(keep_col))
+    scored = joined.select(
         "_qid",
         "_qvec",
         F.col("pq_id").alias("neighbor_id"),

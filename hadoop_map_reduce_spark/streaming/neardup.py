@@ -471,7 +471,7 @@ class AnnIndexAdmitter(IncrementalAdmitter):
         self,
         store_dir: str,
         threshold: float = 0.4,
-        n_cells: int = 16,
+        n_cells: int | None = None,
         n_probe: int = 6,
         m: int = 8,
         ksub: int = 16,
@@ -511,12 +511,23 @@ class AnnIndexAdmitter(IncrementalAdmitter):
         store the seed's encoded signatures — restarts reload the
         frozen quantizers from disk, never retrain."""
         from hadoop_map_reduce_spark.operators.ann_index import (
+            auto_n_cells,
             write_index_meta,
         )
         from hadoop_map_reduce_spark.operators.pq import (
             ivfpq_train_codebooks,
         )
 
+        if self.n_cells is None:
+            # cells ∝ corpus (round-11, VERDICT r10 #5): the safe
+            # behavior is now the DEFAULT behavior — the x10 audit
+            # measured in-cell verify pairs super-linear (16.9x) at a
+            # frozen 16-cell quantizer and linear (8.9x) with cells
+            # scaled to the corpus. Sized from the SEED count; a
+            # deployment expecting the admitted store to outgrow its
+            # seed passes explicit cells for the EXPECTED corpus (the
+            # frozen-quantizer contract — cells cannot be added later).
+            self.n_cells = auto_n_cells(docs.count())
         e6d = self._e6().cast("array<double>")
         cent_rows = (
             docs.select(

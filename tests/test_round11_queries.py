@@ -1,0 +1,508 @@
+"""Round-11 additions: filtered search served from the persisted index
+(VERDICT r10 #1), the atomic-pointer + single-writer commit protocol
+(VERDICT r10 #3, ADVICE r10 #1), and the BLAS-vs-HOF cell-assignment
+near-tie pin (ADVICE r10 #3)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.oracle_utils import compare_query
+
+
+# ---------------------------------------------------------------------------
+# Filtered search from the persisted index: oracle differentials
+# ---------------------------------------------------------------------------
+
+
+def test_ann_index_filtered_census_oracle(spark, sf_dir):
+    compare_query(spark, sf_dir, "ann_index_filtered_census")
+
+
+def test_ann_index_filtered_recall_bound_oracle(spark, sf_dir):
+    compare_query(spark, sf_dir, "ann_index_filtered_recall_bound")
+
+
+def test_graph_kcore_converged_oracle(spark, sf_dir):
+    """Fixpoint trajectory vs the unrolled-CTE oracle with the same
+    in-SQL convergence rule (VERDICT r10 #4)."""
+    compare_query(spark, sf_dir, "graph_kcore_converged")
+
+
+# ---------------------------------------------------------------------------
+# Filtered search semantics against the stored index
+# ---------------------------------------------------------------------------
+
+
+def _toy_index(spark, tmp_path, n=64, dim=8, n_cells=4):
+    """Small integer-vector index with a parity metadata column; exact
+    in float64 throughout (the crafted-e6 device)."""
+    from hadoop_map_reduce_spark.operators.ann_index import ann_index_build
+
+    rows = [
+        (
+            i,
+            [float(((i * 7 + j * 13) % 19 - 9) * 1000) for j in range(dim)],
+            i % 2,
+        )
+        for i in range(n)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, parity int"
+    )
+    index_dir = str(tmp_path / "idx")
+    ann_index_build(
+        corpus,
+        index_dir,
+        n_cells=n_cells,
+        m=4,
+        ksub=4,
+        n_iter=2,
+        train_rows=n,
+        metadata_cols=("parity",),
+    )
+    return corpus, index_dir
+
+
+def test_filtered_index_search_exact_at_full_probe(spark, tmp_path):
+    """With n_probe == n_cells and refine covering the filtered corpus,
+    BOTH strategies served from the stored index equal brute force on
+    the filtered subset — the filter changes which rows are reachable,
+    never the ranking of reachable rows."""
+    from hadoop_map_reduce_spark.operators.ann_index import ann_index_search
+    from hadoop_map_reduce_spark.operators.similarity import cosine_topk
+
+    corpus, index_dir = _toy_index(spark, tmp_path)
+    queries = corpus.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    pred = F.col("parity") == 0
+    exact = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in cosine_topk(corpus.filter(pred), queries, k=3).collect()
+    }
+    for strategy in ("pre", "post"):
+        got = ann_index_search(
+            spark,
+            index_dir,
+            corpus,
+            queries,
+            k=3,
+            n_probe=4,
+            refine=32,
+            predicate=pred,
+            strategy=strategy,
+        )
+        assert {
+            (r["query_id"], r["neighbor_id"], r["rank"])
+            for r in got.collect()
+        } == exact, strategy
+
+
+def test_filtered_index_search_pre_pushdown_plan(spark, tmp_path):
+    """The "pre" predicate must reach the STORED-CODES parquet scan
+    (PushedFilters below the ADC probe join) — the whole point of
+    storing filterable metadata beside the code rows."""
+    from hadoop_map_reduce_spark.operators.ann_index import ann_index_search
+
+    corpus, index_dir = _toy_index(spark, tmp_path)
+    queries = corpus.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = (
+        ann_index_search(
+            spark,
+            index_dir,
+            corpus,
+            queries,
+            k=3,
+            predicate=F.col("parity") == 0,
+            strategy="pre",
+        )
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    scans = [
+        blk
+        for blk in plan.split("\n\n")
+        if "Scan parquet" in blk and "codes" in blk
+    ]
+    assert scans, plan
+    assert any(
+        "PushedFilters" in blk and "parity" in blk.split("PushedFilters")[1]
+        for blk in scans
+    ), plan
+
+
+def test_filtered_index_search_requires_stored_metadata(spark, tmp_path):
+    """An index built WITHOUT metadata_cols cannot serve a filtered
+    search — loud error, not a silent unfiltered answer."""
+    from hadoop_map_reduce_spark.operators.ann_index import (
+        ann_index_build,
+        ann_index_search,
+    )
+
+    corpus, _ = _toy_index(spark, tmp_path / "a")
+    bare_dir = str(tmp_path / "bare")
+    ann_index_build(
+        corpus, bare_dir, n_cells=4, m=4, ksub=4, n_iter=2, train_rows=64
+    )
+    queries = corpus.limit(1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    with pytest.raises(ValueError, match="metadata_cols"):
+        ann_index_search(
+            spark,
+            bare_dir,
+            corpus,
+            queries,
+            predicate=F.col("parity") == 0,
+        )
+
+
+def test_filtered_metadata_survives_append(spark, tmp_path):
+    """Rows appended against the frozen quantizers carry the stored
+    metadata column; a filtered read over the committed version sees
+    build and append rows alike."""
+    from hadoop_map_reduce_spark.operators.ann_index import (
+        ann_index_append,
+        ann_index_build,
+        ann_index_codes,
+    )
+
+    corpus, _ = _toy_index(spark, tmp_path / "unused")
+    index_dir = str(tmp_path / "idx2")
+    ann_index_build(
+        corpus.filter(F.col("vec_id") < 32),
+        index_dir,
+        n_cells=4,
+        m=4,
+        ksub=4,
+        n_iter=2,
+        train_rows=64,
+        metadata_cols=("parity",),
+    )
+    ann_index_append(spark, index_dir, corpus.filter(F.col("vec_id") >= 32))
+    stored = ann_index_codes(spark, index_dir)
+    assert stored.columns == ["pq_id", "cell", "pq_codes", "parity"]
+    even = stored.filter(F.col("parity") == 0)
+    assert even.count() == 32
+    # both halves of the build/append cycle present in the filtered read
+    assert even.filter(F.col("pq_id") >= 32).count() == 16
+
+
+# ---------------------------------------------------------------------------
+# Commit protocol: atomic pointer, version claim, lost-update detection
+# (VERDICT r10 #3, ADVICE r10 #1)
+# ---------------------------------------------------------------------------
+
+
+def test_pointer_flip_is_atomic_under_crash(spark, tmp_path, monkeypatch):
+    """A crash during the pointer flip must leave the OLD pointer
+    intact and complete — the torn/empty pointer the bare
+    truncate-write could expose is impossible once the flip goes
+    through tmp + os.replace."""
+    from hadoop_map_reduce_spark.streaming import cdc_sink
+
+    table_dir = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    cdc_sink.init_target(df, table_dir)
+
+    real_replace = os.replace
+
+    def exploding_replace(src, dst):
+        if os.path.basename(dst) == cdc_sink.POINTER:
+            raise OSError("injected crash mid-flip")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(os, "replace", exploding_replace)
+    with pytest.raises(OSError, match="injected"):
+        cdc_sink.write_pointer(table_dir, "v=1")
+    monkeypatch.undo()
+    # old pointer survives, complete and readable
+    with open(os.path.join(table_dir, cdc_sink.POINTER)) as fh:
+        assert fh.read() == "v=0"
+    assert cdc_sink.read_target(spark, table_dir).count() == 1
+
+
+def test_commit_version_claim_collision_raises(spark, tmp_path):
+    """Two writers that both read latest=N race for v=N+1: the claim
+    mkdir admits exactly one; the loser raises ConcurrentWriteError
+    instead of silently absorbing the other's commit."""
+    from hadoop_map_reduce_spark.operators.ann_index import (
+        ConcurrentWriteError,
+        ann_index_append,
+    )
+
+    corpus, index_dir = _toy_index(spark, tmp_path)
+    # the competing writer claimed v=1 already
+    os.mkdir(os.path.join(index_dir, "codes", "v=1"))
+    with pytest.raises(ConcurrentWriteError, match="claimed"):
+        ann_index_append(
+            spark, index_dir, corpus.filter(F.col("vec_id") < 4)
+        )
+
+
+def test_commit_version_detects_later_concurrent_commit(
+    spark, tmp_path, monkeypatch
+):
+    """A writer that commits v=2 while our v=1 write is in flight must
+    not be rolled back by our pointer flip: the post-write re-list
+    detects the later committed version and raises."""
+    import hadoop_map_reduce_spark.operators.ann_index as ann_index
+
+    corpus, index_dir = _toy_index(spark, tmp_path)
+    codes_dir = os.path.join(index_dir, "codes")
+    real_meta = ann_index.write_index_meta
+
+    def meta_then_racer(vdir, meta):
+        real_meta(vdir, meta)
+        if os.path.basename(vdir) == "v=1":
+            racer = os.path.join(codes_dir, "v=2")
+            os.mkdir(racer)
+            open(os.path.join(racer, "_SUCCESS"), "w").close()
+
+    monkeypatch.setattr(ann_index, "write_index_meta", meta_then_racer)
+    with pytest.raises(ann_index.ConcurrentWriteError, match="v=2"):
+        ann_index.ann_index_append(
+            spark, index_dir, corpus.filter(F.col("vec_id") < 4)
+        )
+    # the racer's commit survives as the latest committed version
+    from hadoop_map_reduce_spark.streaming import cdc_sink
+
+    assert cdc_sink.list_versions(codes_dir)[-1] == 2
+    # and OUR pointer was never flipped (still the build's v=0)
+    with open(os.path.join(codes_dir, cdc_sink.POINTER)) as fh:
+        assert fh.read().strip() == "v=0"
+
+
+def test_vacuum_removes_crashed_claim_and_unblocks(spark, tmp_path):
+    """An interrupted writer's uncommitted claim directory blocks its
+    version number (fail-fast); vacuum removes the orphan, after which
+    the retry commits normally."""
+    from hadoop_map_reduce_spark.operators.ann_index import (
+        ConcurrentWriteError,
+        ann_index_append,
+        ann_index_codes,
+        ann_index_vacuum,
+    )
+
+    corpus, index_dir = _toy_index(spark, tmp_path)
+    orphan = os.path.join(index_dir, "codes", "v=1")
+    os.mkdir(orphan)  # crashed claim: directory without _SUCCESS
+    batch = corpus.filter(F.col("vec_id") < 4)
+    with pytest.raises(ConcurrentWriteError):
+        ann_index_append(spark, index_dir, batch)
+    assert 1 in ann_index_vacuum(index_dir)
+    assert not os.path.exists(orphan)
+    assert ann_index_append(spark, index_dir, batch) == 1
+    assert ann_index_codes(spark, index_dir).count() == 64
+
+
+# ---------------------------------------------------------------------------
+# Auto-scaled quantizer cells (VERDICT r10 #5): cells ∝ corpus is the
+# DEFAULT; fixed cells remain an explicit oracle-determinism override
+# ---------------------------------------------------------------------------
+
+
+def test_auto_n_cells_rule():
+    from hadoop_map_reduce_spark.operators.ann_index import (
+        CELL_MIN,
+        CELL_TARGET_ROWS,
+        auto_n_cells,
+    )
+
+    assert auto_n_cells(0) == CELL_MIN
+    assert auto_n_cells(CELL_TARGET_ROWS * CELL_MIN) == CELL_MIN
+    assert auto_n_cells(128_000) == 128_000 // CELL_TARGET_ROWS
+    # the linearity that makes the x10 audit flat: 10x corpus -> 10x cells
+    assert auto_n_cells(1_280_000) == 10 * auto_n_cells(128_000)
+
+
+def test_ann_index_build_defaults_to_auto_cells(spark, tmp_path):
+    from hadoop_map_reduce_spark.operators.ann_index import (
+        ann_index_build,
+        ann_index_meta,
+        auto_n_cells,
+    )
+
+    n = 64
+    rows = [
+        (i, [float(((i * 7 + j * 13) % 19 - 9) * 1000) for j in range(8)])
+        for i in range(n)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    index_dir = str(tmp_path / "auto")
+    ann_index_build(
+        corpus, index_dir, m=4, ksub=4, n_iter=2, train_rows=n
+    )
+    assert ann_index_meta(index_dir)["n_cells"] == auto_n_cells(n)
+
+
+def test_admitter_defaults_to_auto_cells(spark, tmp_path):
+    from hadoop_map_reduce_spark.operators.ann_index import auto_n_cells
+    from hadoop_map_reduce_spark.streaming.neardup import AnnIndexAdmitter
+
+    n = 48
+    rows = [
+        (i, [float(((i * 5 + j * 11) % 17 - 8) / 10.0) for j in range(8)])
+        for i in range(n)
+    ]
+    docs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    adm = AnnIndexAdmitter(str(tmp_path / "store"), m=4, ksub=4)
+    adm.seed(docs)
+    assert adm.n_cells == auto_n_cells(n)
+    assert adm._load_meta()["n_cells"] == auto_n_cells(n)
+
+
+# ---------------------------------------------------------------------------
+# Index lifecycle CLI front door (VERDICT r10 #7): build -> append ->
+# search -> vacuum -> search without writing Python
+# ---------------------------------------------------------------------------
+
+
+def test_run_cli_index_lifecycle(spark, sf_dir, tmp_path, capsys):
+    from hadoop_map_reduce_spark.run import main
+
+    idx = str(tmp_path / "cli_idx")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        assert (
+            main(
+                [
+                    "index", "build", idx, sf_dir,
+                    "--n-cells", "4", "--m", "4", "--ksub", "8",
+                    "--metadata-cols", "label",
+                    "--where", "vec_id % 4 != 0",
+                ]
+            )
+            == 0
+        )
+        out = capsys.readouterr().out
+        assert "built\tn_cells=4\tm=4\tksub=8\tmetadata=label" in out
+
+        assert (
+            main(
+                ["index", "append", idx, sf_dir, "--where", "vec_id % 4 = 0"]
+            )
+            == 0
+        )
+        assert "appended\tversion=1" in capsys.readouterr().out
+
+        assert (
+            main(
+                [
+                    "index", "search", idx, sf_dir,
+                    "--k", "3", "--n-probe", "4",
+                    "--filter", "label % 2 = 0",
+                    "--queries", "vec_id < 2",
+                ]
+            )
+            == 0
+        )
+        lines = capsys.readouterr().out.strip().splitlines()
+        assert lines[0].split("\t") == [
+            "query_id", "neighbor_id", "sim", "rank"
+        ]
+        assert len(lines) > 1
+
+        assert main(["index", "vacuum", idx, "--keep", "1"]) == 0
+        assert capsys.readouterr().out.startswith("removed\t0")
+
+        # the store still serves after vacuum (pointer target retained)
+        assert (
+            main(
+                [
+                    "index", "search", idx, sf_dir,
+                    "--k", "3", "--n-probe", "4",
+                    "--queries", "vec_id < 2",
+                ]
+            )
+            == 0
+        )
+        assert len(capsys.readouterr().out.strip().splitlines()) > 1
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r10 #3: BLAS vs HOF cell assignment on a crafted near-tie
+# corpus (exact e6 integer vectors keep both paths exact, so the
+# tie/ulp equivalence is PINNED, not asserted from observed data)
+# ---------------------------------------------------------------------------
+
+
+def test_blas_vs_hof_assignment_on_crafted_ties(spark):
+    """Corpus rows sit at exact cosine ties and 1-unit near-ties
+    between centroids; the vectorized argmax (first index) and the
+    Column struct-argsort (tie to lower cell) must assign identically.
+    Integer-valued doubles make every dot product exact in float64 and
+    both paths evaluate the same IEEE expression tree (dot /
+    (sqrt * sqrt)), so equality is bitwise, not approximate."""
+    from hadoop_map_reduce_spark.operators.similarity import (
+        _assign_cells_blas,
+        cosine_similarity,
+    )
+
+    centroids = [
+        [1000.0, 0.0, 0.0, 0.0],
+        [0.0, 1000.0, 0.0, 0.0],
+        [707.0, 707.0, 0.0, 0.0],
+    ]
+    rows = [
+        # exact tie c0 vs c1 (cos = 1/sqrt(2) to both) -> lower cell
+        (0, [1000.0, 1000.0, 0.0, 0.0]),
+        # 1-unit near-ties either side of the c0/c1 tie
+        (1, [1001.0, 1000.0, 0.0, 0.0]),
+        (2, [1000.0, 1001.0, 0.0, 0.0]),
+        # collinear with c2 but near-tied against c0/c1
+        (3, [707.0, 707.0, 0.0, 0.0]),
+        (4, [708.0, 707.0, 0.0, 0.0]),
+        (5, [707.0, 708.0, 0.0, 0.0]),
+        # axis points (exact cos=1 to one centroid)
+        (6, [2000.0, 0.0, 0.0, 0.0]),
+        (7, [0.0, 3000.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    blas = {
+        r["vec_id"]: r["cell"]
+        for r in _assign_cells_blas(df, centroids, "vec_id", "vec").collect()
+    }
+    cent_lit = F.array(
+        *[F.array(*[F.lit(x) for x in c]) for c in centroids]
+    )
+    hof_cell = F.array_sort(
+        F.transform(
+            cent_lit,
+            lambda cvec, i: F.struct(
+                (-cosine_similarity(F.col("vec"), cvec)).alias("d"),
+                i.cast("int").alias("cell"),
+            ),
+        )
+    )[0]["cell"]
+    hof = {
+        r["vec_id"]: r["cell"]
+        for r in df.select("vec_id", hof_cell.alias("cell")).collect()
+    }
+    assert blas == hof
+    # row 0 is collinear-dominated by c2; the exact c0-vs-c1 tie rule
+    # needs c2 out of the field: with only the two tied centroids, both
+    # paths must resolve the exact tie to the LOWER cell
+    two = {
+        r["vec_id"]: r["cell"]
+        for r in _assign_cells_blas(
+            df.filter(F.col("vec_id") == 0), centroids[:2], "vec_id", "vec"
+        ).collect()
+    }
+    assert two[0] == 0
