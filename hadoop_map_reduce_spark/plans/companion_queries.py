@@ -1842,6 +1842,61 @@ def ann_index_filtered_recall_bound(
 
 
 @register(
+    "ann_index_timetravel_census",
+    tags=("llm", "similarity", "sink", "aggregation"),
+    description=(
+        "Version-store TIME TRAVEL hash-pinned: after a build (v=0, "
+        "vec_id%4!=0 rows) and an append (v=1, the full corpus), the "
+        "census reads the RETAINED HISTORICAL v=0 back from disk — so "
+        "committed versions are immutable under later appends and the "
+        "explicit-version read path (the as-of read every incremental "
+        "pipeline audit needs) is driver-checked against the oracle "
+        "restricted to the build subset."
+    ),
+    oracle=_ivfpq_census_oracle(census_where="WHERE u.vec_id % 4 != 0"),
+)
+def ann_index_timetravel_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The round-11 protocol companion to ann_index_store_census: same
+    crafted quantizers and exact e6 arithmetic, but the read targets
+    version 0 explicitly AFTER v=1 commits — a mutated or
+    append-contaminated historical version changes the census. Also
+    pins that ann_index_meta(version=0) pairs the historical codes
+    with the quantizers that encoded them (the (meta, codes)
+    per-version atomicity claim), since the census decodes through the
+    stored cell/code assignment."""
+    from hadoop_map_reduce_spark.operators.ann_index import (
+        ann_index_append,
+        ann_index_build,
+        ann_index_codes,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _e6_col().cast("array<double>").alias("_e6d")
+    )
+    index_dir = _index_work_dir("ann_index_tt", sf_dir)
+    ann_index_build(
+        emb.filter(F.col("vec_id") % 4 != 0),
+        index_dir,
+        centroids=_md5_centroids_e6(emb, _IVFPQ_CELLS),
+        codebooks=_ivfpq_census_books(),
+        vec_col="_e6d",
+        id_col="vec_id",
+    )
+    ann_index_append(
+        spark,
+        index_dir,
+        emb.filter(F.col("vec_id") % 4 == 0),
+        vec_col="_e6d",
+        id_col="vec_id",
+    )
+    return _ivfpq_census_frame(
+        ann_index_codes(spark, index_dir, version=0)
+    )
+
+
+@register(
     "ann_index_served_search",
     headline=True,
     tags=("llm", "similarity", "sketch", "sink"),

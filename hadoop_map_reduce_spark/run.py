@@ -18,6 +18,7 @@ end-to-end without writing Python::
     run index append <index_dir> [sf_dir] --where SQL
     run index search <index_dir> [sf_dir] [--k K] [--n-probe P] [--refine R] [--filter SQL]
     run index vacuum <index_dir> [--keep N]
+    run index status <index_dir>
 
 The corpus is the ``embeddings`` table of ``sf_dir``; ``--where`` is a
 SQL predicate selecting which corpus rows to encode, ``--filter`` a SQL
@@ -50,7 +51,9 @@ def _index_main(argv: list[str]) -> int:
     search / vacuum) — thin wrappers over ``operators.ann_index``; all
     the commit/claim/pointer discipline lives there."""
     p = argparse.ArgumentParser(prog="run index", description="persisted ANN index lifecycle")
-    p.add_argument("verb", choices=["build", "append", "search", "vacuum"])
+    p.add_argument(
+        "verb", choices=["build", "append", "search", "vacuum", "status"]
+    )
     p.add_argument("index_dir")
     p.add_argument("sf_dir", nargs="?", default=_SF_DEFAULT)
     p.add_argument("--n-cells", type=int, default=None, help="coarse cells (default: auto, cells ∝ corpus)")
@@ -76,6 +79,26 @@ def _index_main(argv: list[str]) -> int:
     if a.verb == "vacuum":
         removed = ann_index.ann_index_vacuum(a.index_dir, keep=a.keep)
         print(f"removed\t{','.join(map(str, removed)) or '-'}")
+        return 0
+    if a.verb == "status":
+        from hadoop_map_reduce_spark.streaming import cdc_sink
+
+        codes_dir = os.path.join(a.index_dir, "codes")
+        with open(os.path.join(codes_dir, cdc_sink.POINTER)) as fh:
+            current = fh.read().strip()
+        meta = ann_index.ann_index_meta(a.index_dir)
+        print(
+            "current=%s\tversions=%s\tn_cells=%d\tm=%d\tksub=%d\t"
+            "metadata=%s"
+            % (
+                current,
+                ",".join(map(str, cdc_sink.list_versions(codes_dir))),
+                meta["n_cells"],
+                meta["m"],
+                meta["ksub"],
+                ",".join(meta.get("metadata_cols", [])) or "-",
+            )
+        )
         return 0
 
     spark = get_spark(app_name=f"run:index-{a.verb}")

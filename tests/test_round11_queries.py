@@ -32,6 +32,13 @@ def test_graph_kcore_converged_oracle(spark, sf_dir):
     compare_query(spark, sf_dir, "graph_kcore_converged")
 
 
+def test_ann_index_timetravel_census_oracle(spark, sf_dir):
+    """Historical v=0 read after an append — committed versions are
+    immutable; the census equals the oracle restricted to the build
+    subset."""
+    compare_query(spark, sf_dir, "ann_index_timetravel_census")
+
+
 # ---------------------------------------------------------------------------
 # Filtered search semantics against the stored index
 # ---------------------------------------------------------------------------
@@ -416,6 +423,11 @@ def test_run_cli_index_lifecycle(spark, sf_dir, tmp_path, capsys):
             "query_id", "neighbor_id", "sim", "rank"
         ]
         assert len(lines) > 1
+
+        assert main(["index", "status", idx]) == 0
+        out = capsys.readouterr().out
+        assert "current=v=1" in out and "versions=0,1" in out
+        assert "metadata=label" in out
 
         assert main(["index", "vacuum", idx, "--keep", "1"]) == 0
         assert capsys.readouterr().out.startswith("removed\t0")
