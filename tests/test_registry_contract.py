@@ -75,6 +75,10 @@ def test_verification_window_prioritizes_unverified():
 def test_headline_set_is_stable_and_timed():
     headline = sorted(n for n, q in REGISTRY.items() if q.headline)
     assert headline == [
+        # round-11 rotation (VERDICT r10 #6): a served-search timing for
+        # the persisted ANN index and a bounded-round PageRank enter the
+        # board (additive — every pinned query stays)
+        "ann_index_served_search",
         "bigram_count",
         "curation_dsir_score",
         "dedup_containment",
@@ -85,6 +89,7 @@ def test_headline_set_is_stable_and_timed():
         # families enter the regression gate
         "events_rfm_segments",
         "graph_kcore_bounded",
+        "graph_pagerank",
         "graph_triangles_hybrid",
         "interval_union_days",
         "join_asof",
