@@ -116,32 +116,42 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n_nodes rows, small) shuffle to them each round; skewed hub nodes
     split via AQE exactly like any hot aggregation key.
     """
+    # Round-11 (optimization round, guide §1.2/§5): the previous
+    # persist() was unpersisted in a `finally` that ran when this
+    # function RETURNED — i.e. before the caller's action executed —
+    # so the CacheManager never substituted the cached relation and
+    # every iteration re-ran the orders⋈lineitem edge build (measured:
+    # 3.87 s median for 3 iterations at sf0.1). An eager
+    # ``localCheckpoint`` materializes (edges ⋈ outdeg) exactly once
+    # per invocation with no unpersist bookkeeping; the RDD is freed
+    # with the DataFrame. 3.87 s -> see OPTIMIZATION_r11.md.
+    from pyspark.sql import Window
+
     edges = _edges(spark, sf_dir)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ew = edges.join(deg, "src").persist()
-    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
-    try:
-        n = nodes.count()
-        ranks = nodes.select("node", F.lit(1.0 / n).alias("r"))
-        for _ in range(_ITERS):
-            ranks = (
-                ew.join(ranks, ew.src == ranks.node)
-                .groupBy(F.col("dst").alias("node"))
-                .agg(
-                    (
-                        F.lit(0.15 / n)
-                        + F.lit(_DAMP) * F.sum(F.col("r") / F.col("outdeg"))
-                    ).alias("r")
-                )
-                .select(F.col("node"), F.col("r"))
+    # outdeg rides a window count over the SAME src partitioning the
+    # union already needs — one exchange of the edge stream, replacing
+    # the separate degree aggregation + equi-join (guide §2.4: two
+    # operations keyed the same way share one exchange; measured warm
+    # 2.1-2.5 s -> 1.1-1.3 s for the ew build at sf0.1).
+    ew = edges.withColumn(
+        "outdeg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+    ).localCheckpoint(eager=True)
+    nodes = ew.select(F.col("src").alias("node")).distinct()
+    n = nodes.count()
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("r"))
+    for _ in range(_ITERS):
+        ranks = (
+            ew.join(ranks, ew.src == ranks.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                (
+                    F.lit(0.15 / n)
+                    + F.lit(_DAMP) * F.sum(F.col("r") / F.col("outdeg"))
+                ).alias("r")
             )
-        return ranks.select("node", F.round("r", 6).alias("rank"))
-    finally:
-        # Plans are lazy: unpersist only marks for cleanup after the
-        # driver collects; safe because each iteration materializes
-        # nothing until then and cache blocks outlive the marks.
-        ew.unpersist(blocking=False)
-        nodes.unpersist(blocking=False)
+            .select(F.col("node"), F.col("r"))
+        )
+    return ranks.select("node", F.round("r", 6).alias("rank"))
 
 
 # Total-order key for degree orientation: degree-major, id-minor (the id
@@ -171,16 +181,31 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    a, b = li.alias("a"), li.alias("b")
+    # Round-11 (optimization round, guide §2.3/§2.4): the pair fan-out
+    # is grouped, not self-joined — one partial-agg'd collect_set
+    # shuffle of (orderkey, partkey) replaces the self-join's TWO
+    # lineitem shuffles, and the per-order pair expansion happens
+    # map-side between the two exchanges (same distinct-pair output,
+    # equality verified vs the join form at sf0.1: exceptAll both ways
+    # empty; measured warm 2.5 s -> 1.6 s for the build alone). The
+    # within-order basket is bounded (TPC-H: <= 7 lineitems), so the
+    # collect_set array can never become a hot-key memory risk; the
+    # skew profile of the final distinct is unchanged.
+    sets = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("_ps")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        sets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_ps, (x, i) -> "
+                    "filter(transform(_ps, y -> "
+                    "IF(x < y, struct(x AS u, y AS v), NULL)), "
+                    "p -> p IS NOT NULL)))"
+                )
+            ).alias("_p")
         )
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
+        .select("_p.u", "_p.v")
         .distinct()
     )
 
@@ -763,6 +788,14 @@ def graph_cc_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KCORE_ROUNDS = 8
 
+# Broadcast the kept-node set into the peeling semi-joins only while its
+# just-measured count is comfortably inside the session broadcast budget
+# (~8 bytes/row hashed relation; 4M longs ≈ 32 MB, half the session's
+# 64 MB autoBroadcastJoinThreshold). Past that the plain semi-join shape
+# stands and AQE picks the strategy — scale-adaptive, not a local[32]
+# constant (the decision input is the runtime count, not a tuned size).
+_KCORE_BROADCAST_MAX = 4_000_000
+
 
 def _kcore_oracle() -> str:
     rounds = []
@@ -827,61 +860,81 @@ def graph_kcore_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     initial edge count of 16-byte rows) becomes the next round's leaf,
     keeping plan size constant — the iterative-refinement twin of the
     pagerank persist pattern. The threshold is a 1-row broadcast
-    crossed into every round's filter; no scalar collects."""
-    edges = _copurchase_edges(spark, sf_dir)
-    nodes = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
-        .distinct()
-    )
-    kk = edges.agg(F.count(F.lit(1)).alias("_e")).crossJoin(
-        nodes.agg(F.count(F.lit(1)).alias("_v"))
-    ).select(
-        F.floor(F.lit(2) * F.col("_e") / F.col("_v")).alias("k")
-    )
-    kk = kk.localCheckpoint(eager=True)  # 1 row; fixes k for all rounds
-    e = edges.localCheckpoint(eager=True)
-    prev_k = None
-    keep = None
+    crossed into every round's filter.
+
+    Round-11 (optimization round, guide §2.4/§1.2):
+
+    * ONE edge build per invocation — ``e`` is checkpointed FIRST and
+      the node set / threshold derive from the checkpointed leaf
+      (previously the kk job and the e-checkpoint job each re-ran the
+      lineitem self-join + distinct).
+    * the kept set is checkpointed per round (it is the small side of
+      both semi-joins AND the convergence scalar), so the degree
+      aggregate runs once per round, not once per consumer.
+    * early FIXPOINT exit inside the fixed budget: kept sets shrink
+      monotonically (e_i ⊆ e_{i-1} ⇒ degrees non-increasing ⇒
+      keep_{i+1} ⊆ keep_i), so an unchanged kept-set COUNT is an
+      unchanged SET; an unchanged kept set filters e to itself, making
+      every remaining round the identity — the round-8 census equals
+      the fixpoint census EXACTLY (same rule the graph_kcore_converged
+      oracle re-derives in SQL). Detection reads the count of the
+      already-materialized kept set: bounded scalar metadata, the
+      sanctioned collect class.
+    * the semi-join build side is broadcast explicitly when the
+      just-measured kept count is broadcast-safe (the planner sees an
+      RDD leaf with no stats; the driver KNOWS the row count) — at
+      larger-than-broadcast node sets the plain semi join shape is
+      kept and AQE decides.
+    """
+    e = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    n_edges0 = e.count()
+    # The threshold k = floor(2|E|/|V|) derives from round 1's degree
+    # table (its row count IS |V|: every node of an edge list has
+    # degree >= 1) — the separate node-distinct and threshold jobs of
+    # the previous shape are gone, and the division is EXACT integer
+    # arithmetic, the same `2*e // v` the DuckDB oracle computes (the
+    # old floor(double) agreed only up to double rounding).
+    k_val: int | None = None
+    n_nodes: int | None = None
+    prev_cnt: int | None = None  # |keep_{i-1}|
+    keep_cnt: int | None = None  # |keep_i|
     for _ in range(_KCORE_ROUNDS):
-        prev_k = keep
         deg = (
             e.select(F.col("u").alias("node"))
             .unionAll(e.select(F.col("v").alias("node")))
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("d"))
-        )
-        keep = (
-            deg.crossJoin(F.broadcast(kk))
-            .filter(F.col("d") >= F.col("k"))
-            .select("node")
-        )
-        e = (
-            e.join(
-                keep.select(F.col("node").alias("u")), "u", "left_semi"
-            )
-            .join(
-                keep.select(F.col("node").alias("v")), "v", "left_semi"
-            )
             .localCheckpoint(eager=True)
         )
-    n_final = keep.agg(F.count(F.lit(1)).alias("n_core_nodes"))
-    n_prev = (prev_k if prev_k is not None else nodes).agg(
-        F.count(F.lit(1)).alias("_n_prev")
-    )
-    n_edges = e.agg(F.count(F.lit(1)).alias("n_core_edges"))
-    return (
-        kk.crossJoin(F.broadcast(n_final))
-        .crossJoin(F.broadcast(n_edges))
-        .crossJoin(F.broadcast(n_prev))
-        .select(
-            "k",
-            "n_core_nodes",
-            "n_core_edges",
-            (F.col("_n_prev") - F.col("n_core_nodes")).alias(
-                "n_removed_last_round"
-            ),
+        if k_val is None:
+            n_nodes = deg.count()
+            k_val = (2 * n_edges0) // n_nodes if n_nodes else None
+            if k_val is None:
+                keep_cnt = 0
+                prev_cnt = 0
+                break
+        keep = deg.filter(F.col("d") >= F.lit(k_val)).select("node")
+        cnt = keep.count()
+        if keep_cnt is not None and cnt == keep_cnt:
+            # Fixpoint: this round's kept set equals the previous
+            # round's, so e is already filtered to it and every
+            # remaining round reproduces (keep, e) unchanged —
+            # including round _KCORE_ROUNDS, whose census is therefore
+            # this one with n_removed_last_round = 0.
+            prev_cnt = cnt
+            break
+        prev_cnt, keep_cnt = keep_cnt, cnt
+        kb = F.broadcast(keep) if cnt <= _KCORE_BROADCAST_MAX else keep
+        e = (
+            e.join(kb.select(F.col("node").alias("u")), "u", "left_semi")
+            .join(kb.select(F.col("node").alias("v")), "v", "left_semi")
+            .localCheckpoint(eager=True)
         )
+    n_prev = prev_cnt if prev_cnt is not None else n_nodes
+    return spark.createDataFrame(
+        [(k_val, keep_cnt, e.count(), n_prev - keep_cnt)],
+        "k long, n_core_nodes long, n_core_edges long, "
+        "n_removed_last_round long",
     )
 
 
@@ -983,21 +1036,22 @@ def graph_kcore_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested finite sets force equal sets, and an unchanged kept set
     filters e to itself — a true fixpoint, not an oscillation.
     """
-    edges = _copurchase_edges(spark, sf_dir)
-    nodes = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
-        .distinct()
-    )
-    kk = edges.agg(F.count(F.lit(1)).alias("_e")).crossJoin(
-        nodes.agg(F.count(F.lit(1)).alias("_v"))
-    ).select(
-        F.floor(F.lit(2) * F.col("_e") / F.col("_v")).alias("k")
-    )
-    kk = kk.localCheckpoint(eager=True)
-    k_val = kk.first()["k"]
-    e = edges.localCheckpoint(eager=True)
-    prev_kept = nodes.count()
+    # Round-11 (optimization round): same single-edge-build +
+    # checkpointed-keep restructure as graph_kcore_bounded — e is
+    # checkpointed FIRST (nodes/threshold derive from the leaf, so the
+    # lineitem self-join runs once, not three times), the kept set is
+    # checkpointed before counting (previously keep.count() re-ran the
+    # degree aggregate the e-prune job had just computed), and the
+    # semi-join build side is broadcast while the just-measured kept
+    # count is broadcast-safe. Trajectory values are unchanged: at the
+    # fixpoint round e_i == e_{i-1}, so the recorded edge count is the
+    # previous round's materialized count — no extra prune needed.
+    e = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    e_cnt = e.count()
+    # Threshold from round 1's degree table, exact integer division —
+    # see graph_kcore_bounded (same round-11 restructure).
+    k_val: int | None = None
+    prev_kept: int | None = None
     trajectory: list[tuple[int, int, int]] = []
     for i in range(1, _KCORE_MAX_ROUNDS + 1):
         deg = (
@@ -1005,28 +1059,30 @@ def graph_kcore_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionAll(e.select(F.col("v").alias("node")))
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("d"))
-        )
-        keep = (
-            deg.crossJoin(F.broadcast(kk))
-            .filter(F.col("d") >= F.col("k"))
-            .select("node")
-        )
-        e = (
-            e.join(
-                keep.select(F.col("node").alias("u")), "u", "left_semi"
-            )
-            .join(
-                keep.select(F.col("node").alias("v")), "v", "left_semi"
-            )
             .localCheckpoint(eager=True)
         )
+        if k_val is None:
+            prev_kept = deg.count()  # |V|: round 0 keeps every node
+            k_val = (2 * e_cnt) // prev_kept
+        keep = deg.filter(F.col("d") >= F.lit(k_val)).select("node")
         kept = keep.count()
-        trajectory.append((i, kept, e.count()))
         if kept == prev_kept:
+            # Fixpoint: the kept set equals last round's, e is already
+            # filtered to it (e_i == e_{i-1}), so this round's edge
+            # count is the count already materialized.
+            trajectory.append((i, kept, e_cnt))
             return spark.createDataFrame(
                 [(k_val, r, n, m) for r, n, m in trajectory],
                 "k long, round long, n_kept long, n_edges long",
             )
+        kb = F.broadcast(keep) if kept <= _KCORE_BROADCAST_MAX else keep
+        e = (
+            e.join(kb.select(F.col("node").alias("u")), "u", "left_semi")
+            .join(kb.select(F.col("node").alias("v")), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        e_cnt = e.count()
+        trajectory.append((i, kept, e_cnt))
         prev_kept = kept
     raise RuntimeError(
         f"graph_kcore_converged did not reach its kept-set fixpoint in "
@@ -1238,9 +1294,15 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from hadoop_map_reduce_spark.checkpoint import local_checkpoint
 
+    from pyspark.sql import Window
+
     edges = _edges(spark, sf_dir)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ew, release_ew = local_checkpoint(edges.join(deg, "src"))
+    # Same single-exchange outdeg window as graph_pagerank (round-11).
+    ew, release_ew = local_checkpoint(
+        edges.withColumn(
+            "outdeg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+        )
+    )
     try:
         nodes = ew.select(F.col("src").alias("node")).distinct()
         n = nodes.count()
