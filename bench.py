@@ -91,7 +91,16 @@ _CALIBRATION_ROWS = 48_000_000
 # (calibrations 0.598/0.559 and 0.584/0.569, both probes <= 0.8 per
 # the --mint-pins guard); the cross-session agreement is the
 # unchanged-code control (raw sessions recorded in BASELINE.md r10).
+# Round-11 additions (board rotation, VERDICT r10 #6): pins minted per
+# the r10 protocol — per-query MEDIAN OF SIX RUNS across two SEPARATE
+# mint_ok idle-class sessions (calibrations 0.475/0.398 and
+# 0.384/0.383, both probes <= 0.8; raw sessions in BASELINE.md r11).
+# The 25 r10 pins are untouched: the round-11 optimizations leave every
+# pinned query well inside its pin (control runs: regressions [],
+# regressions_median []).
 PINS: dict[str, float] = {
+    "ann_index_served_search": 1.570,
+    "graph_pagerank": 2.413,
     "bigram_count": 0.851,
     "q1_pricing_summary": 1.274,
     "q3_shipping_priority": 1.042,

@@ -62,6 +62,17 @@ def bloom_bitmap(
             ]
         )
     )
+    # Round-11 (optimization round): the dense fill unions a zero-mask
+    # SPINE ROW PER WORD into the aggregation, so every word index is
+    # present (bit_or with 0 is the identity) and the packed array is
+    # just the word column of the struct-sorted collect_list — the
+    # previous shape looked each spine index up in a
+    # ``map_from_entries`` map, and Spark map lookup is a linear scan,
+    # making the single-row assembly O(n_words²) (measured 2.2 s of
+    # the 2.9 s bitmap build at n_bits=2^18; now O(n log n), ~0.3 s).
+    spine = hashed.sparkSession.range(n_words).select(
+        F.col("id").alias("_w"), F.lit(0).cast("long").alias("_m")
+    )
     words = (
         hashed.select(pos.alias("_p"))
         .select(
@@ -70,29 +81,20 @@ def bloom_bitmap(
                 "shiftleft(CAST(1 AS BIGINT), CAST(pmod(_p, 64) AS INT))"
             ).alias("_m"),
         )
+        .unionAll(spine)
         .groupBy("_w")
         .agg(F.bit_or("_m").alias("_word"))
     )
-    # Dense array: map word->bits, then a literal spine of n_words
-    # lookups (missing words -> 0). The agg output is <= n_words rows,
-    # so the single-row collect_list is constant-bounded by design.
-    packed = words.agg(
-        F.map_from_entries(
-            F.collect_list(F.struct(F.col("_w"), F.col("_word")))
-        ).alias("_m")
-    )
-    # sequence() builds the word spine at runtime — a literal array of
-    # n_words elements would put thousands of nodes in the expression
-    # tree (measured: 4096 literals cost ~10 s of plan/codegen time).
-    spine = F.sequence(
-        F.lit(0).cast("long"), F.lit(n_words - 1).cast("long")
-    )
-    return packed.select(
+    # The agg output is exactly n_words rows, so the single-row
+    # collect_list is constant-bounded by design; array_sort on
+    # (_w, _word) structs orders by _w first, and position i then
+    # holds word i - 1's bits.
+    return words.agg(
         F.transform(
-            spine,
-            lambda w: F.coalesce(
-                F.element_at(F.col("_m"), w), F.lit(0).cast("long")
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_w"), F.col("_word")))
             ),
+            lambda s: s["_word"],
         ).alias("bitmap")
     )
 

@@ -164,27 +164,55 @@ def ngram_jaccard_pairs_prefix(
     """
     if threshold <= 0:
         raise ValueError("threshold must be > 0 (zero admits all pairs)")
+    # Round-11 (optimization round, guide §2.3 "narrower types"): the
+    # CANDIDATE stage runs on the 64-bit xxhash64 image of each
+    # shingle set, not the shingle strings — the df aggregation, the
+    # df join, the per-doc ranking sort, and the prefix self-join all
+    # key on 8-byte longs instead of ~25-byte strings. Exactness is
+    # unaffected: hashing is a quotient map on the shingle universe,
+    # and merging universe elements can only RAISE Jaccard (the
+    # intersection image keeps every merged witness, the union image
+    # only shrinks), so J(H(A), H(B)) >= J(A, B) and every true pair
+    # still satisfies every hashed-side bound below; the exact verify
+    # against the TRUE shingle arrays then removes the (hash-collision
+    # or prefix-overlap) false candidates, exactly as before. All
+    # prefix/size/positional bounds consistently use the HASHED set
+    # size ``_nh`` — the theory they instantiate is PPJoin over the
+    # hashed universe.
     sh = with_shingles(df, n=n, text_col=text_col, id_col=id_col)
     sized = _cache_one_slot(
-        sh.select(F.col(id_col), F.col("_sh"), F.size("_sh").alias("_n"))
+        sh.select(
+            F.col(id_col),
+            F.col("_sh"),
+            F.array_distinct(
+                F.transform(F.col("_sh"), lambda s: F.xxhash64(s))
+            ).alias("_hs"),
+        ).select(
+            F.col(id_col),
+            F.col("_sh"),
+            F.col("_hs"),
+            F.size("_hs").alias("_nh"),
+        )
     )
     postings = sized.select(
-        F.col(id_col), F.col("_n"), F.explode("_sh").alias("_s")
+        F.col(id_col), F.col("_nh"), F.explode("_hs").alias("_h")
     )
-    dfreq = postings.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
-    w = Window.partitionBy(id_col).orderBy(F.col("_df").asc(), F.col("_s").asc())
+    dfreq = postings.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_df").asc(), F.col("_h").asc()
+    )
     # ceil biased DOWN by epsilon: t*n can land one double ulp ABOVE the
     # exact integer product (0.07*100 = 7.000000000000001), which would
     # over-round the required overlap and under-size the prefix — losing
     # true pairs. Erring low only lengthens the prefix (more candidates,
     # never fewer), so exactness is preserved for any threshold.
-    required = F.ceil(F.lit(threshold) * F.col("_n") - F.lit(1e-9))
-    prefix_len = F.col("_n") - required + 1
+    required = F.ceil(F.lit(threshold) * F.col("_nh") - F.lit(1e-9))
+    prefix_len = F.col("_nh") - required + 1
     prefix = (
-        postings.join(dfreq, "_s")
+        postings.join(dfreq, "_h")
         .withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= prefix_len)
-        .select(id_col, "_n", "_s", "_rk")
+        .select(id_col, "_nh", "_h", "_rk")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     # PPJoin length filter: J(A,B) >= t forces t·|A| <= |B| <= |A|/t
@@ -193,8 +221,10 @@ def ngram_jaccard_pairs_prefix(
     # the epsilon mirrors the prefix bound's (float t·n can land one ulp
     # high — err towards keeping the candidate, never dropping it).
     sized_ok = (
-        F.col("b._n") >= F.lit(threshold) * F.col("a._n") - F.lit(1e-9)
-    ) & (F.col("a._n") >= F.lit(threshold) * F.col("b._n") - F.lit(1e-9))
+        F.col("b._nh") >= F.lit(threshold) * F.col("a._nh") - F.lit(1e-9)
+    ) & (
+        F.col("a._nh") >= F.lit(threshold) * F.col("b._nh") - F.lit(1e-9)
+    )
     # PPJoin positional filter (replaces the bare dropDuplicates with a
     # same-shuffle aggregation): the FIRST common prefix token — the
     # shared shingle smallest in the global (df, shingle) order, i.e.
@@ -218,13 +248,13 @@ def ngram_jaccard_pairs_prefix(
         _overlap_goal - _overlap_goal * F.lit(1e-12) - F.lit(1e-9)
     )
     cands = (
-        a.join(b, F.col("a._s") == F.col("b._s"))
+        a.join(b, F.col("a._h") == F.col("b._h"))
         .filter((F.col(f"a.{id_col}") < F.col(f"b.{id_col}")) & sized_ok)
         .groupBy(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a._n").alias("_na"),
-            F.col("b._n").alias("_nb"),
+            F.col("a._nh").alias("_na"),
+            F.col("b._nh").alias("_nb"),
         )
         .agg(
             F.min("a._rk").alias("_ra"),
@@ -468,35 +498,58 @@ def containment_pairs_prefix(
     """
     if threshold <= 0:
         raise ValueError("threshold must be > 0 (zero admits all pairs)")
+    # Round-11: candidate stage on the 64-bit hashed shingle universe
+    # (see ngram_jaccard_pairs_prefix — same quotient-map argument:
+    # merging universe elements can only RAISE containment, since the
+    # intersection image keeps every witness while |H(A)| <= |A|, so
+    # every true pair passes the hashed prefix/size bounds and the
+    # exact verify on the TRUE arrays restores precision). The pair
+    # DIRECTION stays defined on the TRUE set sizes ``_n`` (it is part
+    # of the output contract, not a bound), so postings carry both.
     sh = with_shingles(df, n=n, text_col=text_col, id_col=id_col)
     sized = _cache_one_slot(
-        sh.select(F.col(id_col), F.col("_sh"), F.size("_sh").alias("_n"))
+        sh.select(
+            F.col(id_col),
+            F.col("_sh"),
+            F.array_distinct(
+                F.transform(F.col("_sh"), lambda s: F.xxhash64(s))
+            ).alias("_hs"),
+        ).select(
+            F.col(id_col),
+            F.col("_sh"),
+            F.size("_sh").alias("_n"),
+            F.col("_hs"),
+            F.size("_hs").alias("_nh"),
+        )
     )
     postings = sized.select(
-        F.col(id_col), F.col("_n"), F.explode("_sh").alias("_s")
+        F.col(id_col), F.col("_n"), F.col("_nh"),
+        F.explode("_hs").alias("_h"),
     )
-    dfreq = postings.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
-    w = Window.partitionBy(id_col).orderBy(F.col("_df").asc(), F.col("_s").asc())
+    dfreq = postings.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_df").asc(), F.col("_h").asc()
+    )
     # Epsilon biased DOWN, as in the jaccard prefix: t*n can land one
     # double ulp above the exact product, which would shrink the prefix
     # and lose true pairs; erring low only admits extra candidates.
-    required = F.ceil(F.lit(threshold) * F.col("_n") - F.lit(1e-9))
+    required = F.ceil(F.lit(threshold) * F.col("_nh") - F.lit(1e-9))
     prefix = (
-        postings.join(dfreq, "_s")
+        postings.join(dfreq, "_h")
         .withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= F.col("_n") - required + 1)
-        .select(id_col, "_n", "_s")
+        .filter(F.col("_rk") <= F.col("_nh") - required + 1)
+        .select(id_col, "_n", "_nh", "_h")
     )
     a, b = prefix.alias("a"), postings.alias("b")
     directed = (F.col("a._n") < F.col("b._n")) | (
         (F.col("a._n") == F.col("b._n"))
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     )
-    size_ok = F.col("b._n") >= F.ceil(
-        F.lit(threshold) * F.col("a._n") - F.lit(1e-9)
+    size_ok = F.col("b._nh") >= F.ceil(
+        F.lit(threshold) * F.col("a._nh") - F.lit(1e-9)
     )
     cands = (
-        a.join(b, F.col("a._s") == F.col("b._s"))
+        a.join(b, F.col("a._h") == F.col("b._h"))
         .filter(
             (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
             & directed

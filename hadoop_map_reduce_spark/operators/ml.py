@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hadoop_map_reduce_spark.functions.vectors import lit_doubles
+
 #: Fixed-point scale for centroid means (micro-units), matching the
 #: engine-wide exact-aggregate discipline.
 SCALE = 1_000_000
@@ -35,7 +37,7 @@ def _sqdist(vec, centroid: list[float]):
     """Squared L2 distance between an array<double> column and a Python
     centroid, as a deterministic left-to-right fold (no reduction-order
     ambiguity — ``F.aggregate`` folds sequentially)."""
-    carr = F.array(*[F.lit(float(c)) for c in centroid])
+    carr = lit_doubles(centroid)
     return F.aggregate(
         F.zip_with(vec, carr, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),

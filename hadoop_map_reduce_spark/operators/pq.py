@@ -39,7 +39,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from hadoop_map_reduce_spark.functions.vectors import cosine_similarity
+from hadoop_map_reduce_spark.functions.vectors import (
+    cosine_similarity,
+    lit_doubles,
+)
 from hadoop_map_reduce_spark.operators.ml import kmeans_lloyd
 
 CODE_BITS = 4  # ksub <= 16 packs one code per nibble
@@ -186,9 +189,7 @@ def _nearest_code(sub: Column, book: list[list[float]]) -> Column:
     cost). ``array_position`` returns the FIRST index of the min, the
     same tie the struct-sort device broke (pinned by the census
     oracles)."""
-    book_lit = F.array(
-        *[F.array(*[F.lit(x) for x in cent]) for cent in book]
-    )
+    book_lit = lit_doubles(book)
     d2s = F.transform(
         book_lit,
         lambda cvec: F.aggregate(
@@ -239,12 +240,7 @@ def _query_lut(
     """Flat ``m * ksub`` ADC lookup table <q_sub_j, centroid_{j,c}> as
     nested transforms over one literal codebook array — a constant-size
     expression tree whatever m/ksub are."""
-    books_lit = F.array(
-        *[
-            F.array(*[F.array(*[F.lit(x) for x in cent]) for cent in book])
-            for book in codebooks
-        ]
-    )
+    books_lit = lit_doubles(codebooks)
     return F.flatten(
         F.transform(
             books_lit,
@@ -370,9 +366,7 @@ def _nearest_cell(vec: Column, centroids: list[list[float]]) -> Column:
     """Index of the nearest coarse centroid by squared L2 (ties to the
     lower cell) — same compact transform-over-literal-array argmin as
     :func:`_nearest_code` (one lambda, not ``n_cells`` subtrees)."""
-    cent_lit = F.array(
-        *[F.array(*[F.lit(x) for x in c]) for c in centroids]
-    )
+    cent_lit = lit_doubles(centroids)
     d2s = F.transform(
         cent_lit,
         lambda cvec: F.aggregate(
@@ -591,9 +585,7 @@ def ivfpq_topk_adc(
     # assignment metric), each carrying its coarse term <q, c_cell>.
     # One 2-arg transform over the literal centroid array (constant
     # expression tree; struct sort ties break on the cell index).
-    cent_lit = F.array(
-        *[F.array(*[F.lit(x) for x in c]) for c in centroids]
-    )
+    cent_lit = lit_doubles(centroids)
     probe_structs = F.transform(
         cent_lit,
         lambda cvec, i: F.struct(

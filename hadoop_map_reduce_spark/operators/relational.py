@@ -585,6 +585,14 @@ def interval_union_length(
     the running-max frame engine-dependent). A key with ONLY empty
     intervals is absent from the output (its union is the empty set).
     """
+    # Round-11 (optimization round, guide §2.4): ONE exchange instead
+    # of two. A bare .distinct() hash-partitions on (_k, _s, _e) and
+    # the window then re-partitions on _k; repartitioning on _k FIRST
+    # lets the same exchange satisfy both — HashPartitioning(_k) is a
+    # subset of the dedup's required clustering (equal triples land
+    # together when equal keys do) and exactly the window's
+    # distribution, so Catalyst inserts no second shuffle (plan-pinned
+    # in plans/r11/interval_union_days_after.txt: 2 Exchange -> 1).
     iv = (
         intervals.select(
             F.col(key_col).alias("_k"),
@@ -592,7 +600,8 @@ def interval_union_length(
             F.col(end_col).cast("long").alias("_e"),
         )
         .filter(F.col("_s") < F.col("_e"))
-        .distinct()
+        .repartition("_k")
+        .dropDuplicates()
     )
     w = Window.partitionBy("_k").orderBy("_s", "_e")
     prev_max = F.max("_e").over(

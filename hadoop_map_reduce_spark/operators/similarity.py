@@ -24,7 +24,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from hadoop_map_reduce_spark.functions.vectors import cosine_similarity
+from hadoop_map_reduce_spark.functions.vectors import (
+    cosine_similarity,
+    lit_doubles,
+    lit_longs,
+)
 
 
 def cosine_topk(
@@ -114,9 +118,7 @@ def random_projection_e6(
     e6 = F.transform(vec, lambda x: F.round(x * 1e6).cast("long"))
     cols = []
     for j in range(out_dims):
-        s_col = F.array(
-            *[F.lit(signs[i][j]).cast("long") for i in range(dim)]
-        )
+        s_col = lit_longs([signs[i][j] for i in range(dim)])
         cols.append(
             F.aggregate(
                 F.zip_with(e6, s_col, lambda a, b: a * b),
@@ -238,7 +240,7 @@ def lsh_bucket(
     bucket = F.lit(0).cast("long")
     vec = F.col(vec_col).cast("array<double>")
     for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(x) for x in plane])
+        p = lit_doubles(plane)
         dot = F.aggregate(
             F.zip_with(vec, p, lambda a, b: a * b),
             F.lit(0.0),
@@ -478,9 +480,7 @@ def ivf_topk_filtered(
         .collect()
     )
     centroids = [list(r[1]) for r in cent_rows]
-    cent_lit = F.array(
-        *[F.array(*[F.lit(x) for x in c]) for c in centroids]
-    )
+    cent_lit = lit_doubles(centroids)
 
     def cell_ranking(vec: Column) -> Column:
         return F.array_sort(

@@ -1571,20 +1571,29 @@ def curation_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("cnt")),
         "dsir-doc-bucket",
     )
-    raw = dbc.groupBy("b").agg(F.sum("cnt").alias("rc"))
-    rawp = raw.crossJoin(
-        F.broadcast(dbc.agg(F.sum("cnt").alias("rtot")))
-    ).select("b", F.expr("rc * 1000000 DIV rtot").alias("raw_ppm"))
-    tgt = dbc.filter(F.col("lang") == "en")
-    tgtp = (
-        tgt.groupBy("b")
-        .agg(F.sum("cnt").alias("tc"))
-        .crossJoin(F.broadcast(tgt.agg(F.sum("cnt").alias("ttot"))))
-        .select("b", F.expr("tc * 1000000 DIV ttot").alias("tgt_ppm"))
+    # Round-11 (optimization round, guide §2.3 "aggregate before you
+    # shuffle" / §1.2): raw and target distributions come out of ONE
+    # conditional aggregation over the cached bucket counts (sum +
+    # sum-where-en per bucket) and ONE global-total aggregate, instead
+    # of two bucket passes and two total passes; the scoring join then
+    # broadcasts a single 256-row table carrying both ppm columns
+    # (2 broadcast joins -> 1). Integer arithmetic is unchanged: a
+    # bucket with no English grams has tc = NULL, so tgt_ppm is NULL
+    # and the COALESCE(...,0) below reproduces the old LEFT JOIN.
+    dist = dbc.groupBy("b").agg(
+        F.sum("cnt").alias("rc"),
+        F.sum(F.when(F.col("lang") == "en", F.col("cnt"))).alias("tc"),
+    )
+    totals = dist.agg(
+        F.sum("rc").alias("rtot"), F.sum("tc").alias("ttot")
+    )
+    ppm = dist.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.expr("rc * 1000000 DIV rtot").alias("raw_ppm"),
+        F.expr("tc * 1000000 DIV ttot").alias("tgt_ppm"),
     )
     return (
-        dbc.join(F.broadcast(rawp), "b")
-        .join(F.broadcast(tgtp), "b", "left")
+        dbc.join(F.broadcast(ppm), "b")
         .groupBy("doc_id")
         .agg(
             F.sum("cnt").cast("long").alias("n_grams"),

@@ -904,16 +904,25 @@ def graph_kcore_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionAll(e.select(F.col("v").alias("node")))
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("d"))
-            .localCheckpoint(eager=True)
         )
         if k_val is None:
+            # Round 1 only: |V| comes from the materialized degree
+            # table; later rounds checkpoint just the (smaller) kept
+            # set — one eager job per round, not two.
+            deg = deg.localCheckpoint(eager=True)
             n_nodes = deg.count()
             k_val = (2 * n_edges0) // n_nodes if n_nodes else None
             if k_val is None:
                 keep_cnt = 0
                 prev_cnt = 0
                 break
-        keep = deg.filter(F.col("d") >= F.lit(k_val)).select("node")
+            keep = deg.filter(F.col("d") >= F.lit(k_val)).select("node")
+        else:
+            keep = (
+                deg.filter(F.col("d") >= F.lit(k_val))
+                .select("node")
+                .localCheckpoint(eager=True)
+            )
         cnt = keep.count()
         if keep_cnt is not None and cnt == keep_cnt:
             # Fixpoint: this round's kept set equals the previous
@@ -1059,12 +1068,18 @@ def graph_kcore_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionAll(e.select(F.col("v").alias("node")))
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("d"))
-            .localCheckpoint(eager=True)
         )
         if k_val is None:
+            deg = deg.localCheckpoint(eager=True)
             prev_kept = deg.count()  # |V|: round 0 keeps every node
             k_val = (2 * e_cnt) // prev_kept
-        keep = deg.filter(F.col("d") >= F.lit(k_val)).select("node")
+            keep = deg.filter(F.col("d") >= F.lit(k_val)).select("node")
+        else:
+            keep = (
+                deg.filter(F.col("d") >= F.lit(k_val))
+                .select("node")
+                .localCheckpoint(eager=True)
+            )
         kept = keep.count()
         if kept == prev_kept:
             # Fixpoint: the kept set equals last round's, e is already

@@ -680,11 +680,13 @@ def test_phash_neardup_hash_scan_cached_and_banded_once(spark, sf_dir):
 
 
 def test_dsir_broadcasts_distributions_and_prunes(spark, sf_dir):
-    """curation_dsir_score: the 256-row ppm tables broadcast into the
-    scoring join (never shuffle the corpus against them) and the scan
-    reads only the three needed columns."""
+    """curation_dsir_score: the 256-row ppm table broadcasts into the
+    scoring join (never shuffle the corpus against it) and the scan
+    reads only the three needed columns. Round-11: raw and target
+    distributions are FUSED into one conditional aggregation, so the
+    plan carries exactly ONE broadcast hash join (previously two)."""
     p = plan_of(spark, sf_dir, "curation_dsir_score")
-    assert p.count("BroadcastHashJoin") >= 2
+    assert p.count("BroadcastHashJoin") == 1
     assert "ReadSchema: struct<doc_id:bigint,text:string,lang:string>" in p
     assert "CartesianProduct" not in p
     assert all(
