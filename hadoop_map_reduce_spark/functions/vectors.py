@@ -34,15 +34,12 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return F.when(denom != 0.0, dot_product(a, b) / denom)
 
 
-def lit_doubles(values) -> Column:
-    """Literal ``array<double>`` (arbitrarily nested) built as ONE SQL
-    expression string instead of one py4j ``F.lit`` round-trip per
-    element (round-11 optimization finding: a 16x64 centroid matrix
-    cost ~0.5 s of DRIVER time per query construction through the
-    per-element path, ~3 ms through this one — the values are
-    identical, since ``repr`` of a Python float is the shortest string
-    that round-trips to the same IEEE double and Spark's literal
-    parser is correctly rounded).
+def doubles_sql(values) -> str:
+    """The SQL expression STRING behind :func:`lit_doubles` — exposed
+    (round-12) so callers composing larger one-expression strings (the
+    ADC probe/LUT trees in operators/pq.py) can embed the literal
+    matrix directly instead of paying a py4j round-trip per node of a
+    Column-API tree around it.
 
     Rejects non-finite values loudly (SQL literals have no inf/nan
     spelling; every call site feeds k-means centroids/codebooks or
@@ -58,7 +55,20 @@ def lit_doubles(values) -> Column:
             raise ValueError("lit_doubles: non-finite literal")
         return repr(v) + "D"
 
-    return F.expr(render(values))
+    return render(values)
+
+
+def lit_doubles(values) -> Column:
+    """Literal ``array<double>`` (arbitrarily nested) built as ONE SQL
+    expression string instead of one py4j ``F.lit`` round-trip per
+    element (round-11 optimization finding: a 16x64 centroid matrix
+    cost ~0.5 s of DRIVER time per query construction through the
+    per-element path, ~3 ms through this one — the values are
+    identical, since ``repr`` of a Python float is the shortest string
+    that round-trips to the same IEEE double and Spark's literal
+    parser is correctly rounded).
+    """
+    return F.expr(doubles_sql(values))
 
 
 def lit_longs(values) -> Column:

@@ -41,6 +41,7 @@ from pyspark.sql.window import Window
 
 from hadoop_map_reduce_spark.functions.vectors import (
     cosine_similarity,
+    doubles_sql,
     lit_doubles,
 )
 from hadoop_map_reduce_spark.operators.ml import kmeans_lloyd
@@ -234,30 +235,48 @@ def _code_at(codes: Column, j: int) -> Column:
     )
 
 
+def _vec_sql(vec_col: str) -> str:
+    """SQL fragment for a vector column widened to array<double> — the
+    query-vector operand the one-expression trees below embed."""
+    return f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
+
+
 def _query_lut(
-    qvec: Column, codebooks: list[list[list[float]]], dsub: int
+    qvec_sql: str, codebooks: list[list[list[float]]], dsub: int
 ) -> Column:
     """Flat ``m * ksub`` ADC lookup table <q_sub_j, centroid_{j,c}> as
     nested transforms over one literal codebook array — a constant-size
-    expression tree whatever m/ksub are."""
-    books_lit = lit_doubles(codebooks)
-    return F.flatten(
-        F.transform(
-            books_lit,
-            lambda book, j: F.transform(
-                book,
-                lambda cvec: F.aggregate(
-                    F.zip_with(
-                        F.slice(qvec, j * dsub + 1, dsub),
-                        cvec,
-                        lambda a, b: a * b,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-            ),
-        )
+    expression tree whatever m/ksub are.
+
+    Round-12 (guide §5 driver boundary, the lit_doubles lesson one
+    level up): the whole tree is ONE SQL expression string — the
+    Column-API version cost a py4j round-trip per lambda/aggregate
+    node on every query construction. The parsed expressions are
+    identical (same functions, same left-to-right double fold), so
+    results are bit-equal; ``qvec_sql`` is the query-vector operand as
+    SQL (see :func:`_vec_sql`)."""
+    books_sql = doubles_sql(codebooks)
+    return F.expr(
+        f"flatten(transform({books_sql}, (book, j) -> "
+        f"transform(book, cvec -> "
+        f"aggregate(zip_with(slice({qvec_sql}, j * {int(dsub)} + 1, "
+        f"{int(dsub)}), cvec, (x, y) -> x * y), 0.0D, "
+        f"(acc, v) -> acc + v))))"
     )
+
+
+def _adc_sum_sql(m: int, ksub: int, *leading: str) -> str:
+    """The ADC score ``(leading +) Σ_j LUT[j][code_j]`` as one SQL
+    string — strictly LEFT-ASSOCIATIVE addition in the original term
+    order, so the double accumulation is bit-identical to the old
+    per-term Column chain."""
+    mask = (1 << CODE_BITS) - 1
+    terms = list(leading) + [
+        f"element_at(_lut, CAST({j * ksub} + "
+        f"(shiftright(pq_codes, {CODE_BITS * j}) & {mask}) + 1 AS INT))"
+        for j in range(m)
+    ]
+    return " + ".join(terms)
 
 
 def pq_topk_adc(
@@ -306,17 +325,12 @@ def pq_topk_adc(
     q = queries.select(
         F.col(query_id_col).alias("_qid"),
         qvec.alias("_qvec"),
-        _query_lut(qvec, codebooks, dsub).alias("_lut"),
+        _query_lut(_vec_sql(vec_col), codebooks, dsub).alias("_lut"),
     )
 
-    codes = F.col("pq_codes")
-    approx = None
-    for j in range(m):
-        term = F.element_at(
-            F.col("_lut"),
-            (F.lit(j * ksub) + _code_at(codes, j) + F.lit(1)).cast("int"),
-        )
-        approx = term if approx is None else approx + term
+    # One expression string for the m-term ADC sum (round-12, see
+    # _adc_sum_sql — bit-identical left-associative order).
+    approx = F.expr(_adc_sum_sql(m, ksub))
 
     join_cond = (
         F.col("pq_id") != F.col("_qid") if exclude_self else F.lit(True)
@@ -585,24 +599,21 @@ def ivfpq_topk_adc(
     # assignment metric), each carrying its coarse term <q, c_cell>.
     # One 2-arg transform over the literal centroid array (constant
     # expression tree; struct sort ties break on the cell index).
-    cent_lit = lit_doubles(centroids)
-    probe_structs = F.transform(
-        cent_lit,
-        lambda cvec, i: F.struct(
-            F.aggregate(
-                F.zip_with(qvec, cvec, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("d"),
-            i.cast("int").alias("cell"),
-            F.aggregate(
-                F.zip_with(qvec, cvec, lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("coarse"),
-        ),
+    # Round-12: the whole probe tree is ONE SQL expression string (see
+    # _query_lut — same py4j-boundary rationale, same parsed
+    # expressions: named_struct fields in (d, cell, coarse) order keep
+    # the array_sort tie-break identical).
+    qs = _vec_sql(vec_col)
+    cent_sql = doubles_sql(centroids)
+    probes = F.expr(
+        f"slice(array_sort(transform({cent_sql}, (cvec, i) -> "
+        f"named_struct("
+        f"'d', aggregate(zip_with({qs}, cvec, "
+        f"(x, y) -> (x - y) * (x - y)), 0.0D, (acc, v) -> acc + v), "
+        f"'cell', CAST(i AS INT), "
+        f"'coarse', aggregate(zip_with({qs}, cvec, (x, y) -> x * y), "
+        f"0.0D, (acc, v) -> acc + v)))), 1, {int(n_probe)})"
     )
-    probes = F.slice(F.array_sort(probe_structs), 1, n_probe)
 
     # Shared-codebook LUT: entry j*ksub + c = <q_j, codebook_j[c]> —
     # cell-independent because codebooks quantize residuals against
@@ -611,7 +622,7 @@ def ivfpq_topk_adc(
         queries.select(
             F.col(query_id_col).alias("_qid"),
             qvec.alias("_qvec"),
-            _query_lut(qvec, codebooks, dsub).alias("_lut"),
+            _query_lut(qs, codebooks, dsub).alias("_lut"),
             F.explode(probes).alias("_p"),
         )
         .select(
@@ -623,15 +634,9 @@ def ivfpq_topk_adc(
         )
     )
 
-    codes = F.col("pq_codes")
-    approx = F.col("_coarse")
-    for j in range(m):
-        approx = approx + F.element_at(
-            F.col("_lut"),
-            (F.lit(j * ksub) + _code_at(codes, j) + F.lit(1)).cast(
-                "int"
-            ),
-        )
+    # One expression string for `_coarse + Σ_j LUT[j][code_j]` —
+    # left-associative in the original term order (bit-identical).
+    approx = F.expr(_adc_sum_sql(m, ksub, "_coarse"))
     joined = encoded.join(F.broadcast(q), "cell")
     if keep_col is not None:
         joined = joined.filter(F.col(keep_col))

@@ -29,6 +29,16 @@ _SUPP_OFFSET = 1_000_000
 _DAMP = 0.85
 _ITERS = 3
 
+# Broadcast the per-iteration rank vector into the edges⋈ranks join only
+# while its just-counted row count is comfortably inside the broadcast
+# budget. Round-12 sizing (ADVICE r11 #2): a hashed relation costs far
+# more than the raw 16 key+value bytes per row (UnsafeRow + long-map
+# overhead, several x), so the cap budgets ~64 bytes/row — 1M rows ≈
+# 64 MB built, matching the session's autoBroadcastJoinThreshold. The
+# decision input is the runtime count, so behavior stays scale-adaptive:
+# a 100 TB graph with |V| > 1M falls back to the shuffled join shape.
+_RANKS_BROADCAST_MAX = 1_000_000
+
 _GRAPH_SQL = f"""
     e0 AS (
         SELECT DISTINCT o_custkey AS c, l_suppkey + {_SUPP_OFFSET} AS s
@@ -139,9 +149,19 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = ew.select(F.col("src").alias("node")).distinct()
     n = nodes.count()
     ranks = nodes.select("node", F.lit(1.0 / n).alias("r"))
+    # Round-12 (optimization round, guide §3.1 / VERDICT r11 #1): the
+    # rank vector is |V| rows by construction (n is the just-counted
+    # value), tiny next to the edge stream — broadcast it into every
+    # iteration's join so the checkpointed edge table streams with no
+    # per-iteration shuffle OR sort; only the dst aggregation exchanges.
+    # Gated on the runtime count (scale-adaptive, see
+    # _RANKS_BROADCAST_MAX); above the gate the prior shuffled shape
+    # stands unchanged.
+    small = n <= _RANKS_BROADCAST_MAX
     for _ in range(_ITERS):
+        rhs = F.broadcast(ranks) if small else ranks
         ranks = (
-            ew.join(ranks, ew.src == ranks.node)
+            ew.join(rhs, ew.src == rhs.node)
             .groupBy(F.col("dst").alias("node"))
             .agg(
                 (
@@ -789,12 +809,25 @@ def graph_cc_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KCORE_ROUNDS = 8
 
 # Broadcast the kept-node set into the peeling semi-joins only while its
-# just-measured count is comfortably inside the session broadcast budget
-# (~8 bytes/row hashed relation; 4M longs ≈ 32 MB, half the session's
-# 64 MB autoBroadcastJoinThreshold). Past that the plain semi-join shape
-# stands and AQE picks the strategy — scale-adaptive, not a local[32]
-# constant (the decision input is the runtime count, not a tuned size).
-_KCORE_BROADCAST_MAX = 4_000_000
+# just-measured count is comfortably inside the session broadcast budget.
+# Round-12 re-sizing (ADVICE r11 #2): the old 4M cap budgeted raw key
+# bytes (~8/row), but a LongHashedRelation costs several times that in
+# UnsafeRow + map overhead — 1M longs ≈ 64 MB built, matching the
+# session's autoBroadcastJoinThreshold. Past the cap the plain semi-join
+# shape stands and AQE picks the strategy — scale-adaptive, not a
+# local[32] constant (the decision input is the runtime count).
+_KCORE_BROADCAST_MAX = 1_000_000
+
+# Tail-round task-count control (round-12, guide §2.2): the kept set
+# collapses after the first rounds (sf0.1: 20k -> 10118 -> 71 -> 0), so
+# later rounds would otherwise run full-width jobs over near-empty
+# checkpointed edge tables. Before each round's checkpoint the edge
+# stream is coalesced to ceil(prev_edge_count / _KCORE_COALESCE_ROWS)
+# partitions — but ONLY when that is below the session's default
+# parallelism, so an at-scale peel (edge count >> cores) keeps its
+# shuffle layout untouched and the coalesce can never reduce a big
+# round's parallelism. 65536 16-byte edge rows ≈ 1 MB per partition.
+_KCORE_COALESCE_ROWS = 65_536
 
 
 def _kcore_oracle() -> str:
@@ -886,8 +919,18 @@ def graph_kcore_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
       larger-than-broadcast node sets the plain semi join shape is
       kept and AQE decides.
     """
-    e = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    from hadoop_map_reduce_spark.checkpoint import local_checkpoint
+
+    # Round-12: every per-round checkpoint is taken through the tracked
+    # local_checkpoint helper and released as soon as its consumer is
+    # materialized (ADVICE r11 #3 — the bare localCheckpoint blocks were
+    # only freed at driver GC, accumulating across bench invocations in
+    # one session); this query fully materializes before returning, so
+    # nothing stays persisted after it.
+    e, rel_e = local_checkpoint(_copurchase_edges(spark, sf_dir))
     n_edges0 = e.count()
+    e_cnt = n_edges0  # |e_i|, tracked per round (also the final census)
+    par = spark.sparkContext.defaultParallelism
     # The threshold k = floor(2|E|/|V|) derives from round 1's degree
     # table (its row count IS |V|: every node of an edge list has
     # degree >= 1) — the separate node-distinct and threshold jobs of
@@ -909,19 +952,18 @@ def graph_kcore_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             # Round 1 only: |V| comes from the materialized degree
             # table; later rounds checkpoint just the (smaller) kept
             # set — one eager job per round, not two.
-            deg = deg.localCheckpoint(eager=True)
+            deg, rel_keep = local_checkpoint(deg)
             n_nodes = deg.count()
             k_val = (2 * n_edges0) // n_nodes if n_nodes else None
             if k_val is None:
                 keep_cnt = 0
                 prev_cnt = 0
+                rel_keep()
                 break
             keep = deg.filter(F.col("d") >= F.lit(k_val)).select("node")
         else:
-            keep = (
-                deg.filter(F.col("d") >= F.lit(k_val))
-                .select("node")
-                .localCheckpoint(eager=True)
+            keep, rel_keep = local_checkpoint(
+                deg.filter(F.col("d") >= F.lit(k_val)).select("node")
             )
         cnt = keep.count()
         if keep_cnt is not None and cnt == keep_cnt:
@@ -931,17 +973,28 @@ def graph_kcore_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             # including round _KCORE_ROUNDS, whose census is therefore
             # this one with n_removed_last_round = 0.
             prev_cnt = cnt
+            rel_keep()
             break
         prev_cnt, keep_cnt = keep_cnt, cnt
         kb = F.broadcast(keep) if cnt <= _KCORE_BROADCAST_MAX else keep
-        e = (
-            e.join(kb.select(F.col("node").alias("u")), "u", "left_semi")
-            .join(kb.select(F.col("node").alias("v")), "v", "left_semi")
-            .localCheckpoint(eager=True)
-        )
+        pruned = e.join(
+            kb.select(F.col("node").alias("u")), "u", "left_semi"
+        ).join(kb.select(F.col("node").alias("v")), "v", "left_semi")
+        # Tail-round coalesce (guide §2.2): |e_i| <= |e_{i-1}| = e_cnt,
+        # so sizing by the previous count can only over-provision; the
+        # guard keeps at-scale rounds (edge count >> cores) untouched.
+        p = (e_cnt + _KCORE_COALESCE_ROWS - 1) // _KCORE_COALESCE_ROWS
+        if 0 < p < par:
+            pruned = pruned.coalesce(p)
+        new_e, rel_new = local_checkpoint(pruned)
+        rel_e()
+        rel_keep()
+        e, rel_e = new_e, rel_new
+        e_cnt = e.count()
     n_prev = prev_cnt if prev_cnt is not None else n_nodes
+    rel_e()
     return spark.createDataFrame(
-        [(k_val, keep_cnt, e.count(), n_prev - keep_cnt)],
+        [(k_val, keep_cnt, e_cnt, n_prev - keep_cnt)],
         "k long, n_core_nodes long, n_core_edges long, "
         "n_removed_last_round long",
     )
@@ -1055,8 +1108,15 @@ def graph_kcore_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count is broadcast-safe. Trajectory values are unchanged: at the
     # fixpoint round e_i == e_{i-1}, so the recorded edge count is the
     # previous round's materialized count — no extra prune needed.
-    e = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    from hadoop_map_reduce_spark.checkpoint import local_checkpoint
+
+    # Round-12: tracked checkpoints with per-round release + tail-round
+    # coalesce, exactly as graph_kcore_bounded (the trajectory values
+    # are untouched — release/coalesce only manage block storage and
+    # task counts of already-materialized leaves).
+    e, rel_e = local_checkpoint(_copurchase_edges(spark, sf_dir))
     e_cnt = e.count()
+    par = spark.sparkContext.defaultParallelism
     # Threshold from round 1's degree table, exact integer division —
     # see graph_kcore_bounded (same round-11 restructure).
     k_val: int | None = None
@@ -1070,15 +1130,13 @@ def graph_kcore_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("d"))
         )
         if k_val is None:
-            deg = deg.localCheckpoint(eager=True)
+            deg, rel_keep = local_checkpoint(deg)
             prev_kept = deg.count()  # |V|: round 0 keeps every node
             k_val = (2 * e_cnt) // prev_kept
             keep = deg.filter(F.col("d") >= F.lit(k_val)).select("node")
         else:
-            keep = (
-                deg.filter(F.col("d") >= F.lit(k_val))
-                .select("node")
-                .localCheckpoint(eager=True)
+            keep, rel_keep = local_checkpoint(
+                deg.filter(F.col("d") >= F.lit(k_val)).select("node")
             )
         kept = keep.count()
         if kept == prev_kept:
@@ -1086,19 +1144,27 @@ def graph_kcore_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
             # filtered to it (e_i == e_{i-1}), so this round's edge
             # count is the count already materialized.
             trajectory.append((i, kept, e_cnt))
+            rel_keep()
+            rel_e()
             return spark.createDataFrame(
                 [(k_val, r, n, m) for r, n, m in trajectory],
                 "k long, round long, n_kept long, n_edges long",
             )
         kb = F.broadcast(keep) if kept <= _KCORE_BROADCAST_MAX else keep
-        e = (
-            e.join(kb.select(F.col("node").alias("u")), "u", "left_semi")
-            .join(kb.select(F.col("node").alias("v")), "v", "left_semi")
-            .localCheckpoint(eager=True)
-        )
+        pruned = e.join(
+            kb.select(F.col("node").alias("u")), "u", "left_semi"
+        ).join(kb.select(F.col("node").alias("v")), "v", "left_semi")
+        p = (e_cnt + _KCORE_COALESCE_ROWS - 1) // _KCORE_COALESCE_ROWS
+        if 0 < p < par:
+            pruned = pruned.coalesce(p)
+        new_e, rel_new = local_checkpoint(pruned)
+        rel_e()
+        rel_keep()
+        e, rel_e = new_e, rel_new
         e_cnt = e.count()
         trajectory.append((i, kept, e_cnt))
         prev_kept = kept
+    rel_e()
     raise RuntimeError(
         f"graph_kcore_converged did not reach its kept-set fixpoint in "
         f"{_KCORE_MAX_ROUNDS} rounds; raise _KCORE_MAX_ROUNDS (oracle "
@@ -1323,6 +1389,13 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         n = nodes.count()
         base15 = (15 * (_PR_SCALE // n)) // 100
         ranks = nodes.select("node", F.lit(0).cast("long").alias("r"))
+        # Round-12: same runtime-count-gated rank broadcast as
+        # graph_pagerank — here the win multiplies across the 77-83
+        # rounds (each previously sorted/shuffled the checkpointed edge
+        # stream into a sort-merge join). Integer arithmetic makes the
+        # result order-independent, so the join strategy cannot move a
+        # single bit.
+        small = n <= _RANKS_BROADCAST_MAX
         prev_sum = 0
         release = None
         # One round PAST the unroll budget: detecting a fixpoint first
@@ -1333,8 +1406,9 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         # raises below (r10 review: without the +1, a graph converging
         # exactly at round 100 raised spuriously).
         for _rounds in range(1, _PR_MAX_ROUNDS + 2):
+            rhs = F.broadcast(ranks) if small else ranks
             nxt = (
-                ew.join(ranks, ew.src == ranks.node)
+                ew.join(rhs, ew.src == rhs.node)
                 .groupBy(F.col("dst").alias("node"))
                 .agg(
                     F.expr(

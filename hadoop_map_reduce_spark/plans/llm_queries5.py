@@ -234,43 +234,29 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vec_top = top_k(dots, M, F.col("dot").desc(), F.col("doc_id").asc())
     # row_number over a LIMIT-100 input: Exchange SinglePartition over a
-    # constant-bounded table — the allowed bounded form.
-    w_lex = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    w_vec = Window.orderBy(F.col("dot").desc(), F.col("doc_id").asc())
-    # The two 100-row rank tables feed three consumers each (candidate
-    # union, left_anti missing-set, final union) — persist them so the
-    # TakeOrdered scan over the cached scored tables runs once per
-    # side, not once per consumer.
-    lex_rank_top = cache_one_slot(
-        lex_top.select(
-            "doc_id", F.row_number().over(w_lex).cast("long").alias("r_lex")
-        ),
-        "hybrid_rrf_lex_top",
+    # Round-12 (optimization round, VERDICT r11 #4): the candidate set
+    # is just the union of the two top-100 doc_id lists — it does not
+    # need per-side RANK tables first. The old shape materialized a
+    # 100-row row_number table per side (one-slot cache + Exchange
+    # SinglePartition each), anti-joined candidates against it to find
+    # the "missing" docs, ran count-of-better for those, and unioned
+    # the two rank sources back together. ONE count-of-better pass per
+    # side over ALL ~200 candidates computes the identical exact global
+    # rank (1 + |{better}| under the same total order) for top-100
+    # members and missing docs alike — same answers, half the plan:
+    # 2 window exchanges, 2 anti-joins, 2 unions and 2 cache slots
+    # gone; the broadcast-nested-loop count pass stays candidate-
+    # bounded (<= 200 rows broadcast against the cached scored tables).
+    # <= 200 rows; feeds three consumers (two rank passes + the fused
+    # base) — one-slot persist so the TakeOrdered scans run once.
+    cands = cache_one_slot(
+        lex_top.select("doc_id").union(vec_top.select("doc_id")).distinct(),
+        "hybrid_rrf_cands",
     )
-    vec_rank_top = cache_one_slot(
-        vec_top.select(
-            "doc_id", F.row_number().over(w_vec).cast("long").alias("r_vec")
-        ),
-        "hybrid_rrf_vec_top",
+    lex_ranks = exact_ranks_for(
+        lex_scored, cands, "score", "doc_id", "r_lex"
     )
-    cands = (
-        lex_rank_top.select("doc_id")
-        .union(vec_rank_top.select("doc_id"))
-        .distinct()
-    )
-    # Exact global ranks for candidates that sit outside a side's
-    # top-100 (they can still reach the final 20 via the OTHER side's
-    # rank): broadcast count-of-better, no global sort.
-    lex_missing = cands.join(lex_rank_top, "doc_id", "left_anti")
-    vec_missing = cands.join(vec_rank_top, "doc_id", "left_anti")
-    lex_rank_extra = exact_ranks_for(
-        lex_scored, lex_missing, "score", "doc_id", "r_lex"
-    )
-    vec_rank_extra = exact_ranks_for(
-        dots, vec_missing, "dot", "doc_id", "r_vec"
-    )
-    lex_ranks = lex_rank_top.union(lex_rank_extra)
-    vec_ranks = vec_rank_top.union(vec_rank_extra)
+    vec_ranks = exact_ranks_for(dots, cands, "dot", "doc_id", "r_vec")
 
     fused = (
         cands.join(lex_ranks, "doc_id", "left")
