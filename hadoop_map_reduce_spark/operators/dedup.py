@@ -409,8 +409,13 @@ def _sig_udf(num_hashes: int, seed: int):
     from pyspark import SparkContext
 
     sc = SparkContext._active_spark_context
-    key = (num_hashes, seed, id(sc))
-    cached = _SIG_UDF_CACHE.get(key)
+    # applicationId is unique per context (a timestamped string), unlike
+    # id(sc), which CPython can reuse after the old context is
+    # collected — a reused id would serve a UDF whose lazily-cached
+    # _judf still points at the dead JVM.
+    app = sc.applicationId if sc is not None else None
+    key = (num_hashes, seed, app)
+    cached = _SIG_UDF_CACHE.get(key) if app is not None else None
     if cached is not None:
         return cached
     params = _minhash_params(num_hashes, seed)
@@ -434,7 +439,8 @@ def _sig_udf(num_hashes: int, seed: int):
                 out.append(((hv[:, None] * a + b) % _MINHASH_PRIME).min(axis=0))
         return pd.Series(out)
 
-    _SIG_UDF_CACHE[key] = _sig
+    if app is not None:
+        _SIG_UDF_CACHE[key] = _sig
     return _sig
 
 
